@@ -1,0 +1,104 @@
+"""Core alignment data types.
+
+These mirror the observable structure of the reference aligner's types
+(rust-bio ``Alignment``/``AlignmentOperation``, reference src/swg.rs:1-2;
+``GenomeAlignment``/``AlnType``, reference src/txome.rs:54-69;
+``Mem``, reference src/index.rs:383-388) without copying any code: they
+are plain Python dataclasses designed for cheap interchange with the
+batched TPU pipeline (which carries the same fields as arrays).
+
+Alignment operations are represented per-cell exactly like the
+reference: 'M' (match), 'S' (substitution), 'I' (insertion: consumes
+query), 'D' (deletion: consumes ref) are single-cell ops, while clips
+carry a length: ``('SC', n)`` soft-clips n query bases (reference
+Xclip) and ``('N', n)`` skips n reference bases, repurposed for introns
+(reference Yclip, src/txome.rs:138).  Keeping per-cell ops matters for
+byte-exact PAF output: the reference counts op *elements* when
+computing the PAF alignment-length column (src/aln_writer.rs:64-72).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple, Union
+
+OP_MATCH = "M"
+OP_SUBST = "S"
+OP_INS = "I"
+OP_DEL = "D"
+
+# Clip ops are (kind, length) tuples.
+XCLIP = "SC"  # query soft clip
+YCLIP = "N"  # reference skip (introns)
+
+Op = Union[str, Tuple[str, int]]
+
+
+def xclip(n: int) -> Tuple[str, int]:
+    return (XCLIP, n)
+
+
+def yclip(n: int) -> Tuple[str, int]:
+    return (YCLIP, n)
+
+
+@dataclass
+class Alignment:
+    """A pairwise alignment of query x against reference y.
+
+    Coordinate semantics identical to rust-bio's ``Alignment``:
+    half-open [start, end) ranges; ops describe the path from
+    (xstart, ystart) to (xend, yend), with clips covering the rest.
+    """
+
+    score: int
+    ystart: int
+    xstart: int
+    yend: int
+    xend: int
+    ylen: int
+    xlen: int
+    operations: List[Op] = field(default_factory=list)
+
+    def copy(self) -> "Alignment":
+        return Alignment(
+            score=self.score,
+            ystart=self.ystart,
+            xstart=self.xstart,
+            yend=self.yend,
+            xend=self.xend,
+            ylen=self.ylen,
+            xlen=self.xlen,
+            operations=list(self.operations),
+        )
+
+
+@dataclass
+class Mem:
+    """A maximal exact match seed (reference src/index.rs:383-388)."""
+
+    ref_idx: int
+    query_idx: int
+    len: int
+
+
+# Alignment classification (reference src/txome.rs:64-69).
+EXONIC = "exonic"
+INTRONIC = "intronic"
+INTERGENIC = "intergenic"
+
+
+@dataclass
+class GenomeAlignment:
+    """An alignment placed on a chromosome (reference src/txome.rs:54-61)."""
+
+    gx_aln: Alignment
+    aln_type: str  # EXONIC | INTRONIC | INTERGENIC
+    ref_name: str
+    strand: bool  # True = forward
+    primary: bool = False
+    # Exonic-only payload (reference AlnType::Exonic fields).
+    tx_aln: Optional[Alignment] = None
+    tx_idx: Optional[int] = None
+    # Intronic-only payload.
+    gene_idx: Optional[int] = None

@@ -1,0 +1,280 @@
+"""Reference index: concatenated genome + transcriptome + artifact IO.
+
+Layout parity with the reference (src/index.rs:52-223): every
+chromosome is appended **forward then reverse-complement**, each copy
+'$'-terminated, so reverse-strand alignments are plain forward matches
+against the revcomp copy and all coordinate math carries over.
+
+TPU-first differences from the reference:
+* No suffix array / BWT / FM-index.  Seeding uses k-mer gather tables
+  (see ``thermite_tpu.seed``) resident in HBM on device — the
+  structure the BASELINE north star prescribes.
+* Interval trees become flat sorted arrays (``IntervalTable``).
+* The artifact (.tai) is a numpy .npz bundle: packed text, ref table,
+  transcriptome arrays — directly memory-mappable and device-uploadable.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..constants import SENTINEL
+from ..io.fastx import parse_fastx, revcomp
+from ..io.gtf import parse_gtf
+from .txome import Exon, Gene, IntervalTable, Tx, Txome
+
+
+@dataclass
+class Ref:
+    """One strand copy of one chromosome (reference src/index.rs:391-399)."""
+
+    name: str
+    strand: bool  # True = the forward copy
+    len: int
+    start_idx: int  # start in the concatenated text
+    end_idx: int  # end in the concatenated text, including '$'
+
+
+class Index:
+    """Concatenated-genome index with transcriptome annotations."""
+
+    def __init__(self, refs: List[Ref], seq: bytes, txome: Txome):
+        self.refs = refs
+        self.seq = seq
+        self.txome = txome
+        self._ref_ends = np.array([r.end_idx for r in refs], dtype=np.int64)
+        # numpy uint8 view of the text for vectorized seeding/slicing
+        self.seq_arr = np.frombuffer(seq, dtype=np.uint8)
+
+    # -- construction -------------------------------------------------
+
+    @classmethod
+    def create_from_files(cls, ref_path: str, annot_path: Optional[str]) -> "Index":
+        refs: List[Ref] = []
+        chunks: List[bytes] = []
+        pos = 0
+        name_to_ref: Dict[Tuple[str, bool], int] = {}
+        chrom_seqs: Dict[str, bytes] = {}
+
+        for rec in parse_fastx(ref_path):
+            name = rec.id.split(b" ")[0].decode()
+            fwd = rec.seq.upper()
+            chrom_seqs[name] = fwd
+            start = pos
+            chunks.append(fwd)
+            chunks.append(b"$")
+            pos += len(fwd) + 1
+            name_to_ref[(name, True)] = len(refs)
+            refs.append(Ref(name, True, len(fwd), start, pos))
+
+            rc = revcomp(rec.seq).upper()
+            start = pos
+            chunks.append(rc)
+            chunks.append(b"$")
+            pos += len(rc) + 1
+            name_to_ref[(name, False)] = len(refs)
+            refs.append(Ref(name, False, len(fwd), start, pos))
+
+        seq = b"".join(chunks)
+
+        genes: List[Gene] = []
+        txs: List[Tx] = []
+        gene_spans: List[Tuple[int, int]] = []
+        exon_starts: List[int] = []
+        exon_ends: List[int] = []
+        exon_tx: List[int] = []
+
+        if annot_path is not None:
+            gtf_genes, gtf_txs = parse_gtf(annot_path)
+            genes = [Gene(g.id, g.name) for g in gtf_genes]
+            gene_spans = [(len(seq), 0)] * len(genes)
+
+            for gtf_tx in gtf_txs:
+                strand = gtf_tx.strand
+                tx_ref = refs[name_to_ref[(gtf_tx.chrom, strand)]]
+                tx_seq = gtf_tx.spliced_seq(chrom_seqs[gtf_tx.chrom])
+
+                # Map the transcript span into concatenated coordinates of
+                # the strand-matching chromosome copy
+                # (reference src/index.rs:149-162).  For '-' features the
+                # coordinates flip across the revcomp copy.
+                if strand:
+                    tx_start = gtf_tx.start + tx_ref.start_idx
+                    tx_end = gtf_tx.end + tx_ref.start_idx
+                else:
+                    tx_start = tx_ref.end_idx - 1 - gtf_tx.end
+                    tx_end = tx_ref.end_idx - 1 - gtf_tx.start
+                g = gtf_tx.gene_idx
+                gene_spans[g] = (
+                    min(gene_spans[g][0], tx_start),
+                    max(gene_spans[g][1], tx_end),
+                )
+
+                exons = []
+                for (e_start, e_end) in gtf_tx.exons:
+                    if strand:
+                        es = e_start + tx_ref.start_idx
+                        ee = e_end + tx_ref.start_idx
+                    else:
+                        es = tx_ref.end_idx - 1 - e_end
+                        ee = tx_ref.end_idx - 1 - e_start
+                    exon_starts.append(es)
+                    exon_ends.append(ee)
+                    exon_tx.append(len(txs))
+                    exons.append(Exon(es, ee, len(txs)))
+                if not strand:
+                    # exon order must follow the (revcomp'd) tx sequence
+                    exons.reverse()
+
+                txs.append(
+                    Tx(
+                        id=gtf_tx.id,
+                        chrom=gtf_tx.chrom,
+                        strand=strand,
+                        exons=exons,
+                        seq=tx_seq,
+                        gene_idx=g,
+                    )
+                )
+
+        txome = Txome(
+            genes=genes,
+            txs=txs,
+            exon_to_tx=IntervalTable(exon_starts, exon_ends, exon_tx),
+            gene_intervals=IntervalTable(
+                [s for s, _ in gene_spans],
+                [e for _, e in gene_spans],
+                list(range(len(genes))),
+            ),
+        )
+        return cls(refs, seq, txome)
+
+    # -- coordinate mapping (reference src/index.rs:287-323) ----------
+
+    def idx_to_ref(self, idx: int) -> Tuple[Ref, int]:
+        """Concatenated coordinate → (chromosome copy, local coordinate)."""
+        ref_idx = int(np.searchsorted(self._ref_ends, idx, side="right"))
+        r = self.refs[ref_idx]
+        return r, idx - r.start_idx
+
+    def seq_slice(self, start: int, end: int) -> bytes:
+        """Text slice [start, end) — all copies are materialised, so this
+        is a direct slice (the reference recomputes revcomp copies on
+        the fly because it stores only forward sequences,
+        src/index.rs:304-323; we trade memory for gather-friendliness)."""
+        return self.seq[start:end]
+
+    # -- stats (parity with reference src/index.rs:326-361) -----------
+
+    def stats(self) -> Dict[str, int]:
+        return {
+            "num_chromosomes": len(self.refs),
+            "text_len": len(self.seq),
+            "num_genes": len(self.txome.genes),
+            "num_transcripts": len(self.txome.txs),
+        }
+
+    def print_stats(self) -> None:
+        s = self.stats()
+        print(f"Number of chromosomes\t{s['num_chromosomes']}")
+        print(f"Length of concatenated text\t{s['text_len']}")
+        print(f"Number of genes\t{s['num_genes']}")
+        print(f"Number of transcripts\t{s['num_transcripts']}")
+
+    # -- artifact IO (.tai equivalent) ---------------------------------
+
+    def save(self, path: str) -> None:
+        meta = {
+            "version": 1,
+            "refs": [
+                {
+                    "name": r.name,
+                    "strand": r.strand,
+                    "len": r.len,
+                    "start_idx": r.start_idx,
+                    "end_idx": r.end_idx,
+                }
+                for r in self.refs
+            ],
+            "genes": [{"id": g.id, "name": g.name} for g in self.txome.genes],
+            "txs": [
+                {
+                    "id": t.id,
+                    "chrom": t.chrom,
+                    "strand": t.strand,
+                    "gene_idx": t.gene_idx,
+                    "n_exons": len(t.exons),
+                }
+                for t in self.txome.txs
+            ],
+        }
+        tx_exon_flat = np.array(
+            [(e.start, e.end) for t in self.txome.txs for e in t.exons],
+            dtype=np.int64,
+        ).reshape(-1, 2)
+        tx_seq_blob = b"".join(t.seq for t in self.txome.txs)
+        tx_seq_lens = np.array([len(t.seq) for t in self.txome.txs], dtype=np.int64)
+        ett = self.txome.exon_to_tx
+        gi = self.txome.gene_intervals
+        np.savez_compressed(
+            path,
+            meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+            text=self.seq_arr,
+            tx_exons=tx_exon_flat,
+            tx_seq_blob=np.frombuffer(tx_seq_blob, dtype=np.uint8),
+            tx_seq_lens=tx_seq_lens,
+            exon_to_tx=np.stack([ett.starts, ett.ends, ett.data]) if len(ett) else np.zeros((3, 0), np.int64),
+            gene_intervals=np.stack([gi.starts, gi.ends, gi.data]) if len(gi) else np.zeros((3, 0), np.int64),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "Index":
+        z = np.load(path, allow_pickle=False)
+        meta = json.loads(bytes(z["meta"]).decode())
+        if meta.get("version") != 1:
+            raise ValueError(f"unsupported index version: {meta.get('version')}")
+        refs = [
+            Ref(m["name"], m["strand"], m["len"], m["start_idx"], m["end_idx"])
+            for m in meta["refs"]
+        ]
+        seq = z["text"].tobytes()
+        genes = [Gene(m["id"], m["name"]) for m in meta["genes"]]
+
+        tx_exons = z["tx_exons"]
+        tx_seq_blob = z["tx_seq_blob"].tobytes()
+        tx_seq_lens = z["tx_seq_lens"]
+        txs: List[Tx] = []
+        eoff = 0
+        soff = 0
+        for tx_i, m in enumerate(meta["txs"]):
+            n = m["n_exons"]
+            exons = [
+                Exon(int(a), int(b), tx_i) for a, b in tx_exons[eoff : eoff + n]
+            ]
+            eoff += n
+            slen = int(tx_seq_lens[tx_i])
+            txs.append(
+                Tx(
+                    id=m["id"],
+                    chrom=m["chrom"],
+                    strand=m["strand"],
+                    exons=exons,
+                    seq=tx_seq_blob[soff : soff + slen],
+                    gene_idx=m["gene_idx"],
+                )
+            )
+            soff += slen
+
+        ett = z["exon_to_tx"]
+        gi = z["gene_intervals"]
+        txome = Txome(
+            genes=genes,
+            txs=txs,
+            exon_to_tx=IntervalTable(ett[0], ett[1], ett[2]),
+            gene_intervals=IntervalTable(gi[0], gi[1], gi[2]),
+        )
+        return cls(refs, seq, txome)
