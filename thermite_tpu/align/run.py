@@ -1,0 +1,99 @@
+"""File-level alignment entry point: FASTQ(s) in, PAF/SAM/BAM out.
+
+Mirrors reference src/aligner.rs:22-120.  The ``engine`` argument
+selects the oracle (sequential, exact reference semantics) or the
+batched TPU pipeline (``thermite_tpu.align.batch``).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Iterable, List, Optional
+
+from ..index.build import Index
+from ..io.bam import BamWriter
+from ..io.fastx import parse_fastx
+from ..io.paf import paf_line
+from ..io.sam import SamWriter, aln_to_sam_record, unmapped_sam_record
+from .driver import AlignOpts, OracleAligner
+
+FORMAT_PAF = "paf"
+FORMAT_SAM = "sam"
+FORMAT_BAM = "bam"
+
+
+def align_reads_from_file(
+    index: Index,
+    query_paths: Iterable[str],
+    output_path: str,
+    output_fmt: str,
+    opts: AlignOpts,
+    engine: str = "oracle",
+    batch_size: int = 512,
+) -> None:
+    binary = output_fmt == FORMAT_BAM
+    if output_path == "-":
+        fh = sys.stdout.buffer if binary else sys.stdout
+        close = False
+    else:
+        fh = open(output_path, "wb" if binary else "w")
+        close = True
+
+    try:
+        if output_fmt == FORMAT_SAM:
+            writer = SamWriter(fh, index)
+        elif output_fmt == FORMAT_BAM:
+            writer = BamWriter(fh, index)
+        else:
+            writer = None
+
+        if engine == "oracle":
+            aligner = OracleAligner(index, opts)
+
+            def aligned_records():
+                for path in query_paths:
+                    for rec in parse_fastx(path):
+                        yield rec, aligner.align_read(rec.seq)
+
+            results = aligned_records()
+        elif engine == "batch":
+            from .batch import BatchAligner
+
+            batcher = BatchAligner(index, opts)
+
+            def batched_records():
+                for path in query_paths:
+                    buf = []
+                    for rec in parse_fastx(path):
+                        buf.append(rec)
+                        if len(buf) >= batch_size:
+                            yield from zip(buf, batcher.align_batch([r.seq for r in buf]))
+                            buf = []
+                    if buf:
+                        yield from zip(buf, batcher.align_batch([r.seq for r in buf]))
+
+            results = batched_records()
+        else:
+            raise ValueError(f"unknown engine {engine!r}")
+
+        for rec, alns in results:
+            qual = rec.qual if rec.qual is not None else b""
+            if not alns:
+                if output_fmt in (FORMAT_SAM, FORMAT_BAM):
+                    writer.write(unmapped_sam_record(rec.id, rec.seq, qual))
+                continue
+            for i, aln in enumerate(alns):
+                if output_fmt in (FORMAT_SAM, FORMAT_BAM):
+                    writer.write(
+                        aln_to_sam_record(
+                            index, rec.id, rec.seq, qual, aln, len(alns), i + 1
+                        )
+                    )
+                else:
+                    fh.write(paf_line(rec.id, rec.seq, aln, len(alns)) + "\n")
+
+        if writer is not None:
+            writer.finish()
+    finally:
+        if close:
+            fh.close()

@@ -1,0 +1,101 @@
+"""thermite-tpu command line: `index` and `align` subcommands.
+
+Flag surface and defaults match the reference CLI
+(reference src/main.rs:87-153), with TPU-specific additions:
+``--engine {oracle,batch}`` picks the sequential CPU oracle or the
+batched TPU pipeline, and ``--batch-size`` sizes device batches.
+Output format selection matches src/main.rs:51-61: PAF by default,
+``-a`` switches to SAM, or BAM when the output path ends in ``.bam``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .align.driver import AlignOpts
+from .align.run import FORMAT_BAM, FORMAT_PAF, FORMAT_SAM, align_reads_from_file
+from .constants import (
+    DEFAULT_MIN_ALN_SCORE,
+    DEFAULT_MIN_ALN_SCORE_PERCENT,
+    DEFAULT_MIN_SEED_LEN,
+    DEFAULT_MULTIMAP_SCORE_RANGE,
+)
+from .index.build import Index
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="thermite", description="TPU-native spliced RNA aligner")
+    p.add_argument("-v", "--verbose", action="store_true")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("index", help="Index a reference")
+    pi.add_argument("reference", help="reference FASTA")
+    pi.add_argument("annotations", help="GTF annotations")
+    pi.add_argument("-o", "--output", default="-", dest="index")
+
+    pa = sub.add_parser("align", help="Align reads to an indexed reference")
+    pa.add_argument("index")
+    pa.add_argument("queries", nargs="+")
+    pa.add_argument("-o", "--output", default="-")
+    pa.add_argument("-k", "--min-seed-len", type=int, default=DEFAULT_MIN_SEED_LEN)
+    pa.add_argument(
+        "-s",
+        "--min-aln-score-percent",
+        type=float,
+        default=DEFAULT_MIN_ALN_SCORE_PERCENT,
+    )
+    pa.add_argument("--min-aln-score", type=int, default=DEFAULT_MIN_ALN_SCORE)
+    pa.add_argument(
+        "--multimap-score-range", type=int, default=DEFAULT_MULTIMAP_SCORE_RANGE
+    )
+    pa.add_argument("-a", dest="bam", action="store_true", help="SAM/BAM output")
+    pa.add_argument("--intron-mode", action="store_true")
+    pa.add_argument("--engine", choices=["oracle", "batch"], default="batch")
+    pa.add_argument("--batch-size", type=int, default=512)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "index":
+        index = Index.create_from_files(args.reference, args.annotations)
+        if args.verbose:
+            index.print_stats()
+        out = args.index
+        if out == "-":
+            raise SystemExit("index output to stdout not supported; pass -o FILE")
+        if not out.endswith(".npz"):
+            out += ".npz"
+        index.save(out)
+        return 0
+
+    assert 0.0 <= args.min_aln_score_percent <= 1.0, (
+        "Min alignment score percent must be between 0.0 and 1.0!"
+    )
+    if args.bam:
+        fmt = FORMAT_BAM if args.output.endswith(".bam") else FORMAT_SAM
+    else:
+        fmt = FORMAT_PAF
+
+    idx_path = args.index if args.index.endswith(".npz") else args.index + ".npz"
+    index = Index.load(idx_path)
+    opts = AlignOpts(
+        min_seed_len=args.min_seed_len,
+        min_aln_score_percent=args.min_aln_score_percent,
+        min_aln_score=args.min_aln_score,
+        multimap_score_range=args.multimap_score_range,
+        intron_mode=args.intron_mode,
+    )
+    align_reads_from_file(
+        index,
+        args.queries,
+        args.output,
+        fmt,
+        opts,
+        engine=args.engine,
+        batch_size=args.batch_size,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
