@@ -16,11 +16,12 @@ Notable behaviours replicated faithfully:
   (src/swg.rs:226-240).
 * The global max updates only on strictly-greater scores, so the
   earliest (column, then row) max cell wins ties (src/swg.rs:101-104).
-* An X-drop break in phase 1 exits only that loop: phase 2 still runs
-  starting at column b+1 with the band state of the break column
-  (src/swg.rs:110-113 — `break` leaves the second loop reachable).
-  Trace rows for the skipped columns keep their default 'M' fill, as
-  the reference leaves resize-defaulted entries (src/swg.rs:210-217).
+* An X-drop break in phase 1 terminates the whole extension.  (The
+  reference's `break` only exits the phase-1 loop and would resume
+  phase 2 from stale state, src/swg.rs:110-113 — but any phase-2 trace
+  write after that indexes out of bounds because the trace vec grows
+  one row per column, src/swg.rs:210-216; the resume path is de-facto
+  unreachable/UB, so we define the clean global-stop semantic.)
 * The query suffix past the max cell is soft-clipped (src/swg.rs:179).
 """
 
@@ -121,10 +122,25 @@ class SwgExtend:
                 band_max = max(band_max, D[i])
 
             if band_max < max_score - x_drop:
-                break
+                # The reference `break` here only exits the phase-1 loop
+                # and lets phase 2 run from stale state
+                # (src/swg.rs:110-113) — but any phase-2 trace write then
+                # indexes out of bounds in the reference (its trace vec
+                # grows one row per column, src/swg.rs:210-216), i.e. the
+                # resume path is de-facto unreachable/UB.  We define the
+                # clean semantic: X-drop terminates the whole extension.
+                return Alignment(
+                    score=max_score,
+                    ystart=0,
+                    xstart=0,
+                    yend=max_j,
+                    xend=max_i,
+                    ylen=len(y),
+                    xlen=len(x),
+                    operations=self._traceback(max_i, max_j, len(x), band_width),
+                )
 
-        # phase 2: band slides down one row per column.  Runs even if
-        # phase 1 broke early (same control flow as the reference).
+        # phase 2: band slides down one row per column
         for j in range(band_width + 1, len(y) + 1):
             band_max = MIN_SCORE
             for i in range(j - band_width, min(j - band_width + w, len(x) + 1)):
@@ -174,7 +190,12 @@ class SwgExtend:
         if i < xlen:
             ops.append(xclip(xlen - i))
         while i > 0 or j > 0:
-            bi = i - max(0, j - band_width)
+            # Clamp to the band: only reachable in the reference's
+            # de-facto-unreachable phase-1-break regime, where the Rust
+            # code would index out of bounds (src/swg.rs:183-186 after a
+            # src/swg.rs:110 break).  Clamping defines those walks
+            # consistently across the oracle and the batched kernel.
+            bi = min(max(i - max(0, j - band_width), 0), 2 * band_width)
             op = self._get_trace(j, bi)
             ops.append(op)
             if op == OP_MATCH or op == OP_SUBST:
