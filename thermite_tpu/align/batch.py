@@ -1,0 +1,473 @@
+"""Batched TPU alignment pipeline.
+
+Same observable semantics as the oracle driver
+(``thermite_tpu.align.driver``, reference src/aligner.rs:123-314) but
+restructured for TPU execution:
+
+1. **Seed** all reads on host (SMEM engine; k-mer gather tables).
+2. **Score** every extension problem of every read in ONE device batch
+   (Pallas forward kernel; 12 B/problem comes back).
+3. **Arbitrate** on host using scores + spans only (span-only lifting,
+   filter thresholds, genome-vs-transcriptome choice, overlap filter,
+   primary selection — all rules identical to the oracle).
+4. **Traceback** only the winner problems (≈ NH per read) in a second
+   device batch (Pallas forward+walk kernel; ~128 B/problem back),
+   stitch ops, lift, and emit final GenomeAlignments.
+
+Why batching at a fixed band is exact (vs the reference's sequential
+band narrowing, src/aligner.rs:162-172): narrowing only prunes — an
+alignment retained by the final filter (score >= final_max - range)
+always fits inside the narrowed band/x-drop budget, and alignments it
+would have pruned early (score < running_max - range) are removed by
+the same final filter anyway.  The per-read parity tests in
+tests/test_batch_parity.py verify this equivalence empirically.
+
+Backends: "pallas" (TPU; single-launch kernels) or "xla"
+(lax.scan batched kernel + host traceback; used on CPU in tests).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..constants import MATCH_SCORE
+from ..index.build import Index
+from ..index.span_lift import lift_tx_span_to_gx
+from ..index.txome import lift_mem_to_tx, lift_tx_to_gx
+from ..seed.smem import SmemEngine
+from .driver import AlignOpts, concat_to_chr_aln, filter_overlapping
+from .extend import extend_seed_match, stitch
+from .types import (
+    Alignment,
+    EXONIC,
+    GenomeAlignment,
+    INTERGENIC,
+    INTRONIC,
+    Mem,
+    xclip,
+)
+
+
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+@dataclass
+class _Problem:
+    x: bytes
+    y: bytes
+
+
+@dataclass
+class _Task:
+    read_i: int
+    kind: str  # 'gx' | 'tx'
+    hit: Mem  # window-relative (gx) or tx-relative (tx)
+    left_pid: int
+    right_pid: int
+    ref_len: int  # window length (gx) or len(tx.seq)
+    seq_start: int = 0  # gx: window start in concatenated coords
+    abs_hit: Optional[Mem] = None  # gx: absolute hit (for classification)
+    tx_idx: int = -1
+    # filled after scoring:
+    score: int = 0
+    span: Tuple[int, int, int, int] = (0, 0, 0, 0)  # ystart, yend, xstart, xend
+
+
+class BatchAligner:
+    def __init__(self, index: Index, opts: AlignOpts, backend: Optional[str] = None):
+        self.index = index
+        self.opts = opts
+        self.seeder = SmemEngine(index.seq_arr, opts.min_seed_len)
+        if backend is None:
+            backend = "xla" if jax.default_backend() == "cpu" else "pallas"
+        self.backend = backend
+
+    # ------------------------------------------------------------------
+    def align_batch(self, reads: List[bytes]) -> List[List[GenomeAlignment]]:
+        opts = self.opts
+        index = self.index
+        reads = [r.upper() for r in reads]
+
+        problems: List[_Problem] = []
+        tasks: List[_Task] = []
+        read_params: List[Tuple[int, int, int]] = []  # min_score, band, x_drop
+
+        def add_problem(x: bytes, y: bytes) -> int:
+            problems.append(_Problem(x, y))
+            return len(problems) - 1
+
+        per_read_tasks: List[List[_Task]] = []
+
+        for ri, read in enumerate(reads):
+            min_aln_score = max(
+                int(opts.min_aln_score_percent * float(len(read))), opts.min_aln_score
+            )
+            band = max(len(read) - min_aln_score, 0)
+            x_drop = band
+            read_params.append((min_aln_score, band, x_drop))
+            rtasks: List[_Task] = []
+            mems = self.seeder.all_smems(read)
+            for hit in mems:
+                aln_ref, _ = index.idx_to_ref(hit.ref_idx)
+
+                # genome window (reference src/aligner.rs:209-227)
+                seq_start = max(hit.ref_idx - (len(read) + band), aln_ref.start_idx)
+                seq_end = min(
+                    hit.ref_idx + hit.len + len(read) + band, aln_ref.end_idx - 1
+                )
+                ref_seq = index.seq_slice(seq_start, seq_end)
+                rel = Mem(hit.ref_idx - seq_start, hit.query_idx, hit.len)
+                lp, rp = self._extend_problems(ref_seq, rel, read, band, add_problem)
+                rtasks.append(
+                    _Task(
+                        read_i=ri,
+                        kind="gx",
+                        hit=rel,
+                        left_pid=lp,
+                        right_pid=rp,
+                        ref_len=len(ref_seq),
+                        seq_start=seq_start,
+                        abs_hit=hit,
+                    )
+                )
+
+                # transcriptome candidates (src/aligner.rs:230-258)
+                tx_idxs = sorted(
+                    set(
+                        index.txome.exon_to_tx.find(
+                            hit.ref_idx, hit.ref_idx + hit.len
+                        ).tolist()
+                    )
+                )
+                for tx_idx in tx_idxs:
+                    tx = index.txome.txs[tx_idx]
+                    tx_seed = lift_mem_to_tx(hit, tx)
+                    tx_seed = extend_seed_match(tx.seq, tx_seed, read)
+                    lp, rp = self._extend_problems(
+                        tx.seq, tx_seed, read, band, add_problem
+                    )
+                    rtasks.append(
+                        _Task(
+                            read_i=ri,
+                            kind="tx",
+                            hit=tx_seed,
+                            left_pid=lp,
+                            right_pid=rp,
+                            ref_len=len(tx.seq),
+                            abs_hit=hit,
+                            tx_idx=tx_idx,
+                        )
+                    )
+            per_read_tasks.append(rtasks)
+            tasks.extend(rtasks)
+
+        # ---- device pass 1: scores ----
+        scores, max_i, max_j = self._forward(problems, reads, read_params, tasks)
+
+        for task in tasks:
+            sL, sR = scores[task.left_pid], scores[task.right_pid]
+            task.score = int(sL) + MATCH_SCORE * task.hit.len + int(sR)
+            l_ye, r_ye = int(max_j[task.left_pid]), int(max_j[task.right_pid])
+            l_xe, r_xe = int(max_i[task.left_pid]), int(max_i[task.right_pid])
+            ystart = task.hit.ref_idx - l_ye
+            yend = task.hit.ref_idx + task.hit.len + r_ye
+            xstart = task.hit.query_idx - l_xe
+            xend = task.hit.query_idx + task.hit.len + r_xe
+            task.span = (ystart, yend, xstart, xend)
+
+        # ---- host arbitration per read ----
+        results: List[List[GenomeAlignment]] = []
+        winner_pids: Dict[int, None] = {}
+        selected: List[List[Tuple[GenomeAlignment, _Task]]] = []
+
+        for ri, read in enumerate(reads):
+            min_aln_score, band, x_drop = read_params[ri]
+            rtasks = per_read_tasks[ri]
+            gx_alns: List[Tuple[GenomeAlignment, _Task]] = []
+
+            # group tasks per seed: gx task followed by its tx tasks
+            i = 0
+            while i < len(rtasks):
+                gx_task = rtasks[i]
+                assert gx_task.kind == "gx"
+                i += 1
+                tx_tasks = []
+                while i < len(rtasks) and rtasks[i].kind == "tx" and rtasks[i].abs_hit == gx_task.abs_hit:
+                    tx_tasks.append(rtasks[i])
+                    i += 1
+
+                chosen = self._arbitrate_seed(read, gx_task, tx_tasks)
+                ga, task = chosen
+                if not opts.intron_mode and ga.aln_type != EXONIC:
+                    continue
+                if ga.gx_aln.score < opts.min_aln_score or ga.gx_aln.score < min_aln_score:
+                    continue
+                gx_alns.append(chosen)
+
+            if gx_alns:
+                max_score = max(max(g.gx_aln.score for g, _ in gx_alns), min_aln_score)
+            else:
+                max_score = min_aln_score
+            gx_alns = [
+                (g, t)
+                for g, t in gx_alns
+                if g.gx_aln.score >= max_score - opts.multimap_score_range
+            ]
+
+            # overlap filter + primary selection on span-only objects
+            pair_of = {id(g): t for g, t in gx_alns}
+            filtered = filter_overlapping([g for g, _ in gx_alns])
+            filtered.sort(key=lambda a: -a.gx_aln.score)
+            if filtered:
+                filtered[0].primary = True
+            sel = [(g, pair_of[id(g)]) for g in filtered]
+            selected.append(sel)
+            for _, t in sel:
+                winner_pids[t.left_pid] = None
+                winner_pids[t.right_pid] = None
+
+        # ---- device pass 2: tracebacks for winners ----
+        pid_list = list(winner_pids.keys())
+        ops_by_pid = self._traceback(problems, pid_list, reads, read_params, tasks)
+
+        for ri, read in enumerate(reads):
+            out: List[GenomeAlignment] = []
+            for ga, task in selected[ri]:
+                out.append(self._finalize(read, ga, task, ops_by_pid))
+            results.append(out)
+        return results
+
+    # ------------------------------------------------------------------
+    def _extend_problems(self, ref_seq, hit, read, band, add_problem):
+        """Right and (reversed) left extension problems for a seed
+        (reference src/aligner.rs:352-375).
+
+        y is clamped to xlen + band + 1: the band slides one row per
+        column, so no cell exists beyond column xlen + band — the
+        oracle X-drop-breaks on the first empty column (transcript
+        suffixes can be kilobases; this keeps device columns bounded
+        without changing any output)."""
+        xr = read[hit.query_idx + hit.len :]
+        yr = ref_seq[hit.ref_idx + hit.len :][: len(xr) + band + 1]
+        rp = add_problem(xr, yr)
+        xl = read[: hit.query_idx][::-1]
+        y_lo = max(hit.ref_idx - (len(read) + band), 0)
+        yl = ref_seq[y_lo : hit.ref_idx][::-1][: len(xl) + band + 1]
+        lp = add_problem(xl, yl)
+        return lp, rp
+
+    def _arbitrate_seed(self, read, gx_task, tx_tasks):
+        """Genome-vs-transcriptome choice for one seed
+        (reference src/aligner.rs:263-313), spans only."""
+        index = self.index
+        aln_ref, _ = index.idx_to_ref(gx_task.abs_hit.ref_idx)
+        ref_name, strand = aln_ref.name, aln_ref.strand
+
+        best_tx = None
+        for t in tx_tasks:
+            if best_tx is None or t.score > best_tx.score:
+                best_tx = t
+            if t.score >= len(read) * MATCH_SCORE:
+                break
+
+        if best_tx is not None and best_tx.score >= gx_task.score:
+            tx = index.txome.txs[best_tx.tx_idx]
+            ys, ye, xs, xe = best_tx.span
+            # trailing soft clip exists iff the query isn't fully consumed
+            gys, gye = lift_tx_span_to_gx(ys, ye, tx, trailing_nonref=xe < len(read))
+            chr_aln = _span_to_chr(index, gys, gye, xs, xe, best_tx.score, len(read))
+            return (
+                GenomeAlignment(
+                    gx_aln=chr_aln,
+                    aln_type=EXONIC,
+                    ref_name=ref_name,
+                    strand=strand,
+                    tx_idx=best_tx.tx_idx,
+                ),
+                best_tx,
+            )
+
+        ys, ye, xs, xe = gx_task.span
+        gys = gx_task.seq_start + ys
+        gye = gx_task.seq_start + ye
+        gene_idxs = index.txome.gene_intervals.find(gys, gye)
+        chr_aln = _span_to_chr(index, gys, gye, xs, xe, gx_task.score, len(read))
+        if len(gene_idxs) == 0:
+            return (
+                GenomeAlignment(
+                    gx_aln=chr_aln, aln_type=INTERGENIC, ref_name=ref_name, strand=strand
+                ),
+                gx_task,
+            )
+        return (
+            GenomeAlignment(
+                gx_aln=chr_aln,
+                aln_type=INTRONIC,
+                ref_name=ref_name,
+                strand=strand,
+                gene_idx=int(gene_idxs[0]),
+            ),
+            gx_task,
+        )
+
+    def _finalize(self, read, ga, task, ops_by_pid):
+        """Attach real ops to a winner (second pass decoded runs)."""
+        index = self.index
+        left = ops_by_pid[task.left_pid]
+        right = ops_by_pid[task.right_pid]
+        stitched = stitch(left, right, task.hit, task.ref_len, len(read))
+
+        if ga.aln_type == EXONIC:
+            tx = index.txome.txs[task.tx_idx]
+            lifted = lift_tx_to_gx(stitched, tx)
+            chr_aln = concat_to_chr_aln(index, lifted)
+            ga.tx_aln = stitched
+        else:
+            stitched.ystart += task.seq_start
+            stitched.yend += task.seq_start
+            chr_aln = concat_to_chr_aln(index, stitched)
+
+        assert (chr_aln.ystart, chr_aln.yend, chr_aln.score) == (
+            ga.gx_aln.ystart,
+            ga.gx_aln.yend,
+            ga.gx_aln.score,
+        ), "span-only arbitration disagrees with full traceback"
+        ga.gx_aln = chr_aln
+        return ga
+
+    # ------------------------------------------------------------------
+    def _pack(self, problems, pids, reads_unused, read_params, tasks):
+        """Pack problems (by pid list) into padded device arrays."""
+        from ..ops.swg_pallas import xwidth
+
+        # per-problem band/x_drop: problems inherit their read's params;
+        # build pid -> (band, xdrop) map from tasks
+        pb = {}
+        for t in tasks:
+            _, band, xd = read_params[t.read_i]
+            pb[t.left_pid] = (band, xd)
+            pb[t.right_pid] = (band, xd)
+
+        xmax = max((len(problems[p].x) for p in pids), default=1)
+        ymax = max((len(problems[p].y) for p in pids), default=1)
+        bmax = max((pb[p][0] for p in pids), default=1)
+        XMAX = max(_round_up(xmax, 32), 32)
+        YMAX = max(_round_up(ymax, 32), 32)
+        W = max(_round_up(2 * bmax + 1, 128), 128)
+        XW = xwidth(XMAX, W)
+
+        N = len(pids)
+        x = np.zeros((N, XW), np.uint8)
+        y = np.zeros((N, YMAX), np.uint8)
+        params = np.zeros((N, 4), np.int32)
+        for k, p in enumerate(pids):
+            pr = problems[p]
+            x[k, 1 : len(pr.x) + 1] = np.frombuffer(pr.x, np.uint8)
+            y[k, : len(pr.y)] = np.frombuffer(pr.y, np.uint8)
+            band, xd = pb[p]
+            params[k] = (len(pr.x), len(pr.y), band, xd)
+        return x, y, params, XMAX, YMAX, W
+
+    def _forward(self, problems, reads, read_params, tasks):
+        pids = list(range(len(problems)))
+        x, y, params, XMAX, YMAX, W = self._pack(problems, pids, reads, read_params, tasks)
+        if self.backend == "pallas":
+            from ..ops.swg_pallas import get_forward_kernel
+
+            BBLK = 256
+            N = _round_up(max(len(pids), 1), BBLK)
+            xp = np.zeros((N, x.shape[1]), np.uint8)
+            yp = np.zeros((N, y.shape[1]), np.uint8)
+            pp = np.zeros((N, 4), np.int32)
+            xp[: len(pids)], yp[: len(pids)], pp[: len(pids)] = x, y, params
+            kern = get_forward_kernel(BBLK, XMAX, YMAX, W)
+            meta = np.asarray(kern(xp, yp, pp))[: len(pids)]
+            return meta[:, 0], meta[:, 1], meta[:, 2]
+
+        from ..ops.swg_batch import get_swg_kernel
+
+        kern = get_swg_kernel(W)
+        score, mi, mj, _dirs = kern(
+            x[:, 1 : XMAX + 1], params[:, 0], y, params[:, 1], params[:, 2], params[:, 3]
+        )
+        return np.asarray(score), np.asarray(mi), np.asarray(mj)
+
+    def _traceback(self, problems, pid_list, reads, read_params, tasks):
+        from .types import Alignment as Aln
+
+        ops_by_pid: Dict[int, Alignment] = {}
+        if not pid_list:
+            return ops_by_pid
+        x, y, params, XMAX, YMAX, W = self._pack(
+            problems, pid_list, reads, read_params, tasks
+        )
+
+        if self.backend == "pallas":
+            from ..ops.runs import decode_runs_one
+            from ..ops.swg_pallas import get_traceback_kernel
+
+            BBLK = 64
+            N = _round_up(len(pid_list), BBLK)
+            xp = np.zeros((N, x.shape[1]), np.uint8)
+            yp = np.zeros((N, y.shape[1]), np.uint8)
+            pp = np.zeros((N, 4), np.int32)
+            xp[: len(pid_list)], yp[: len(pid_list)], pp[: len(pid_list)] = x, y, params
+            kern = get_traceback_kernel(BBLK, XMAX, YMAX, W)
+            meta, runs = (np.asarray(v) for v in kern(xp, yp, pp))
+            for k, pid in enumerate(pid_list):
+                aln = decode_runs_one(
+                    runs[k], int(meta[k, 3]), int(meta[k, 0]), int(meta[k, 1]),
+                    int(meta[k, 2]), int(params[k, 0]), int(params[k, 1]),
+                )
+                if aln is None:
+                    # run-buffer overflow: recompute on host (rare)
+                    from ..ops.swg_ref import SwgExtend
+
+                    pr = problems[pid]
+                    band, xd = int(params[k, 2]), int(params[k, 3])
+                    aln = SwgExtend(band).extend(pr.x, pr.y, band, xd)
+                ops_by_pid[pid] = aln
+            return ops_by_pid
+
+        from ..ops.swg_batch import get_swg_kernel
+        from ..ops.traceback import traceback_batch
+
+        kern = get_swg_kernel(W)
+        score, mi, mj, dirs = kern(
+            x[:, 1 : XMAX + 1], params[:, 0], y, params[:, 1], params[:, 2], params[:, 3]
+        )
+        alns = traceback_batch(
+            np.asarray(dirs), params[:, 2], np.asarray(mi), np.asarray(mj),
+            params[:, 0], params[:, 1], np.asarray(score),
+        )
+        for k, pid in enumerate(pid_list):
+            ops_by_pid[pid] = alns[k]
+        return ops_by_pid
+
+
+def _span_to_chr(index, gys, gye, xs, xe, score, read_len):
+    """Concatenated span -> chromosome-coordinate span-only Alignment
+    (reference src/aligner.rs:429-449, spans only)."""
+    aln_ref, _ = index.idx_to_ref(gys)
+    if aln_ref.strand:
+        ystart = gys - aln_ref.start_idx
+        yend = gye - aln_ref.start_idx
+    else:
+        ystart = aln_ref.len - (gye - aln_ref.start_idx)
+        yend = aln_ref.len - (gys - aln_ref.start_idx)
+    return Alignment(
+        score=score,
+        ystart=ystart,
+        xstart=xs,
+        yend=yend,
+        xend=xe,
+        ylen=aln_ref.len,
+        xlen=read_len,
+        operations=[],
+    )
