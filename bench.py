@@ -1,0 +1,91 @@
+"""Headline benchmark: end-to-end alignment throughput on real TPU.
+
+Workload: 90 bp synthetic reads drawn from GRCh38 chrM (with errors and
+both strands) aligned with the reference benchmark configuration
+(`-k20 -s0 --intron-mode`, reference data/Makefile:39).  The pbmc10k
+500k-read FASTQs the reference benchmarks against are git-LFS-elided
+upstream, so reads are synthesised deterministically from the same
+chromosome.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md),
+so ``vs_baseline`` is the speedup over this repo's own single-core CPU
+oracle (exact-semantics sequential implementation with the native C++
+seeder) measured in the same run on the same machine.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_reads(chrM: bytes, n: int, seed: int = 3):
+    from thermite_tpu.io.fastx import revcomp
+
+    rng = np.random.default_rng(seed)
+    reads = []
+    for _ in range(n):
+        p = int(rng.integers(0, len(chrM) - 91))
+        r = bytearray(chrM[p : p + 90])
+        for _ in range(int(rng.integers(0, 4))):
+            r[int(rng.integers(0, 90))] = b"ACGT"[int(rng.integers(0, 4))]
+        r = bytes(r)
+        if rng.random() < 0.5:
+            r = revcomp(r)
+        reads.append(r)
+    return reads
+
+
+def main():
+    from thermite_tpu.align.batch import BatchAligner
+    from thermite_tpu.align.driver import AlignOpts, OracleAligner
+    from thermite_tpu.index.build import Index
+
+    idx = Index.create_from_files(
+        "/root/reference/data/GRCh38-2020-A-chrM.fasta",
+        "/root/reference/data/GRCh38-2020-A-chrM.gtf",
+    )
+    chrM = idx.seq[idx.refs[0].start_idx : idx.refs[0].end_idx - 1]
+    opts = AlignOpts(
+        min_seed_len=20, min_aln_score_percent=0.0, min_aln_score=30, intron_mode=True
+    )
+
+    # CPU oracle baseline (single core)
+    oracle = OracleAligner(idx, opts)
+    oreads = make_reads(chrM, 192, seed=11)
+    t0 = time.time()
+    for r in oreads:
+        oracle.align_read(r)
+    oracle_rps = len(oreads) / (time.time() - t0)
+
+    # TPU batched pipeline
+    batch = BatchAligner(idx, opts)
+    warm = make_reads(chrM, 8192, seed=12)
+    batch.align_batch(warm)  # compile warmup
+
+    best = 0.0
+    for trial in range(3):
+        reads = make_reads(chrM, 8192, seed=20 + trial)
+        t0 = time.time()
+        out = batch.align_batch(reads)
+        dt = time.time() - t0
+        best = max(best, len(reads) / dt)
+    assert sum(1 for o in out if o) > len(reads) * 0.9, "mapping rate sanity"
+
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_align_reads_per_s_chrM_90bp",
+                "value": round(best, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(best / oracle_rps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

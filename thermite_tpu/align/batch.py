@@ -57,6 +57,15 @@ def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
+def _pow2_bucket(n: int, lo: int) -> int:
+    """Pad batch size to a power-of-two bucket (bounded distinct shapes
+    -> bounded kernel recompiles, <=2x padding waste)."""
+    m = lo
+    while m < n:
+        m *= 2
+    return m
+
+
 @dataclass
 class _Problem:
     x: bytes
@@ -83,7 +92,9 @@ class BatchAligner:
     def __init__(self, index: Index, opts: AlignOpts, backend: Optional[str] = None):
         self.index = index
         self.opts = opts
-        self.seeder = SmemEngine(index.seq_arr, opts.min_seed_len)
+        from ..seed.native import make_seeder
+
+        self.seeder = make_seeder(index.seq_arr, opts.min_seed_len)
         if backend is None:
             backend = "xla" if jax.default_backend() == "cpu" else "pallas"
         self.backend = backend
@@ -343,7 +354,10 @@ class BatchAligner:
 
     # ------------------------------------------------------------------
     def _pack(self, problems, pids, reads_unused, read_params, tasks):
-        """Pack problems (by pid list) into padded device arrays."""
+        """Pack problems (by pid list) into padded device arrays.
+
+        Shape buckets (XMAX/YMAX/W) are sticky per aligner: they only
+        grow, so kernel recompiles are bounded across batches."""
         from ..ops.swg_pallas import xwidth
 
         # per-problem band/x_drop: problems inherit their read's params;
@@ -357,9 +371,10 @@ class BatchAligner:
         xmax = max((len(problems[p].x) for p in pids), default=1)
         ymax = max((len(problems[p].y) for p in pids), default=1)
         bmax = max((pb[p][0] for p in pids), default=1)
-        XMAX = max(_round_up(xmax, 32), 32)
-        YMAX = max(_round_up(ymax, 32), 32)
-        W = max(_round_up(2 * bmax + 1, 128), 128)
+        XMAX = max(_round_up(xmax, 32), 32, getattr(self, "_XMAX", 0))
+        YMAX = max(_round_up(ymax, 32), 32, getattr(self, "_YMAX", 0))
+        W = max(_round_up(2 * bmax + 1, 128), 128, getattr(self, "_W", 0))
+        self._XMAX, self._YMAX, self._W = XMAX, YMAX, W
         XW = xwidth(XMAX, W)
 
         N = len(pids)
@@ -381,7 +396,7 @@ class BatchAligner:
             from ..ops.swg_pallas import get_forward_kernel
 
             BBLK = 256
-            N = _round_up(max(len(pids), 1), BBLK)
+            N = _pow2_bucket(max(len(pids), 1), BBLK)
             xp = np.zeros((N, x.shape[1]), np.uint8)
             yp = np.zeros((N, y.shape[1]), np.uint8)
             pp = np.zeros((N, 4), np.int32)
@@ -392,11 +407,19 @@ class BatchAligner:
 
         from ..ops.swg_batch import get_swg_kernel
 
+        N = _pow2_bucket(max(len(pids), 1), 64)
+        xp = np.zeros((N, XMAX), np.uint8)
+        yp = np.zeros((N, y.shape[1]), np.uint8)
+        pp = np.ones((N, 4), np.int32)
+        xp[: len(pids)] = x[:, 1 : XMAX + 1]
+        yp[: len(pids)] = y
+        pp[: len(pids)] = params
         kern = get_swg_kernel(W)
         score, mi, mj, _dirs = kern(
-            x[:, 1 : XMAX + 1], params[:, 0], y, params[:, 1], params[:, 2], params[:, 3]
+            xp, pp[:, 0], yp, pp[:, 1], pp[:, 2], pp[:, 3]
         )
-        return np.asarray(score), np.asarray(mi), np.asarray(mj)
+        n = len(pids)
+        return np.asarray(score)[:n], np.asarray(mi)[:n], np.asarray(mj)[:n]
 
     def _traceback(self, problems, pid_list, reads, read_params, tasks):
         from .types import Alignment as Aln
@@ -413,7 +436,7 @@ class BatchAligner:
             from ..ops.swg_pallas import get_traceback_kernel
 
             BBLK = 64
-            N = _round_up(len(pid_list), BBLK)
+            N = _pow2_bucket(len(pid_list), BBLK)
             xp = np.zeros((N, x.shape[1]), np.uint8)
             yp = np.zeros((N, y.shape[1]), np.uint8)
             pp = np.zeros((N, 4), np.int32)
@@ -438,13 +461,18 @@ class BatchAligner:
         from ..ops.swg_batch import get_swg_kernel
         from ..ops.traceback import traceback_batch
 
+        N = _pow2_bucket(len(pid_list), 64)
+        xp = np.zeros((N, XMAX), np.uint8)
+        yp = np.zeros((N, y.shape[1]), np.uint8)
+        pp = np.ones((N, 4), np.int32)
+        xp[: len(pid_list)] = x[:, 1 : XMAX + 1]
+        yp[: len(pid_list)] = y
+        pp[: len(pid_list)] = params
         kern = get_swg_kernel(W)
-        score, mi, mj, dirs = kern(
-            x[:, 1 : XMAX + 1], params[:, 0], y, params[:, 1], params[:, 2], params[:, 3]
-        )
+        score, mi, mj, dirs = kern(xp, pp[:, 0], yp, pp[:, 1], pp[:, 2], pp[:, 3])
         alns = traceback_batch(
-            np.asarray(dirs), params[:, 2], np.asarray(mi), np.asarray(mj),
-            params[:, 0], params[:, 1], np.asarray(score),
+            np.asarray(dirs), pp[:, 2], np.asarray(mi), np.asarray(mj),
+            pp[:, 0], pp[:, 1], np.asarray(score),
         )
         for k, pid in enumerate(pid_list):
             ops_by_pid[pid] = alns[k]

@@ -53,7 +53,9 @@ class OracleAligner:
     def __init__(self, index: Index, opts: AlignOpts):
         self.index = index
         self.opts = opts
-        self.seeder = SmemEngine(index.seq_arr, opts.min_seed_len)
+        from ..seed.native import make_seeder
+
+        self.seeder = make_seeder(index.seq_arr, opts.min_seed_len)
 
     def align_read(self, read: bytes) -> List[GenomeAlignment]:
         return align_read(self.index, read, self.opts, self.seeder)

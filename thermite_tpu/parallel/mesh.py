@@ -1,0 +1,65 @@
+"""Device mesh / sharding for data-parallel read alignment.
+
+The workload is embarrassingly parallel over reads with read-only
+shared state (the reference's whole concurrency story is cloning
+aligners across threads over an Arc'd index, reference
+src/wrapper.rs:20-27).  The TPU-native mapping is therefore pure data
+parallelism: extension problems shard along a ``data`` mesh axis
+(reads -> chips over ICI, hosts over DCN), the genome/index arrays are
+replicated in HBM, and per-read outputs come back sharded; global
+statistics (mapped counts, score histograms) reduce with ``psum`` over
+ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), ("data",))
+
+
+def sharded_forward_scores(mesh: Mesh, W: int, unroll: int = 4):
+    """Batched SWG forward sharded over the ``data`` axis.
+
+    Inputs shard on dim 0 (one shard of extension problems per chip);
+    the kernel needs no cross-problem communication, so XLA runs it
+    fully parallel.  Also returns a psum'd global count of problems
+    whose score clears a threshold — the collective that production
+    stats aggregation rides on (and which proves ICI participation in
+    the compiled program).
+    """
+    from ..ops.swg_batch import make_swg_kernel
+
+    kern = make_swg_kernel(W, unroll)
+
+    def step(x, xlen, y, ylen, band, x_drop, min_score):
+        score, mi, mj, _dirs = kern(x, xlen, y, ylen, band, x_drop)
+        n_pass = jnp.sum((score >= min_score).astype(jnp.int32))
+        return score, mi, mj, n_pass
+
+    data_sharding = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        step,
+        in_shardings=(
+            data_sharding, data_sharding, data_sharding,
+            data_sharding, data_sharding, data_sharding, repl,
+        ),
+        out_shardings=(data_sharding, data_sharding, data_sharding, repl),
+    )
+
+
+def dp_align_step(mesh: Mesh, W: int):
+    """The full multi-chip alignment step used by dryrun_multichip:
+    shard problems, run the DP, reduce global stats."""
+    return sharded_forward_scores(mesh, W)

@@ -1,0 +1,118 @@
+"""ctypes bindings for the native (C++) seeding engine.
+
+The shared library is built by ``make -C csrc`` (auto-attempted on
+first import).  ``NativeSmemEngine`` is output-identical to the numpy
+``SmemEngine`` (tested in tests/test_native_seed.py); ``make_seeder``
+picks the native engine when available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional
+
+import numpy as np
+
+from ..align.types import Mem
+from .kmer import MAX_ANCHOR_K
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "_native.so")
+_lib = None
+_load_failed = False
+
+
+def _try_load():
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        csrc = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+        try:
+            subprocess.run(
+                ["make", "-C", csrc], check=True, capture_output=True, timeout=120
+            )
+        except Exception:
+            _load_failed = True
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        _load_failed = True
+        return None
+    lib.thermite_seed_index_new.restype = ctypes.c_void_p
+    lib.thermite_seed_index_new.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+    ]
+    lib.thermite_seed_index_free.argtypes = [ctypes.c_void_p]
+    lib.thermite_seed_index_size.restype = ctypes.c_int64
+    lib.thermite_seed_index_size.argtypes = [ctypes.c_void_p]
+    lib.thermite_smems.restype = ctypes.c_int64
+    lib.thermite_smems.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _try_load() is not None
+
+
+class NativeSmemEngine:
+    """Drop-in replacement for ``SmemEngine`` backed by C++."""
+
+    def __init__(self, seq_arr: np.ndarray, min_seed_len: int):
+        lib = _try_load()
+        if lib is None:
+            raise RuntimeError("native seeding library unavailable")
+        self._lib = lib
+        self.min_seed_len = min_seed_len
+        self.k = min(MAX_ANCHOR_K, min_seed_len)
+        # keep the text alive: the index borrows the pointer
+        self._text = np.ascontiguousarray(seq_arr, dtype=np.uint8).tobytes()
+        self._h = lib.thermite_seed_index_new(
+            self._text, len(self._text), self.k
+        )
+        if not self._h:
+            raise RuntimeError("native seed index construction failed")
+        self._cap = 4096
+        self._alloc()
+
+    def _alloc(self):
+        self._q = (ctypes.c_int64 * self._cap)()
+        self._t = (ctypes.c_int64 * self._cap)()
+        self._l = (ctypes.c_int64 * self._cap)()
+
+    def __del__(self):
+        if getattr(self, "_h", None) and getattr(self, "_lib", None):
+            self._lib.thermite_seed_index_free(self._h)
+
+    def all_smems(self, read: bytes) -> List[Mem]:
+        n = self._lib.thermite_smems(
+            self._h, read, len(read), self.min_seed_len,
+            self._q, self._t, self._l, self._cap,
+        )
+        if n < 0:
+            self._cap = int(-n) * 2
+            self._alloc()
+            n = self._lib.thermite_smems(
+                self._h, read, len(read), self.min_seed_len,
+                self._q, self._t, self._l, self._cap,
+            )
+        return [
+            Mem(ref_idx=self._t[i], query_idx=self._q[i], len=self._l[i])
+            for i in range(n)
+        ]
+
+
+def make_seeder(seq_arr: np.ndarray, min_seed_len: int):
+    """Native engine when available, numpy fallback otherwise."""
+    if available():
+        return NativeSmemEngine(seq_arr, min_seed_len)
+    from .smem import SmemEngine
+
+    return SmemEngine(seq_arr, min_seed_len)
