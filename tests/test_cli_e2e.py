@@ -1,0 +1,109 @@
+"""CLI end-to-end: index -> align -> PAF/SAM/BAM, both engines, plus
+the BAM round-trip, wrapper API, and the parity-metrics harness
+(self-comparison must be all-1.0/identical)."""
+
+import io
+
+import pytest
+
+from fixtures import write_fixture
+
+from thermite_tpu.cli import main as cli_main
+from thermite_tpu.io.bam import read_bam
+from thermite_tpu.testing.alignment_metrics import compare, to_markdown
+from thermite_tpu.wrapper import ThermiteAligner
+
+
+@pytest.fixture(scope="module")
+def ws(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    ref, gtf, fq = write_fixture(d)
+    idx = str(d / "mini.tai.npz")
+    assert cli_main(["index", ref, gtf, "-o", idx]) == 0
+    return d, idx, fq
+
+
+FLAGS = ["-k", "3", "--min-aln-score", "0"]
+
+
+def _align(ws, out_name, extra):
+    d, idx, fq = ws
+    out = str(d / out_name)
+    assert cli_main(["align", idx, fq, "-o", out] + FLAGS + extra) == 0
+    return out
+
+
+def test_sam_outputs_and_engine_parity(ws):
+    sam_o = _align(ws, "o.sam", ["-a", "--engine", "oracle"])
+    sam_b = _align(ws, "b.sam", ["-a", "--engine", "batch"])
+    lines_o = open(sam_o).read()
+    lines_b = open(sam_b).read()
+    assert lines_o == lines_b, "oracle and batch SAM outputs must be identical"
+    assert lines_o.startswith("@SQ\tSN:alpha\tLN:14")
+    # every read appears
+    body = [l for l in lines_o.splitlines() if not l.startswith("@")]
+    names = {l.split("\t")[0] for l in body}
+    assert "exact_exonic" in names and "unmapped" in names
+
+
+def test_paf_output(ws):
+    paf = _align(ws, "o.paf", ["--engine", "batch"])
+    rows = [l.split("\t") for l in open(paf).read().splitlines() if l]
+    assert rows, "paf should contain alignments"
+    for r in rows:
+        assert len(r) == 13 and r[12] == ""  # trailing tab like the reference
+        assert r[4] in "+-"
+
+
+def test_bam_roundtrip_and_metrics(ws):
+    d, idx, fq = ws
+    bam = _align(ws, "o.bam", ["-a", "--engine", "batch"])
+    header, refs, records = read_bam(bam)
+    recs = list(records)
+    assert "@SQ\tSN:alpha\tLN:14" in header
+    assert "alpha" in refs
+    sam = open(_align(ws, "o2.sam", ["-a", "--engine", "batch"])).read()
+    sam_body = [l for l in sam.splitlines() if not l.startswith("@")]
+    assert len(recs) == len(sam_body)
+    # spot-check a mapped record against its SAM line
+    by_name = {}
+    for r in recs:
+        by_name.setdefault(r.qname, r)
+    for line in sam_body:
+        f = line.split("\t")
+        if f[0] in by_name and by_name[f[0]].cigar:
+            r = by_name[f[0]]
+            assert int(f[1]) == r.flag and int(f[3]) == r.pos + 1
+            assert f[5] == r.cigar_string()
+            break
+
+    # self-comparison metrics: everything identical (unmapped pairs
+    # count as identical too, matching the pysam None==None semantics
+    # of the reference harness)
+    m = compare(bam, bam)
+    assert m.n_identical_align == m.n_reads
+    assert m.n_same_chromosome_align == m.n_reads
+    assert m.n_same_gene_align == m.n_reads_on_genes
+    assert m.n_in1_unaligned == m.n_in2_unaligned
+    assert "identical" in to_markdown(m)
+
+
+def test_wrapper(ws):
+    d, idx, fq = ws
+    ta = ThermiteAligner(idx)
+    assert ta.est_mem(idx) > 0
+    assert ta.header().startswith("@SQ")
+    # defaults: k=20 -> fixture reads unmapped; switch to fixture opts
+    from thermite_tpu.align.driver import AlignOpts
+
+    ta.set_opts(AlignOpts(min_seed_len=3, min_aln_score=0))
+    recs = ta.align_read(b"exact_exonic", b"ATTACAG", b"9999999")
+    assert len(recs) == 1 and recs[0].rname == "alpha"
+    assert all(t[0] not in ("TX", "GX", "GN", "RE") for t in recs[0].tags)
+    recs = ta.align_read(b"unmapped", b"TGTGTGTGTGTGTGTG", b"9" * 16)
+    assert recs[0].flag & 4
+
+    out = ta.align_reads(
+        [b"r1", b"r2"], [b"ATTACAG", b"ATTGACTTAAC"], [b"9" * 7, b"9" * 11]
+    )
+    assert out[0][0].rname == "alpha" and out[1][0].rname == "gamma"

@@ -1,0 +1,103 @@
+"""Embedding API mimicking the reference's Orbit/STAR-compatible
+wrapper (reference src/wrapper.rs:19-141): a per-read alignment object
+a host application (Cell Ranger) can clone across workers over one
+shared index.
+
+Differences from the reference dictated by the TPU design:
+* ``align_read`` serves the one-off/per-read path via the CPU oracle;
+  ``align_reads`` serves batches via the TPU pipeline — the embedding
+  surface production callers should use.
+* Records are returned as ``SamRecord`` objects (this framework's
+  record model) with the TX/GX/GN/RE tags stripped, matching the
+  reference wrapper's tag removal (src/wrapper.rs:136-139).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from .align.driver import AlignOpts, OracleAligner
+from .constants import (
+    DEFAULT_MIN_ALN_SCORE,
+    DEFAULT_MIN_ALN_SCORE_PERCENT,
+    DEFAULT_MIN_SEED_LEN,
+    DEFAULT_MULTIMAP_SCORE_RANGE,
+)
+from .index.build import Index
+from .io.sam import SamRecord, aln_to_sam_record, build_sam_header, unmapped_sam_record
+
+_STRIP_TAGS = {"TX", "GX", "GN", "RE"}
+
+
+class ThermiteAligner:
+    """Reference src/wrapper.rs:21-124 surface."""
+
+    def __init__(self, index_path: str):
+        self.index = Index.load(index_path)
+        # reference wrapper defaults (src/wrapper.rs:40-46)
+        self.align_opts = AlignOpts(
+            min_seed_len=DEFAULT_MIN_SEED_LEN,
+            min_aln_score_percent=DEFAULT_MIN_ALN_SCORE_PERCENT,
+            min_aln_score=DEFAULT_MIN_ALN_SCORE,
+            multimap_score_range=DEFAULT_MULTIMAP_SCORE_RANGE,
+            intron_mode=False,
+        )
+        self._oracle: Optional[OracleAligner] = None
+        self._batch = None
+
+    # -- alignment ------------------------------------------------------
+
+    def align_read(self, name: bytes, read: bytes, qual: bytes) -> List[SamRecord]:
+        """Align one read; always returns >= 1 record (unmapped record
+        when nothing aligns), like src/wrapper.rs:64-101."""
+        if self._oracle is None:
+            self._oracle = OracleAligner(self.index, self.align_opts)
+        alns = self._oracle.align_read(read)
+        return self._records(name, read, qual, alns)
+
+    def align_reads(
+        self, names: List[bytes], reads: List[bytes], quals: List[bytes]
+    ) -> List[List[SamRecord]]:
+        """Batch path on the TPU pipeline."""
+        if self._batch is None:
+            from .align.batch import BatchAligner
+
+            self._batch = BatchAligner(self.index, self.align_opts)
+        out = []
+        for name, read, qual, alns in zip(
+            names, reads, quals, self._batch.align_batch(reads)
+        ):
+            out.append(self._records(name, read, qual, alns))
+        return out
+
+    def _records(self, name, read, qual, alns) -> List[SamRecord]:
+        if not alns:
+            return [unmapped_sam_record(name, read, qual)]
+        recs = []
+        for i, aln in enumerate(alns):
+            rec = aln_to_sam_record(
+                self.index, name, read, qual, aln, len(alns), i + 1
+            )
+            rec.tags = [t for t in rec.tags if t[0] not in _STRIP_TAGS]
+            recs.append(rec)
+        return recs
+
+    # -- accessors (src/wrapper.rs:104-123) ------------------------------
+
+    @staticmethod
+    def est_mem(index_path: str) -> int:
+        import os
+
+        return os.path.getsize(index_path)
+
+    @property
+    def opts(self) -> AlignOpts:
+        return self.align_opts
+
+    def set_opts(self, opts: AlignOpts) -> None:
+        self.align_opts = opts
+        self._oracle = None
+        self._batch = None
+
+    def header(self) -> str:
+        return build_sam_header(self.index)
