@@ -66,10 +66,33 @@ def _pow2_bucket(n: int, lo: int) -> int:
     return m
 
 
-@dataclass
-class _Problem:
-    x: bytes
-    y: bytes
+class _Problems:
+    """Offset-encoded extension problems (SoA).
+
+    No window bytes are materialised on host: a problem is 8 int32s
+    (``swg_pallas.META_COLS`` layout) indexing the device-resident
+    reference text and padded read block; the x/y windows are gathered
+    on-device (HBM bandwidth) instead of shipped over the host↔device
+    link (~40 MB/s tunnel here).
+    """
+
+    __slots__ = ("rows", "_meta")
+
+    def __init__(self):
+        self.rows: List[Tuple[int, int, int, int, int, int, int, int]] = []
+        self._meta: Optional[np.ndarray] = None
+
+    def add(self, y_base, y_dir, ylen, x_base, x_dir, xlen, band, x_drop) -> int:
+        self.rows.append((y_base, y_dir, ylen, x_base, x_dir, xlen, band, x_drop))
+        return len(self.rows) - 1
+
+    def meta(self) -> np.ndarray:
+        if self._meta is None or len(self._meta) != len(self.rows):
+            self._meta = np.asarray(self.rows, np.int32).reshape(len(self.rows), 8)
+        return self._meta
+
+    def __len__(self):
+        return len(self.rows)
 
 
 @dataclass
@@ -99,19 +122,48 @@ class BatchAligner:
             backend = "xla" if jax.default_backend() == "cpu" else "pallas"
         self.backend = backend
 
+        # resident reference text: concatenated genome (fwd+rc, with $
+        # sentinels) followed by every transcript's spliced sequence.
+        txs = index.txome.txs
+        self.tx_off = np.zeros(len(txs) + 1, np.int64)
+        base = len(index.seq_arr)
+        for i, tx in enumerate(txs):
+            self.tx_off[i] = base
+            base += len(tx.seq)
+        self.tx_off[len(txs)] = base
+        self._ref_text_host = np.concatenate(
+            [index.seq_arr] + [np.frombuffer(tx.seq, np.uint8) for tx in txs]
+        )
+        self._ref_text_dev = None  # device copy, uploaded once on first use
+
+    def _ref_text(self):
+        if self._ref_text_dev is None:
+            self._ref_text_dev = jax.device_put(self._ref_text_host)
+        return self._ref_text_dev
+
     # ------------------------------------------------------------------
     def align_batch(self, reads: List[bytes]) -> List[List[GenomeAlignment]]:
         opts = self.opts
         index = self.index
         reads = [r.upper() for r in reads]
 
-        problems: List[_Problem] = []
+        # padded read block (device-resident for the duration of the batch)
+        RPAD = max(
+            _round_up(max((len(r) for r in reads), default=1), 32),
+            getattr(self, "_RPAD", 0),
+        )
+        self._RPAD = RPAD
+        reads_pad = np.zeros((len(reads), RPAD), np.uint8)
+        for ri, r in enumerate(reads):
+            reads_pad[ri, : len(r)] = np.frombuffer(r, np.uint8)
+        self._cur_reads_host = reads_pad
+        self._cur_reads_dev = (
+            jax.device_put(reads_pad) if self.backend == "pallas" else reads_pad
+        )
+
+        problems = _Problems()
         tasks: List[_Task] = []
         read_params: List[Tuple[int, int, int]] = []  # min_score, band, x_drop
-
-        def add_problem(x: bytes, y: bytes) -> int:
-            problems.append(_Problem(x, y))
-            return len(problems) - 1
 
         per_read_tasks: List[List[_Task]] = []
 
@@ -122,6 +174,7 @@ class BatchAligner:
             band = max(len(read) - min_aln_score, 0)
             x_drop = band
             read_params.append((min_aln_score, band, x_drop))
+            read_off = ri * RPAD
             rtasks: List[_Task] = []
             mems = self.seeder.all_smems(read)
             for hit in mems:
@@ -132,9 +185,11 @@ class BatchAligner:
                 seq_end = min(
                     hit.ref_idx + hit.len + len(read) + band, aln_ref.end_idx - 1
                 )
-                ref_seq = index.seq_slice(seq_start, seq_end)
                 rel = Mem(hit.ref_idx - seq_start, hit.query_idx, hit.len)
-                lp, rp = self._extend_problems(ref_seq, rel, read, band, add_problem)
+                lp, rp = self._extend_problems(
+                    problems, hit.ref_idx, hit.len, seq_start, seq_end,
+                    read_off, hit.query_idx, len(read), band, x_drop,
+                )
                 rtasks.append(
                     _Task(
                         read_i=ri,
@@ -142,7 +197,7 @@ class BatchAligner:
                         hit=rel,
                         left_pid=lp,
                         right_pid=rp,
-                        ref_len=len(ref_seq),
+                        ref_len=seq_end - seq_start,
                         seq_start=seq_start,
                         abs_hit=hit,
                     )
@@ -160,8 +215,12 @@ class BatchAligner:
                     tx = index.txome.txs[tx_idx]
                     tx_seed = lift_mem_to_tx(hit, tx)
                     tx_seed = extend_seed_match(tx.seq, tx_seed, read)
+                    base = int(self.tx_off[tx_idx])
+                    y_lo_tx = max(tx_seed.ref_idx - (len(read) + band), 0)
                     lp, rp = self._extend_problems(
-                        tx.seq, tx_seed, read, band, add_problem
+                        problems, base + tx_seed.ref_idx, tx_seed.len,
+                        base + y_lo_tx, base + len(tx.seq),
+                        read_off, tx_seed.query_idx, len(read), band, x_drop,
                     )
                     rtasks.append(
                         _Task(
@@ -179,7 +238,7 @@ class BatchAligner:
             tasks.extend(rtasks)
 
         # ---- device pass 1: scores ----
-        scores, max_i, max_j = self._forward(problems, reads, read_params, tasks)
+        scores, max_i, max_j = self._forward(problems)
 
         for task in tasks:
             sL, sR = scores[task.left_pid], scores[task.right_pid]
@@ -245,7 +304,7 @@ class BatchAligner:
 
         # ---- device pass 2: tracebacks for winners ----
         pid_list = list(winner_pids.keys())
-        ops_by_pid = self._traceback(problems, pid_list, reads, read_params, tasks)
+        ops_by_pid = self._traceback(problems, pid_list)
 
         for ri, read in enumerate(reads):
             out: List[GenomeAlignment] = []
@@ -255,22 +314,30 @@ class BatchAligner:
         return results
 
     # ------------------------------------------------------------------
-    def _extend_problems(self, ref_seq, hit, read, band, add_problem):
+    def _extend_problems(
+        self, problems, seed_y, seed_len, y_lo, y_hi,
+        read_off, q_idx, read_len, band, x_drop,
+    ):
         """Right and (reversed) left extension problems for a seed
-        (reference src/aligner.rs:352-375).
+        (reference src/aligner.rs:352-375), as gather offsets.
 
-        y is clamped to xlen + band + 1: the band slides one row per
-        column, so no cell exists beyond column xlen + band — the
-        oracle X-drop-breaks on the first empty column (transcript
-        suffixes can be kilobases; this keeps device columns bounded
-        without changing any output)."""
-        xr = read[hit.query_idx + hit.len :]
-        yr = ref_seq[hit.ref_idx + hit.len :][: len(xr) + band + 1]
-        rp = add_problem(xr, yr)
-        xl = read[: hit.query_idx][::-1]
-        y_lo = max(hit.ref_idx - (len(read) + band), 0)
-        yl = ref_seq[y_lo : hit.ref_idx][::-1][: len(xl) + band + 1]
-        lp = add_problem(xl, yl)
+        ``seed_y`` is the absolute seed start in the resident reference
+        text; the usable y window is [y_lo, y_hi).  ylen is clamped to
+        xlen + band + 1: the band slides one row per column, so no cell
+        exists beyond column xlen + band — the oracle X-drop-breaks on
+        the first empty column (transcript suffixes can be kilobases;
+        this keeps device columns bounded without changing any output)."""
+        xlen_r = read_len - q_idx - seed_len
+        yb_r = seed_y + seed_len
+        ylen_r = max(min(y_hi - yb_r, xlen_r + band + 1), 0)
+        rp = problems.add(
+            yb_r, 1, ylen_r, read_off + q_idx + seed_len, 1, xlen_r, band, x_drop
+        )
+        xlen_l = q_idx
+        ylen_l = max(min(seed_y - y_lo, xlen_l + band + 1), 0)
+        lp = problems.add(
+            seed_y - 1, -1, ylen_l, read_off + q_idx - 1, -1, xlen_l, band, x_drop
+        )
         return lp, rp
 
     def _arbitrate_seed(self, read, gx_task, tx_tasks):
@@ -353,126 +420,96 @@ class BatchAligner:
         return ga
 
     # ------------------------------------------------------------------
-    def _pack(self, problems, pids, reads_unused, read_params, tasks):
-        """Pack problems (by pid list) into padded device arrays.
-
-        Shape buckets (XMAX/YMAX/W) are sticky per aligner: they only
-        grow, so kernel recompiles are bounded across batches."""
-        from ..ops.swg_pallas import xwidth
-
-        # per-problem band/x_drop: problems inherit their read's params;
-        # build pid -> (band, xdrop) map from tasks
-        pb = {}
-        for t in tasks:
-            _, band, xd = read_params[t.read_i]
-            pb[t.left_pid] = (band, xd)
-            pb[t.right_pid] = (band, xd)
-
-        xmax = max((len(problems[p].x) for p in pids), default=1)
-        ymax = max((len(problems[p].y) for p in pids), default=1)
-        bmax = max((pb[p][0] for p in pids), default=1)
+    def _shapes(self, meta_all):
+        """Sticky shape buckets (XMAX/YMAX/W only grow, so kernel
+        recompiles are bounded across batches)."""
+        xmax = int(meta_all[:, 5].max(initial=1))
+        ymax = int(meta_all[:, 2].max(initial=1))
+        bmax = int(meta_all[:, 6].max(initial=1))
         XMAX = max(_round_up(xmax, 32), 32, getattr(self, "_XMAX", 0))
         YMAX = max(_round_up(ymax, 32), 32, getattr(self, "_YMAX", 0))
         W = max(_round_up(2 * bmax + 1, 128), 128, getattr(self, "_W", 0))
         self._XMAX, self._YMAX, self._W = XMAX, YMAX, W
-        XW = xwidth(XMAX, W)
+        return XMAX, YMAX, W
 
-        N = len(pids)
-        x = np.zeros((N, XW), np.uint8)
-        y = np.zeros((N, YMAX), np.uint8)
-        params = np.zeros((N, 4), np.int32)
-        for k, p in enumerate(pids):
-            pr = problems[p]
-            x[k, 1 : len(pr.x) + 1] = np.frombuffer(pr.x, np.uint8)
-            y[k, : len(pr.y)] = np.frombuffer(pr.y, np.uint8)
-            band, xd = pb[p]
-            params[k] = (len(pr.x), len(pr.y), band, xd)
-        return x, y, params, XMAX, YMAX, W
+    @staticmethod
+    def _pad_meta(meta, N):
+        """Pad to N rows; padding rows are empty problems (band 1)."""
+        out = np.zeros((N, meta.shape[1]), np.int32)
+        out[:, 1] = 1  # y_dir
+        out[:, 4] = 1  # x_dir
+        out[:, 6] = 1  # band
+        out[:, 7] = 1  # x_drop
+        out[: len(meta)] = meta
+        return out
 
-    def _forward(self, problems, reads, read_params, tasks):
-        pids = list(range(len(problems)))
-        x, y, params, XMAX, YMAX, W = self._pack(problems, pids, reads, read_params, tasks)
+    def _problem_bytes(self, meta_row) -> Tuple[bytes, bytes]:
+        """Host reconstruction of a problem's x/y windows (fallback path)."""
+        yb, yd, yl, xb, xd, xl = (int(v) for v in meta_row[:6])
+        y = self._ref_text_host[yb + yd * np.arange(yl)].tobytes()
+        x = self._cur_reads_host.reshape(-1)[xb + xd * np.arange(xl)].tobytes()
+        return x, y
+
+    def _forward(self, problems):
+        meta_all = problems.meta()
+        n = len(meta_all)
+        XMAX, YMAX, W = self._shapes(meta_all)
         if self.backend == "pallas":
-            from ..ops.swg_pallas import get_forward_kernel
+            from ..ops.swg_pallas import get_forward_gather_kernel
 
             BBLK = 256
-            N = _pow2_bucket(max(len(pids), 1), BBLK)
-            xp = np.zeros((N, x.shape[1]), np.uint8)
-            yp = np.zeros((N, y.shape[1]), np.uint8)
-            pp = np.zeros((N, 4), np.int32)
-            xp[: len(pids)], yp[: len(pids)], pp[: len(pids)] = x, y, params
-            kern = get_forward_kernel(BBLK, XMAX, YMAX, W)
-            meta = np.asarray(kern(xp, yp, pp))[: len(pids)]
-            return meta[:, 0], meta[:, 1], meta[:, 2]
+            meta = self._pad_meta(meta_all, _pow2_bucket(max(n, 1), BBLK))
+            kern = get_forward_gather_kernel(BBLK, XMAX, YMAX, W)
+            out = np.asarray(kern(self._ref_text(), self._cur_reads_dev, meta))[:n]
+            return out[:, 0], out[:, 1], out[:, 2]
 
-        from ..ops.swg_batch import get_swg_kernel
+        from ..ops.swg_batch import get_swg_gather_kernel
 
-        N = _pow2_bucket(max(len(pids), 1), 64)
-        xp = np.zeros((N, XMAX), np.uint8)
-        yp = np.zeros((N, y.shape[1]), np.uint8)
-        pp = np.ones((N, 4), np.int32)
-        xp[: len(pids)] = x[:, 1 : XMAX + 1]
-        yp[: len(pids)] = y
-        pp[: len(pids)] = params
-        kern = get_swg_kernel(W)
-        score, mi, mj, _dirs = kern(
-            xp, pp[:, 0], yp, pp[:, 1], pp[:, 2], pp[:, 3]
-        )
-        n = len(pids)
+        meta = self._pad_meta(meta_all, _pow2_bucket(max(n, 1), 64))
+        kern = get_swg_gather_kernel(XMAX, YMAX, W)
+        score, mi, mj, _dirs = kern(self._ref_text_host, self._cur_reads_host, meta)
         return np.asarray(score)[:n], np.asarray(mi)[:n], np.asarray(mj)[:n]
 
-    def _traceback(self, problems, pid_list, reads, read_params, tasks):
-        from .types import Alignment as Aln
-
+    def _traceback(self, problems, pid_list):
         ops_by_pid: Dict[int, Alignment] = {}
         if not pid_list:
             return ops_by_pid
-        x, y, params, XMAX, YMAX, W = self._pack(
-            problems, pid_list, reads, read_params, tasks
-        )
+        meta_all = problems.meta()
+        meta_sub = meta_all[np.asarray(pid_list, np.int64)]
+        n = len(pid_list)
+        XMAX, YMAX, W = self._shapes(meta_all)
 
         if self.backend == "pallas":
-            from ..ops.runs import decode_runs_one
-            from ..ops.swg_pallas import get_traceback_kernel
+            from ..ops.runs import decode_stream_batch
+            from ..ops.swg_pallas import get_stream_traceback_gather_kernel
 
             BBLK = 64
-            N = _pow2_bucket(len(pid_list), BBLK)
-            xp = np.zeros((N, x.shape[1]), np.uint8)
-            yp = np.zeros((N, y.shape[1]), np.uint8)
-            pp = np.zeros((N, 4), np.int32)
-            xp[: len(pid_list)], yp[: len(pid_list)], pp[: len(pid_list)] = x, y, params
-            kern = get_traceback_kernel(BBLK, XMAX, YMAX, W)
-            meta, runs = (np.asarray(v) for v in kern(xp, yp, pp))
+            meta = self._pad_meta(meta_sub, _pow2_bucket(n, BBLK))
+            kern = get_stream_traceback_gather_kernel(BBLK, XMAX, YMAX, W)
+            out = np.asarray(kern(self._ref_text(), self._cur_reads_dev, meta))[:n]
+            alns = decode_stream_batch(out, meta_sub[:, 5], meta_sub[:, 2])
             for k, pid in enumerate(pid_list):
-                aln = decode_runs_one(
-                    runs[k], int(meta[k, 3]), int(meta[k, 0]), int(meta[k, 1]),
-                    int(meta[k, 2]), int(params[k, 0]), int(params[k, 1]),
-                )
+                aln = alns[k]
                 if aln is None:
-                    # run-buffer overflow: recompute on host (rare)
+                    # unterminated walk flagged by device: recompute on
+                    # host (not expected in practice)
                     from ..ops.swg_ref import SwgExtend
 
-                    pr = problems[pid]
-                    band, xd = int(params[k, 2]), int(params[k, 3])
-                    aln = SwgExtend(band).extend(pr.x, pr.y, band, xd)
+                    x, y = self._problem_bytes(meta_sub[k])
+                    band, xd = int(meta_sub[k, 6]), int(meta_sub[k, 7])
+                    aln = SwgExtend(band).extend(x, y, band, xd)
                 ops_by_pid[pid] = aln
             return ops_by_pid
 
-        from ..ops.swg_batch import get_swg_kernel
+        from ..ops.swg_batch import get_swg_gather_kernel
         from ..ops.traceback import traceback_batch
 
-        N = _pow2_bucket(len(pid_list), 64)
-        xp = np.zeros((N, XMAX), np.uint8)
-        yp = np.zeros((N, y.shape[1]), np.uint8)
-        pp = np.ones((N, 4), np.int32)
-        xp[: len(pid_list)] = x[:, 1 : XMAX + 1]
-        yp[: len(pid_list)] = y
-        pp[: len(pid_list)] = params
-        kern = get_swg_kernel(W)
-        score, mi, mj, dirs = kern(xp, pp[:, 0], yp, pp[:, 1], pp[:, 2], pp[:, 3])
+        meta = self._pad_meta(meta_sub, _pow2_bucket(n, 64))
+        kern = get_swg_gather_kernel(XMAX, YMAX, W)
+        score, mi, mj, dirs = kern(self._ref_text_host, self._cur_reads_host, meta)
         alns = traceback_batch(
-            np.asarray(dirs), pp[:, 2], np.asarray(mi), np.asarray(mj),
-            pp[:, 0], pp[:, 1], np.asarray(score),
+            np.asarray(dirs), meta[:, 6], np.asarray(mi), np.asarray(mj),
+            meta[:, 5], meta[:, 2], np.asarray(score),
         )
         for k, pid in enumerate(pid_list):
             ops_by_pid[pid] = alns[k]

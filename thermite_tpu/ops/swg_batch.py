@@ -186,3 +186,27 @@ def get_swg_kernel(W: int, unroll: int = 4):
     if key not in _KERNEL_CACHE:
         _KERNEL_CACHE[key] = make_swg_kernel(W, unroll)
     return _KERNEL_CACHE[key]
+
+
+def make_swg_gather_kernel(XMAX: int, YMAX: int, W: int, unroll: int = 4):
+    """Gather front-end over a resident reference text (same meta layout
+    as ``swg_pallas.META_COLS``); used by the xla backend in tests."""
+    from .swg_pallas import _gather_windows
+
+    inner = make_swg_kernel(W, unroll)
+
+    def call(ref_text, reads, meta):
+        x, y = _gather_windows(ref_text, reads, meta, XMAX, YMAX, shifted_x=False)
+        return inner(x, meta[:, 5], y, meta[:, 2], meta[:, 6], meta[:, 7])
+
+    return jax.jit(call)
+
+
+_GATHER_CACHE = {}
+
+
+def get_swg_gather_kernel(XMAX: int, YMAX: int, W: int, unroll: int = 4):
+    key = (XMAX, YMAX, W, unroll)
+    if key not in _GATHER_CACHE:
+        _GATHER_CACHE[key] = make_swg_gather_kernel(XMAX, YMAX, W, unroll)
+    return _GATHER_CACHE[key]

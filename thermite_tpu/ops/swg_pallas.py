@@ -355,8 +355,249 @@ def make_traceback_kernel(
     return jax.jit(call)
 
 
+def smax_for(XMAX: int, YMAX: int) -> int:
+    """Step capacity of the stream-traceback walk (padded to lanes)."""
+    s = XMAX + YMAX + 2
+    return ((s + 127) // 128) * 128
+
+
+def make_stream_traceback_kernel(
+    BBLK: int, XMAX: int, YMAX: int, W: int, interpret: bool = False
+):
+    """Forward + *vectorized* on-device traceback.
+
+    The per-pair scalar walk of ``make_traceback_kernel`` costs
+    BBLK×(XMAX+YMAX) sequential scalar iterations per block (~850 ms
+    for 16k pairs at chrM bench shapes).  This kernel walks ALL pairs
+    of a block simultaneously, synchronized by y-column: an outer
+    ``while_loop`` holds a global column cursor ``jj`` that only
+    decreases when no pair is mid-step in that column (Match/Subst/Del
+    steps move a pair to column jj-1 where it waits; Ins steps keep it
+    in jj for the next iteration).  Each iteration is a handful of
+    (BBLK, W)/(BBLK, SMAX) vector ops, so the walk costs
+    ~YMAX + max-ins-chain iterations instead of BBLK×STEPS.
+
+    Per-pair op streams are emitted via one-hot accumulation into a
+    (BBLK, SMAX) buffer (lane = per-pair step counter — an emulated
+    row-wise scatter; each lane is written at most once), then packed
+    16 codes/int32 in plain XLA after the pallas_call.
+
+    Outputs: (N, 4 + SMAX/16) int32 rows:
+      [score, max_i, max_j, nsteps, packed_codes...] — nsteps < 0
+      flags an unterminated walk (host recomputes; not observed in
+      practice).  Codes are DIR_* values in *backward* walk order,
+      2 bits each, little-endian within each word.
+    """
+    XW = xwidth(XMAX, W)
+    SMAX = smax_for(XMAX, YMAX)
+    MAXIT = YMAX + 1 + XMAX + 2
+
+    def kernel(x_ref, y_ref, p_ref, meta_ref, ops_ref, dirs_ref):
+        t = jax.lax.broadcasted_iota(jnp.int32, (BBLK, W), 1)
+        xs0 = x_ref[:, :].astype(jnp.int32)
+        params = p_ref[:, :]
+        xlen = params[:, 0:1]
+        ylen = params[:, 1:2]
+        band = params[:, 2:3]
+        x_drop = params[:, 3:4]
+        D, C, R, xs = _init_state(xs0, params, t, W, BBLK)
+        yb = y_ref[:, :].astype(jnp.int32)
+        z = jnp.zeros((BBLK, 1), jnp.int32)
+
+        dirs_ref[0, :, :] = jnp.where(t <= 2 * band, DIR_INS, DIR_MATCH)
+
+        def body(j, carry):
+            D, C, R, xs, yb, ms, mi, mj, s1, s2 = carry
+            D, C, R, xs, yb, ms, mi, mj, s1, s2, dir_row = _dp_column_step(
+                j, D, C, R, xs, yb, ms, mi, mj, s1, s2,
+                xlen, ylen, band, x_drop, t, W,
+            )
+            dirs_ref[pl.ds(j, 1), :, :] = dir_row[None]
+            return (D, C, R, xs, yb, ms, mi, mj, s1, s2)
+
+        carry = jax.lax.fori_loop(
+            1, YMAX + 1, body, (D, C, R, xs, yb, z, z, z, z, z)
+        )
+        ms, mi, mj = carry[5], carry[6], carry[7]
+
+        # ---- vectorized walk ----
+        ops_ref[:, :] = jnp.zeros((BBLK, SMAX), jnp.int32)
+        slane = jax.lax.broadcasted_iota(jnp.int32, (BBLK, SMAX), 1)
+        jj0 = jnp.max(mj)
+
+        def cond(st):
+            jj, i, j, c, it = st
+            any_alive = jnp.max(((i > 0) | (j > 0)).astype(jnp.int32)) > 0
+            return (jj >= 0) & any_alive & (it < MAXIT)
+
+        def step(st):
+            jj, i, j, c, it = st
+            row = dirs_ref[jj, :, :]
+            row0 = jnp.maximum(jj - band, 0)
+            bi = jnp.clip(i - row0, 0, 2 * band)
+            d = jnp.sum(jnp.where(t == bi, row, 0), axis=1, keepdims=True)
+            alive = (i > 0) | (j > 0)
+            stepping = alive & (j == jj)
+            ops_ref[:, :] = ops_ref[:, :] + jnp.where(
+                stepping & (slane == c), d, 0
+            )
+            consumes_x = (d <= DIR_SUBST) | (d == DIR_INS)
+            consumes_y = (d <= DIR_SUBST) | (d == DIR_DEL)
+            i = jnp.where(stepping & consumes_x, i - 1, i)
+            j = jnp.where(stepping & consumes_y, j - 1, j)
+            c = jnp.where(stepping, c + 1, c)
+            stepped_any = jnp.max(stepping.astype(jnp.int32)) > 0
+            jj = jnp.where(stepped_any, jj, jj - 1)
+            return (jj, i, j, c, it + 1)
+
+        jj, i, j, c, it = jax.lax.while_loop(
+            cond, step, (jj0, mi, mj, z, jnp.int32(0))
+        )
+        bad = (i > 0) | (j > 0) | (c > SMAX)
+        nsteps = jnp.where(bad, -1, c)
+        meta_ref[:, :] = jnp.concatenate([ms, mi, mj, nsteps], axis=1)
+
+    def call(x, y, params):
+        N = x.shape[0]
+        assert N % BBLK == 0
+        grid = (N // BBLK,)
+        meta, ops = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((BBLK, XW), lambda g: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BBLK, YMAX), lambda g: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BBLK, 4), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((BBLK, 4), lambda g: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BBLK, SMAX), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((N, 4), jnp.int32),
+                jax.ShapeDtypeStruct((N, SMAX), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((YMAX + 1, BBLK, W), jnp.int32),
+            ],
+            interpret=interpret,
+        )(x, y, params)
+        # pack 16 2-bit codes per int32 word (XLA; stays on device) and
+        # fuse with meta into one array for a single d2h transfer
+        PW = SMAX // 16
+        codes = ops.reshape(N, PW, 16)
+        shifts = (2 * jnp.arange(16, dtype=jnp.int32))[None, None, :]
+        packed = jnp.sum(codes << shifts, axis=2, dtype=jnp.int32)
+        return jnp.concatenate([meta, packed], axis=1)
+
+    return jax.jit(call)
+
+
+def make_stream_traceback_gather_kernel(
+    BBLK: int, XMAX: int, YMAX: int, W: int, interpret: bool = False
+):
+    """jit fn (ref_text, reads, meta) -> (N, 4 + SMAX/16) int32."""
+    XW = xwidth(XMAX, W)
+    inner = make_stream_traceback_kernel(BBLK, XMAX, YMAX, W, interpret)
+
+    def call(ref_text, reads, meta):
+        x, y = _gather_windows(ref_text, reads, meta, XW, YMAX, shifted_x=True)
+        return inner(x, y, _params_from_meta(meta))
+
+    return jax.jit(call)
+
+
+_STB_CACHE = {}
+
+
+def get_stream_traceback_gather_kernel(BBLK, XMAX, YMAX, W, interpret=False):
+    key = (BBLK, XMAX, YMAX, W, interpret)
+    if key not in _STB_CACHE:
+        _STB_CACHE[key] = make_stream_traceback_gather_kernel(
+            BBLK, XMAX, YMAX, W, interpret
+        )
+    return _STB_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# Device-resident gather front-ends.
+#
+# The host↔device link on this deployment is a tunnel (~40 MB/s, ~50 ms
+# round-trip), so shipping materialised (N, XW)+(N, YMAX) window bytes
+# dominates end-to-end time.  Instead the reference text (concatenated
+# genome + all transcript spliced sequences) and the read batch live in
+# HBM, and each extension problem is described by 8 int32s:
+#
+#   meta columns: [y_base, y_dir, ylen, x_base, x_dir, xlen, band, x_drop]
+#
+#   y[i] = ref_text[y_base + y_dir * i]   for i < ylen   (dir -1 ==
+#   reversed left-extension window), x likewise from the padded read
+#   block.  The windows are built on-device with XLA gathers (HBM
+#   bandwidth, not tunnel bandwidth) inside the same jit as the Pallas
+#   kernel.  This is the SURVEY §7 "index resident in HBM + vectorized
+#   gather" design; it cuts per-batch h2d from ~10 MB to ~1-2 MB.
+# ---------------------------------------------------------------------------
+
+META_COLS = 8  # y_base, y_dir, ylen, x_base, x_dir, xlen, band, x_drop
+
+
+def _gather_windows(ref_text, reads, meta, XW, YMAX, shifted_x: bool):
+    """Build (N, XW) x and (N, YMAX) y windows on device from offsets."""
+    G = ref_text.shape[0]
+    R = reads.size
+    reads_flat = reads.reshape(-1)
+
+    ix = jnp.arange(XW, dtype=jnp.int32)[None, :]
+    off = ix - 1 if shifted_x else ix
+    xi = meta[:, 3:4] + meta[:, 4:5] * off
+    xv = (off >= 0) & (off < meta[:, 5:6])
+    x = jnp.where(xv, jnp.take(reads_flat, jnp.clip(xi, 0, R - 1)), 0).astype(
+        jnp.uint8
+    )
+
+    iy = jnp.arange(YMAX, dtype=jnp.int32)[None, :]
+    yi = meta[:, 0:1] + meta[:, 1:2] * iy
+    yv = iy < meta[:, 2:3]
+    y = jnp.where(yv, jnp.take(ref_text, jnp.clip(yi, 0, G - 1)), 0).astype(
+        jnp.uint8
+    )
+    return x, y
+
+
+def _params_from_meta(meta):
+    return jnp.concatenate(
+        [meta[:, 5:6], meta[:, 2:3], meta[:, 6:7], meta[:, 7:8]], axis=1
+    )
+
+
+def make_forward_gather_kernel(BBLK, XMAX, YMAX, W, interpret=False):
+    """jit fn (ref_text, reads, meta) -> (N, 4) [score, max_i, max_j, 0]."""
+    XW = xwidth(XMAX, W)
+    inner = make_forward_kernel(BBLK, XMAX, YMAX, W, interpret)
+
+    def call(ref_text, reads, meta):
+        x, y = _gather_windows(ref_text, reads, meta, XW, YMAX, shifted_x=True)
+        return inner(x, y, _params_from_meta(meta))
+
+    return jax.jit(call)
+
+
+def make_traceback_gather_kernel(BBLK, XMAX, YMAX, W, RMAX=24, interpret=False):
+    """jit fn (ref_text, reads, meta) -> (meta_out, runs)."""
+    XW = xwidth(XMAX, W)
+    inner = make_traceback_kernel(BBLK, XMAX, YMAX, W, RMAX, interpret)
+
+    def call(ref_text, reads, meta):
+        x, y = _gather_windows(ref_text, reads, meta, XW, YMAX, shifted_x=True)
+        return inner(x, y, _params_from_meta(meta))
+
+    return jax.jit(call)
+
+
 _FWD_CACHE = {}
 _TB_CACHE = {}
+_FWDG_CACHE = {}
+_TBG_CACHE = {}
 
 
 def get_forward_kernel(BBLK, XMAX, YMAX, W, interpret=False):
@@ -371,3 +612,19 @@ def get_traceback_kernel(BBLK, XMAX, YMAX, W, RMAX=64, interpret=False):
     if key not in _TB_CACHE:
         _TB_CACHE[key] = make_traceback_kernel(BBLK, XMAX, YMAX, W, RMAX, interpret)
     return _TB_CACHE[key]
+
+
+def get_forward_gather_kernel(BBLK, XMAX, YMAX, W, interpret=False):
+    key = (BBLK, XMAX, YMAX, W, interpret)
+    if key not in _FWDG_CACHE:
+        _FWDG_CACHE[key] = make_forward_gather_kernel(BBLK, XMAX, YMAX, W, interpret)
+    return _FWDG_CACHE[key]
+
+
+def get_traceback_gather_kernel(BBLK, XMAX, YMAX, W, RMAX=24, interpret=False):
+    key = (BBLK, XMAX, YMAX, W, RMAX, interpret)
+    if key not in _TBG_CACHE:
+        _TBG_CACHE[key] = make_traceback_gather_kernel(
+            BBLK, XMAX, YMAX, W, RMAX, interpret
+        )
+    return _TBG_CACHE[key]
