@@ -96,6 +96,27 @@ class _Problems:
 
 
 @dataclass
+class _ChunkState:
+    """Per-chunk pipeline state flowing through build -> device ->
+    arbitrate -> finalize."""
+
+    reads: List[bytes]
+    problems: "_Problems" = field(default_factory=lambda: _Problems())
+    tasks: List["_Task"] = field(default_factory=list)
+    read_params: List[Tuple[int, int, int]] = field(default_factory=list)
+    per_read_tasks: List[List["_Task"]] = field(default_factory=list)
+    selected: List[List[Tuple[GenomeAlignment, "_Task"]]] = field(
+        default_factory=list
+    )
+    reads_host: Optional[np.ndarray] = None
+    reads_dev: object = None
+    fwd_raw: object = None  # un-synced device output of the forward pass
+    pid_list: List[int] = field(default_factory=list)
+    tb_raw: object = None  # un-synced device output of the traceback pass
+    tb_meta_sub: Optional[np.ndarray] = None
+
+
+@dataclass
 class _Task:
     read_i: int
     kind: str  # 'gx' | 'tx'
@@ -142,32 +163,72 @@ class BatchAligner:
         return self._ref_text_dev
 
     # ------------------------------------------------------------------
+    # The batch is processed in chunks through a 3-stage software
+    # pipeline: build (host) -> forward+traceback (device, dispatched
+    # asynchronously) -> arbitrate/finalize (host).  While the device
+    # runs chunk k's kernels the host builds chunk k+1 and finalizes
+    # chunk k-1, so device time largely disappears behind host time
+    # (JAX dispatch is async; np.asarray is the sync point).
+    #
+    # Chunks are cut by *problem count*, just under the kernel's
+    # power-of-two batch bucket, so padding waste stays a few percent
+    # (cutting by read count can overshoot a bucket boundary and
+    # double the padded batch).
+    PROBLEM_BUDGET = 8192 - 512
+
     def align_batch(self, reads: List[bytes]) -> List[List[GenomeAlignment]]:
+        out: List[List[GenomeAlignment]] = []
+        built: List[Optional["_ChunkState"]] = []
+        arb_i = 0
+        fin_i = 0
+        i = 0
+        while i < len(reads) or not built:
+            st, i = self._build_chunk(reads, i)
+            self._dispatch_forward(st)
+            built.append(st)
+            if len(built) - arb_i >= 2:
+                self._arbitrate_chunk(built[arb_i])
+                arb_i += 1
+            if arb_i - fin_i >= 2:
+                out.extend(self._finalize_chunk(built[fin_i]))
+                built[fin_i] = None
+                fin_i += 1
+        while arb_i < len(built):
+            self._arbitrate_chunk(built[arb_i])
+            arb_i += 1
+        while fin_i < len(built):
+            out.extend(self._finalize_chunk(built[fin_i]))
+            built[fin_i] = None
+            fin_i += 1
+        return out
+
+    # ------------------------------------------------------------------
+    def _build_chunk(
+        self, all_reads: List[bytes], start: int
+    ) -> Tuple["_ChunkState", int]:
         opts = self.opts
         index = self.index
-        reads = [r.upper() for r in reads]
-
-        # padded read block (device-resident for the duration of the batch)
         RPAD = max(
-            _round_up(max((len(r) for r in reads), default=1), 32),
+            _round_up(
+                max((len(r) for r in all_reads[start:]), default=1), 32
+            ),
             getattr(self, "_RPAD", 0),
         )
         self._RPAD = RPAD
-        reads_pad = np.zeros((len(reads), RPAD), np.uint8)
-        for ri, r in enumerate(reads):
-            reads_pad[ri, : len(r)] = np.frombuffer(r, np.uint8)
-        self._cur_reads_host = reads_pad
-        self._cur_reads_dev = (
-            jax.device_put(reads_pad) if self.backend == "pallas" else reads_pad
-        )
 
-        problems = _Problems()
-        tasks: List[_Task] = []
-        read_params: List[Tuple[int, int, int]] = []  # min_score, band, x_drop
+        reads: List[bytes] = []
+        st = _ChunkState(reads=reads)
+        problems = st.problems
+        tasks = st.tasks
+        read_params = st.read_params
+        per_read_tasks = st.per_read_tasks
 
-        per_read_tasks: List[List[_Task]] = []
-
-        for ri, read in enumerate(reads):
+        pos = start
+        while pos < len(all_reads) and len(problems) < self.PROBLEM_BUDGET:
+            read = all_reads[pos].upper()
+            pos += 1
+            reads.append(read)
+            ri = len(reads) - 1
             min_aln_score = max(
                 int(opts.min_aln_score_percent * float(len(read))), opts.min_aln_score
             )
@@ -237,8 +298,27 @@ class BatchAligner:
             per_read_tasks.append(rtasks)
             tasks.extend(rtasks)
 
-        # ---- device pass 1: scores ----
-        scores, max_i, max_j = self._forward(problems)
+        # padded read block (device-resident for the duration of the
+        # chunk); rows padded to a power-of-two bucket so the jitted
+        # gather sees a bounded set of shapes across chunks
+        reads_pad = np.zeros((_pow2_bucket(max(len(reads), 1), 256), RPAD), np.uint8)
+        for ri, r in enumerate(reads):
+            reads_pad[ri, : len(r)] = np.frombuffer(r, np.uint8)
+        st.reads_host = reads_pad
+        st.reads_dev = (
+            jax.device_put(reads_pad) if self.backend == "pallas" else reads_pad
+        )
+        return st, pos
+
+    # ------------------------------------------------------------------
+    def _arbitrate_chunk(self, st: "_ChunkState") -> None:
+        opts = self.opts
+        reads = st.reads
+        tasks = st.tasks
+        read_params = st.read_params
+        per_read_tasks = st.per_read_tasks
+
+        scores, max_i, max_j = self._forward_results(st)
 
         for task in tasks:
             sL, sR = scores[task.left_pid], scores[task.right_pid]
@@ -252,9 +332,8 @@ class BatchAligner:
             task.span = (ystart, yend, xstart, xend)
 
         # ---- host arbitration per read ----
-        results: List[List[GenomeAlignment]] = []
         winner_pids: Dict[int, None] = {}
-        selected: List[List[Tuple[GenomeAlignment, _Task]]] = []
+        selected = st.selected
 
         for ri, read in enumerate(reads):
             min_aln_score, band, x_drop = read_params[ri]
@@ -302,13 +381,16 @@ class BatchAligner:
                 winner_pids[t.left_pid] = None
                 winner_pids[t.right_pid] = None
 
-        # ---- device pass 2: tracebacks for winners ----
-        pid_list = list(winner_pids.keys())
-        ops_by_pid = self._traceback(problems, pid_list)
+        # ---- device pass 2: tracebacks for winners (async dispatch) ----
+        st.pid_list = list(winner_pids.keys())
+        self._dispatch_traceback(st)
 
-        for ri, read in enumerate(reads):
+    def _finalize_chunk(self, st: "_ChunkState") -> List[List[GenomeAlignment]]:
+        ops_by_pid = self._traceback_results(st)
+        results: List[List[GenomeAlignment]] = []
+        for ri, read in enumerate(st.reads):
             out: List[GenomeAlignment] = []
-            for ga, task in selected[ri]:
+            for ga, task in st.selected[ri]:
                 out.append(self._finalize(read, ga, task, ops_by_pid))
             results.append(out)
         return results
@@ -443,15 +525,15 @@ class BatchAligner:
         out[: len(meta)] = meta
         return out
 
-    def _problem_bytes(self, meta_row) -> Tuple[bytes, bytes]:
+    def _problem_bytes(self, st, meta_row) -> Tuple[bytes, bytes]:
         """Host reconstruction of a problem's x/y windows (fallback path)."""
         yb, yd, yl, xb, xd, xl = (int(v) for v in meta_row[:6])
         y = self._ref_text_host[yb + yd * np.arange(yl)].tobytes()
-        x = self._cur_reads_host.reshape(-1)[xb + xd * np.arange(xl)].tobytes()
+        x = st.reads_host.reshape(-1)[xb + xd * np.arange(xl)].tobytes()
         return x, y
 
-    def _forward(self, problems):
-        meta_all = problems.meta()
+    def _dispatch_forward(self, st: "_ChunkState") -> None:
+        meta_all = st.problems.meta()
         n = len(meta_all)
         XMAX, YMAX, W = self._shapes(meta_all)
         if self.backend == "pallas":
@@ -460,33 +542,63 @@ class BatchAligner:
             BBLK = 256
             meta = self._pad_meta(meta_all, _pow2_bucket(max(n, 1), BBLK))
             kern = get_forward_gather_kernel(BBLK, XMAX, YMAX, W)
-            out = np.asarray(kern(self._ref_text(), self._cur_reads_dev, meta))[:n]
-            return out[:, 0], out[:, 1], out[:, 2]
+            st.fwd_raw = kern(self._ref_text(), st.reads_dev, meta)
+            return
 
         from ..ops.swg_batch import get_swg_gather_kernel
 
         meta = self._pad_meta(meta_all, _pow2_bucket(max(n, 1), 64))
         kern = get_swg_gather_kernel(XMAX, YMAX, W)
-        score, mi, mj, _dirs = kern(self._ref_text_host, self._cur_reads_host, meta)
+        score, mi, mj, _dirs = kern(self._ref_text_host, st.reads_host, meta)
+        st.fwd_raw = (score, mi, mj)
+
+    def _forward_results(self, st: "_ChunkState"):
+        n = len(st.problems)
+        if self.backend == "pallas":
+            out = np.asarray(st.fwd_raw)[:n]
+            st.fwd_raw = None
+            return out[:, 0], out[:, 1], out[:, 2]
+        score, mi, mj = st.fwd_raw
+        st.fwd_raw = None
         return np.asarray(score)[:n], np.asarray(mi)[:n], np.asarray(mj)[:n]
 
-    def _traceback(self, problems, pid_list):
-        ops_by_pid: Dict[int, Alignment] = {}
-        if not pid_list:
-            return ops_by_pid
-        meta_all = problems.meta()
-        meta_sub = meta_all[np.asarray(pid_list, np.int64)]
-        n = len(pid_list)
+    def _dispatch_traceback(self, st: "_ChunkState") -> None:
+        if not st.pid_list:
+            return
+        meta_all = st.problems.meta()
+        meta_sub = meta_all[np.asarray(st.pid_list, np.int64)]
+        st.tb_meta_sub = meta_sub
+        n = len(st.pid_list)
         XMAX, YMAX, W = self._shapes(meta_all)
 
         if self.backend == "pallas":
-            from ..ops.runs import decode_stream_batch
             from ..ops.swg_pallas import get_stream_traceback_gather_kernel
 
             BBLK = 64
             meta = self._pad_meta(meta_sub, _pow2_bucket(n, BBLK))
             kern = get_stream_traceback_gather_kernel(BBLK, XMAX, YMAX, W)
-            out = np.asarray(kern(self._ref_text(), self._cur_reads_dev, meta))[:n]
+            st.tb_raw = kern(self._ref_text(), st.reads_dev, meta)
+            return
+
+        from ..ops.swg_batch import get_swg_gather_kernel
+
+        meta = self._pad_meta(meta_sub, _pow2_bucket(n, 64))
+        kern = get_swg_gather_kernel(XMAX, YMAX, W)
+        st.tb_raw = (kern(self._ref_text_host, st.reads_host, meta), meta)
+
+    def _traceback_results(self, st: "_ChunkState"):
+        ops_by_pid: Dict[int, Alignment] = {}
+        pid_list = st.pid_list
+        if not pid_list:
+            return ops_by_pid
+        meta_sub = st.tb_meta_sub
+        n = len(pid_list)
+
+        if self.backend == "pallas":
+            from ..ops.runs import decode_stream_batch
+
+            out = np.asarray(st.tb_raw)[:n]
+            st.tb_raw = None
             alns = decode_stream_batch(out, meta_sub[:, 5], meta_sub[:, 2])
             for k, pid in enumerate(pid_list):
                 aln = alns[k]
@@ -495,18 +607,16 @@ class BatchAligner:
                     # host (not expected in practice)
                     from ..ops.swg_ref import SwgExtend
 
-                    x, y = self._problem_bytes(meta_sub[k])
+                    x, y = self._problem_bytes(st, meta_sub[k])
                     band, xd = int(meta_sub[k, 6]), int(meta_sub[k, 7])
                     aln = SwgExtend(band).extend(x, y, band, xd)
                 ops_by_pid[pid] = aln
             return ops_by_pid
 
-        from ..ops.swg_batch import get_swg_gather_kernel
         from ..ops.traceback import traceback_batch
 
-        meta = self._pad_meta(meta_sub, _pow2_bucket(n, 64))
-        kern = get_swg_gather_kernel(XMAX, YMAX, W)
-        score, mi, mj, dirs = kern(self._ref_text_host, self._cur_reads_host, meta)
+        (score, mi, mj, dirs), meta = st.tb_raw
+        st.tb_raw = None
         alns = traceback_batch(
             np.asarray(dirs), meta[:, 6], np.asarray(mi), np.asarray(mj),
             meta[:, 5], meta[:, 2], np.asarray(score),
