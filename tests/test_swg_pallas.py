@@ -3,8 +3,12 @@
 import numpy as np
 import pytest
 
-from thermite_tpu.ops.runs import decode_runs_one
-from thermite_tpu.ops.swg_pallas import get_forward_kernel, get_traceback_kernel
+from thermite_tpu.ops.runs import decode_runs_one, decode_stream_batch
+from thermite_tpu.ops.swg_pallas import (
+    get_forward_kernel,
+    get_traceback_kernel,
+    make_stream_traceback_kernel,
+)
 from thermite_tpu.ops.swg_ref import SwgExtend
 
 
@@ -50,14 +54,30 @@ def run_pallas(pairs, trace=True):
     return meta[: len(pairs)]
 
 
+def run_pallas_stream(pairs):
+    BBLK = 8
+    XMAX = max(8, max(len(p[0]) for p in pairs))
+    YMAX = max(8, max(len(p[1]) for p in pairs))
+    bmax = max(p[2] for p in pairs)
+    W = 2 * bmax + 1
+    x, y, params = pack_pairs(pairs, BBLK, XMAX, YMAX, W)
+    kern = make_stream_traceback_kernel(BBLK, XMAX, YMAX, W, interpret=True)
+    out = np.asarray(kern(x, y, params))[: len(pairs)]
+    return decode_stream_batch(out, params[:, 0], params[:, 1])
+
+
 def assert_matches_oracle(pairs):
     got = run_pallas(pairs, trace=True)
     fwd = run_pallas(pairs, trace=False)
-    for (xs, ys, b, d), g, f in zip(pairs, got, fwd):
+    stream = run_pallas_stream(pairs)
+    for (xs, ys, b, d), g, f, s in zip(pairs, got, fwd, stream):
         want = SwgExtend(b).extend(xs, ys, b, d)
         assert g is not None
         assert g == want, f"x={xs!r} y={ys!r} band={b} xdrop={d}\n got={g}\nwant={want}"
         assert (int(f[0]), int(f[1]), int(f[2])) == (want.score, want.xend, want.yend)
+        assert s == want, (
+            f"stream kernel: x={xs!r} y={ys!r} band={b} xdrop={d}\n got={s}\nwant={want}"
+        )
 
 
 def test_reference_cases():

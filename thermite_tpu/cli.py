@@ -27,7 +27,18 @@ from .index.build import Index
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="thermite", description="TPU-native spliced RNA aligner")
     p.add_argument("-v", "--verbose", action="store_true")
-    sub = p.add_subparsers(dest="cmd", required=True)
+
+    # accept -v after the subcommand too (reference clap parses it
+    # globally, src/main.rs:90); SUPPRESS keeps a pre-subcommand -v
+    # from being clobbered by the subparser default
+    class _SubParser(argparse.ArgumentParser):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.add_argument(
+                "-v", "--verbose", action="store_true", default=argparse.SUPPRESS
+            )
+
+    sub = p.add_subparsers(dest="cmd", required=True, parser_class=_SubParser)
 
     pi = sub.add_parser("index", help="Index a reference")
     pi.add_argument("reference", help="reference FASTA")
