@@ -1,12 +1,20 @@
 // thermite-tpu native host engine.
 //
 // Covers the host-side hot paths that the reference implements in Rust
-// with native-speed crates (FM-index SMEM search, reference
-// src/index.rs:228-255; suffix-array construction via libdivsufsort,
-// src/index.rs:104): here re-designed as a k-mer anchor table + maximal
-// extension + supermaximal-envelope selection, byte-identical in output
-// to the Python engine in thermite_tpu/seed/smem.py (same algorithm,
-// same canonical ordering).
+// with native-speed crates:
+//
+// * SMEM seeding (reference src/index.rs:228-255; suffix-array
+//   construction via libdivsufsort, src/index.rs:104): re-designed as a
+//   k-mer anchor table + maximal extension + supermaximal-envelope
+//   selection, byte-identical in output to the Python engine in
+//   thermite_tpu/seed/smem.py (same algorithm, same canonical order).
+// * The per-read batch pipeline's host stages (reference
+//   src/aligner.rs:123-314 rules): chunk task building (seed -> genome
+//   window + transcript-candidate extension problems as device gather
+//   offsets) and post-kernel arbitration (genome-vs-transcriptome
+//   choice, thresholds, overlap filter, primary selection) — exact
+//   ports of the Python implementations in thermite_tpu/align/batch.py,
+//   which remain as the fallback and the parity referee.
 //
 // Exposed as a plain C ABI for ctypes (no pybind11 in this image).
 //
@@ -239,6 +247,471 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
     out_len[i] = mems[i].len;
   }
   return (int64_t)mems.size();
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batch pipeline host stages: chunk building + arbitration.
+// Exact ports of thermite_tpu/align/batch.py (_build_chunk /
+// _arbitrate_chunk), which stay as the Python fallback + parity referee.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct IntervalTable {
+  std::vector<int64_t> start, end, data, maxend;
+  // payloads of intervals overlapping [s, e), in table order
+  void find(int64_t s, int64_t e, std::vector<int64_t>* out) const {
+    out->clear();
+    if (start.empty() || e <= s) return;
+    int64_t hi = std::lower_bound(start.begin(), start.end(), e) - start.begin();
+    if (hi == 0) return;
+    int64_t lo =
+        std::upper_bound(maxend.begin(), maxend.begin() + hi, s) - maxend.begin();
+    for (int64_t i = lo; i < hi; ++i)
+      if (end[i] > s) out->push_back(data[i]);
+  }
+};
+
+struct Engine {
+  SeedIndex* seeds = nullptr;
+  const uint8_t* text;  // borrowed (kept alive by Python Index)
+  int64_t text_len;
+  int64_t min_seed_len;
+  // refs (concatenated copies: fwd + revcomp per chromosome)
+  std::vector<int64_t> ref_start, ref_end, ref_len, ref_rank;
+  std::vector<uint8_t> ref_strand;
+  // combined reference text (genome + tx spliced seqs); borrowed
+  const uint8_t* ref_text;
+  int64_t ref_text_len;
+  // transcripts
+  std::vector<int64_t> tx_off;       // n_txs+1 offsets into ref_text
+  std::vector<int64_t> tx_exon_off;  // n_txs+1 offsets into exon arrays
+  std::vector<int64_t> exon_start, exon_end;
+  IntervalTable e2t, genes;
+  // opts
+  double pct;
+  int64_t min_score, mm_range, intron_mode;
+
+  int64_t ref_of(int64_t idx) const {  // idx_to_ref binary search
+    return std::upper_bound(ref_end.begin(), ref_end.end(), idx) -
+           ref_end.begin();
+  }
+  int64_t tx_len(int64_t t) const { return tx_off[t + 1] - tx_off[t]; }
+};
+
+// task columns (kept int64; mirrors batch.py _Task)
+enum {
+  T_READ = 0, T_ISTX, T_HITREF, T_HITQ, T_HITLEN, T_LP, T_RP,
+  T_REFLEN, T_SEQSTART, T_TXIDX, T_NCOL
+};
+// selected columns
+enum {
+  S_READ = 0, S_TASK, S_TYPE, S_GENE, S_REFID, S_SCORE,
+  S_YS, S_YE, S_XS, S_XE, S_PRIMARY, S_NCOL
+};
+// aln types (match thermite_tpu/align/types.py EXONIC/INTRONIC/INTERGENIC)
+enum { A_EXONIC = 0, A_INTRONIC = 1, A_INTERGENIC = 2 };
+
+struct Chunk {
+  int64_t n_reads = 0;  // consumed
+  int64_t rpad = 0;
+  std::vector<int64_t> read_len, read_minscore, read_band;
+  std::vector<int32_t> meta;         // (P, 8)
+  std::vector<int64_t> tasks;        // (T, T_NCOL)
+  std::vector<int64_t> read_task_off;  // (n_reads+1,)
+  std::vector<int64_t> selected;     // (S, S_NCOL)
+  std::vector<int64_t> winner_pids;
+  int64_t n_problems() const { return (int64_t)meta.size() / 8; }
+  int64_t n_tasks() const { return (int64_t)tasks.size() / T_NCOL; }
+};
+
+int64_t add_problem(Chunk* ch, int64_t yb, int64_t yd, int64_t yl, int64_t xb,
+                    int64_t xd, int64_t xl, int64_t band, int64_t xdrop) {
+  int32_t row[8] = {(int32_t)yb, (int32_t)yd, (int32_t)yl, (int32_t)xb,
+                    (int32_t)xd, (int32_t)xl, (int32_t)band, (int32_t)xdrop};
+  ch->meta.insert(ch->meta.end(), row, row + 8);
+  return ch->n_problems() - 1;
+}
+
+// right + (reversed) left extension problems (batch.py _extend_problems)
+void extend_problems(Chunk* ch, int64_t seed_y, int64_t seed_len, int64_t y_lo,
+                     int64_t y_hi, int64_t read_off, int64_t q, int64_t rlen,
+                     int64_t band, int64_t xdrop, int64_t* lp, int64_t* rp) {
+  int64_t xlen_r = rlen - q - seed_len;
+  int64_t yb_r = seed_y + seed_len;
+  int64_t ylen_r = std::max(std::min(y_hi - yb_r, xlen_r + band + 1), (int64_t)0);
+  *rp = add_problem(ch, yb_r, 1, ylen_r, read_off + q + seed_len, 1, xlen_r,
+                    band, xdrop);
+  int64_t xlen_l = q;
+  int64_t ylen_l = std::max(std::min(seed_y - y_lo, xlen_l + band + 1), (int64_t)0);
+  *lp = add_problem(ch, seed_y - 1, -1, ylen_l, read_off + q - 1, -1, xlen_l,
+                    band, xdrop);
+}
+
+// lift_mem_to_tx (txome.py:119-137): clip MEM to first intersecting exon
+bool lift_mem_to_tx(const Engine& E, int64_t tx, int64_t mref, int64_t mq,
+                    int64_t mlen, int64_t* oref, int64_t* oq, int64_t* olen) {
+  int64_t exon_sum = 0;
+  for (int64_t e = E.tx_exon_off[tx]; e < E.tx_exon_off[tx + 1]; ++e) {
+    int64_t es = E.exon_start[e], ee = E.exon_end[e];
+    int64_t a0 = mref, a1 = mref + mlen;
+    if ((es <= a0 && a0 < ee) || (a0 <= es && es < a1)) {
+      int64_t start = std::max(mref - es, (int64_t)0) + exon_sum;
+      int64_t start_offset = std::max(es - mref, (int64_t)0);
+      int64_t end = std::min(mref + mlen, ee) - es + exon_sum;
+      *oref = start;
+      *oq = mq + start_offset;
+      *olen = end - start;
+      return true;
+    }
+    exon_sum += ee - es;
+  }
+  return false;
+}
+
+// extend_seed_match (align/extend.py:68-82)
+void extend_seed_match(const uint8_t* seq, int64_t seq_len, const uint8_t* read,
+                       int64_t rlen, int64_t* ref_idx, int64_t* q_idx,
+                       int64_t* len) {
+  int64_t r = *ref_idx, q = *q_idx, l = *len;
+  while (r + l < seq_len && q + l < rlen && seq[r + l] == read[q + l]) ++l;
+  while (r > 0 && q > 0 && seq[r - 1] == read[q - 1]) {
+    --r; --q; ++l;
+  }
+  *ref_idx = r; *q_idx = q; *len = l;
+}
+
+// lift_tx_span_to_gx (index/span_lift.py)
+void lift_tx_span(const Engine& E, int64_t tx, int64_t ys, int64_t ye,
+                  bool trailing_nonref, int64_t* gys, int64_t* gye) {
+  int64_t e0 = E.tx_exon_off[tx], e1 = E.tx_exon_off[tx + 1];
+  auto elen = [&](int64_t k) { return E.exon_end[k] - E.exon_start[k]; };
+  int64_t exon_sum = 0, k0 = e0;
+  while (exon_sum + elen(k0) <= ys) {
+    exon_sum += elen(k0);
+    ++k0;
+  }
+  *gys = E.exon_start[k0] + (ys - exon_sum);
+  if (ye == ys) {
+    *gye = E.exon_start[k0] + (ye - exon_sum);
+    return;
+  }
+  int64_t k = k0, end_sum = exon_sum;
+  while (k + 1 < e1 && end_sum + elen(k) <= ye - 1) {
+    end_sum += elen(k);
+    ++k;
+  }
+  if (trailing_nonref && k + 1 < e1 && end_sum + elen(k) <= ye) {
+    end_sum += elen(k);
+    ++k;
+  }
+  *gye = E.exon_start[k] + (ye - end_sum);
+}
+
+// _span_to_chr (batch.py): concatenated span -> chromosome-local span
+void span_to_chr(const Engine& E, int64_t gys, int64_t gye, int64_t* ys,
+                 int64_t* ye) {
+  int64_t r = E.ref_of(gys);
+  if (E.ref_strand[r]) {
+    *ys = gys - E.ref_start[r];
+    *ye = gye - E.ref_start[r];
+  } else {
+    *ys = E.ref_len[r] - (gye - E.ref_start[r]);
+    *ye = E.ref_len[r] - (gys - E.ref_start[r]);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* thermite_engine_new(
+    const uint8_t* text, int64_t text_len, int64_t min_seed_len, int64_t k,
+    int64_t n_refs, const int64_t* ref_start, const int64_t* ref_end,
+    const uint8_t* ref_strand, const int64_t* ref_len, const int64_t* ref_rank,
+    const uint8_t* ref_text, int64_t ref_text_len, int64_t n_txs,
+    const int64_t* tx_off, const int64_t* tx_exon_off, int64_t n_exons,
+    const int64_t* exon_start, const int64_t* exon_end, int64_t n_e2t,
+    const int64_t* e2t_start, const int64_t* e2t_end, const int64_t* e2t_data,
+    const int64_t* e2t_maxend, int64_t n_gi, const int64_t* gi_start,
+    const int64_t* gi_end, const int64_t* gi_data, const int64_t* gi_maxend,
+    double pct, int64_t min_score, int64_t mm_range, int64_t intron_mode) {
+  auto* E = new Engine();
+  E->seeds = static_cast<SeedIndex*>(
+      thermite_seed_index_new(text, text_len, (int)k));
+  if (!E->seeds) {
+    delete E;
+    return nullptr;
+  }
+  E->text = text;
+  E->text_len = text_len;
+  E->min_seed_len = min_seed_len;
+  E->ref_start.assign(ref_start, ref_start + n_refs);
+  E->ref_end.assign(ref_end, ref_end + n_refs);
+  E->ref_strand.assign(ref_strand, ref_strand + n_refs);
+  E->ref_len.assign(ref_len, ref_len + n_refs);
+  E->ref_rank.assign(ref_rank, ref_rank + n_refs);
+  E->ref_text = ref_text;
+  E->ref_text_len = ref_text_len;
+  E->tx_off.assign(tx_off, tx_off + n_txs + 1);
+  E->tx_exon_off.assign(tx_exon_off, tx_exon_off + n_txs + 1);
+  E->exon_start.assign(exon_start, exon_start + n_exons);
+  E->exon_end.assign(exon_end, exon_end + n_exons);
+  E->e2t.start.assign(e2t_start, e2t_start + n_e2t);
+  E->e2t.end.assign(e2t_end, e2t_end + n_e2t);
+  E->e2t.data.assign(e2t_data, e2t_data + n_e2t);
+  E->e2t.maxend.assign(e2t_maxend, e2t_maxend + n_e2t);
+  E->genes.start.assign(gi_start, gi_start + n_gi);
+  E->genes.end.assign(gi_end, gi_end + n_gi);
+  E->genes.data.assign(gi_data, gi_data + n_gi);
+  E->genes.maxend.assign(gi_maxend, gi_maxend + n_gi);
+  E->pct = pct;
+  E->min_score = min_score;
+  E->mm_range = mm_range;
+  E->intron_mode = intron_mode;
+  return E;
+}
+
+void thermite_engine_free(void* h) {
+  auto* E = static_cast<Engine*>(h);
+  if (E->seeds) thermite_seed_index_free(E->seeds);
+  delete E;
+}
+
+// Build tasks/problems for reads until the problem budget is reached.
+// reads: (n_reads, rpad) row-major padded block. Returns a Chunk handle;
+// the number of consumed reads is read back via thermite_chunk_n_reads.
+void* thermite_chunk_build(void* h, const uint8_t* reads, int64_t n_reads,
+                           int64_t rpad, const int64_t* read_lens,
+                           int64_t problem_budget) {
+  auto& E = *static_cast<Engine*>(h);
+  auto* ch = new Chunk();
+  ch->rpad = rpad;
+
+  std::vector<int64_t> mq, mt, ml;
+  mq.resize(4096); mt.resize(4096); ml.resize(4096);
+  std::vector<int64_t> tx_cands;
+
+  for (int64_t ri = 0; ri < n_reads; ++ri) {
+    if (ch->n_problems() >= problem_budget) break;
+    const uint8_t* read = reads + ri * rpad;
+    int64_t rlen = read_lens[ri];
+    int64_t min_aln = std::max((int64_t)(E.pct * (double)rlen), E.min_score);
+    int64_t band = std::max(rlen - min_aln, (int64_t)0);
+    int64_t xdrop = band;
+    ch->read_len.push_back(rlen);
+    ch->read_minscore.push_back(min_aln);
+    ch->read_band.push_back(band);
+    ch->read_task_off.push_back(ch->n_tasks());
+    ch->n_reads = ri + 1;
+    int64_t read_off = ri * rpad;
+
+    int64_t nm = thermite_smems(E.seeds, read, rlen, E.min_seed_len, mq.data(),
+                                mt.data(), ml.data(), (int64_t)mq.size());
+    if (nm < 0) {
+      mq.resize(-nm); mt.resize(-nm); ml.resize(-nm);
+      nm = thermite_smems(E.seeds, read, rlen, E.min_seed_len, mq.data(),
+                          mt.data(), ml.data(), (int64_t)mq.size());
+    }
+
+    for (int64_t m = 0; m < nm; ++m) {
+      int64_t hq = mq[m], href = mt[m], hlen = ml[m];
+      int64_t r = E.ref_of(href);
+
+      // genome window (reference src/aligner.rs:209-227)
+      int64_t seq_start = std::max(href - (rlen + band), E.ref_start[r]);
+      int64_t seq_end =
+          std::min(href + hlen + rlen + band, E.ref_end[r] - 1);
+      int64_t lp, rp;
+      extend_problems(ch, href, hlen, seq_start, seq_end, read_off, hq, rlen,
+                      band, xdrop, &lp, &rp);
+      int64_t row[T_NCOL] = {ri,       0,  href - seq_start, hq, hlen,
+                             lp,       rp, seq_end - seq_start,
+                             seq_start, -1};
+      ch->tasks.insert(ch->tasks.end(), row, row + T_NCOL);
+
+      // transcriptome candidates (src/aligner.rs:230-258), ascending tx
+      E.e2t.find(href, href + hlen, &tx_cands);
+      std::sort(tx_cands.begin(), tx_cands.end());
+      tx_cands.erase(std::unique(tx_cands.begin(), tx_cands.end()),
+                     tx_cands.end());
+      for (int64_t tx : tx_cands) {
+        int64_t sref, sq, slen;
+        if (!lift_mem_to_tx(E, tx, href, hq, hlen, &sref, &sq, &slen))
+          continue;  // Python raises; SMEM candidates always intersect
+        const uint8_t* tseq = E.ref_text + E.tx_off[tx];
+        int64_t tlen = E.tx_len(tx);
+        extend_seed_match(tseq, tlen, read, rlen, &sref, &sq, &slen);
+        int64_t base = E.tx_off[tx];
+        int64_t y_lo = std::max(sref - (rlen + band), (int64_t)0);
+        extend_problems(ch, base + sref, slen, base + y_lo, base + tlen,
+                        read_off, sq, rlen, band, xdrop, &lp, &rp);
+        int64_t trow[T_NCOL] = {ri, 1, sref, sq, slen, lp, rp, tlen, 0, tx};
+        ch->tasks.insert(ch->tasks.end(), trow, trow + T_NCOL);
+      }
+    }
+  }
+  ch->read_task_off.push_back(ch->n_tasks());
+  return ch;
+}
+
+void thermite_chunk_free(void* ch) { delete static_cast<Chunk*>(ch); }
+int64_t thermite_chunk_n_reads(void* ch) {
+  return static_cast<Chunk*>(ch)->n_reads;
+}
+int64_t thermite_chunk_n_problems(void* ch) {
+  return static_cast<Chunk*>(ch)->n_problems();
+}
+int64_t thermite_chunk_n_tasks(void* ch) {
+  return static_cast<Chunk*>(ch)->n_tasks();
+}
+const int32_t* thermite_chunk_meta(void* ch) {
+  return static_cast<Chunk*>(ch)->meta.data();
+}
+const int64_t* thermite_chunk_tasks(void* ch) {
+  return static_cast<Chunk*>(ch)->tasks.data();
+}
+
+// Post-kernel arbitration (batch.py _arbitrate_chunk rules; reference
+// src/aligner.rs:143-190 + 263-313).
+void thermite_chunk_arbitrate(void* eh, void* chh, const int32_t* scores,
+                              const int32_t* mi, const int32_t* mj) {
+  auto& E = *static_cast<Engine*>(eh);
+  auto& ch = *static_cast<Chunk*>(chh);
+  ch.selected.clear();
+  ch.winner_pids.clear();
+
+  struct Cand {  // one chosen alignment per seed group
+    int64_t task, type, gene, refid, score, ys, ye, xs, xe, rank, strand;
+  };
+  std::vector<Cand> cands, kept;
+
+  auto task = [&](int64_t t, int c) { return ch.tasks[t * T_NCOL + c]; };
+
+  for (int64_t ri = 0; ri < ch.n_reads; ++ri) {
+    int64_t t0 = ch.read_task_off[ri], t1 = ch.read_task_off[ri + 1];
+    int64_t rlen = ch.read_len[ri];
+    int64_t min_aln = ch.read_minscore[ri];
+    cands.clear();
+
+    int64_t t = t0;
+    while (t < t1) {
+      // group: one gx task + its tx tasks
+      int64_t gx = t++;
+      int64_t lp = task(gx, T_LP), rp = task(gx, T_RP);
+      int64_t gx_score = scores[lp] + task(gx, T_HITLEN) + scores[rp];
+      int64_t abs_ref = task(gx, T_SEQSTART) + task(gx, T_HITREF);
+      int64_t gys = abs_ref - mj[lp];
+      int64_t gye = abs_ref + task(gx, T_HITLEN) + mj[rp];
+      int64_t gxs = task(gx, T_HITQ) - mi[lp];
+      int64_t gxe = task(gx, T_HITQ) + task(gx, T_HITLEN) + mi[rp];
+
+      // best transcript (first max; early break on perfect score)
+      int64_t best = -1, best_score = 0;
+      int64_t tys = 0, tye = 0, txs = 0, txe = 0;
+      while (t < t1 && task(t, T_ISTX)) {
+        int64_t tl = task(t, T_LP), tr = task(t, T_RP);
+        int64_t sc = scores[tl] + task(t, T_HITLEN) + scores[tr];
+        if (best < 0 || sc > best_score) {
+          best = t;
+          best_score = sc;
+          tys = task(t, T_HITREF) - mj[tl];
+          tye = task(t, T_HITREF) + task(t, T_HITLEN) + mj[tr];
+          txs = task(t, T_HITQ) - mi[tl];
+          txe = task(t, T_HITQ) + task(t, T_HITLEN) + mi[tr];
+        }
+        ++t;
+        if (sc >= rlen) {  // MATCH_SCORE == 1
+          while (t < t1 && task(t, T_ISTX)) ++t;  // skip rest of group
+          break;
+        }
+      }
+
+      int64_t hit_r = E.ref_of(abs_ref);
+      Cand c;
+      c.refid = hit_r;
+      c.rank = E.ref_rank[hit_r];
+      c.strand = E.ref_strand[hit_r];
+      if (best >= 0 && best_score >= gx_score) {
+        int64_t tx = task(best, T_TXIDX);
+        int64_t lys, lye;
+        lift_tx_span(E, tx, tys, tye, txe < rlen, &lys, &lye);
+        c.task = best;
+        c.type = A_EXONIC;
+        c.gene = -1;
+        c.score = best_score;
+        span_to_chr(E, lys, lye, &c.ys, &c.ye);
+        c.xs = txs;
+        c.xe = txe;
+      } else {
+        std::vector<int64_t> gidx;
+        E.genes.find(gys, gye, &gidx);
+        c.task = gx;
+        c.type = gidx.empty() ? A_INTERGENIC : A_INTRONIC;
+        c.gene = gidx.empty() ? -1 : gidx[0];
+        c.score = gx_score;
+        span_to_chr(E, gys, gye, &c.ys, &c.ye);
+        c.xs = gxs;
+        c.xe = gxe;
+      }
+
+      if (!E.intron_mode && c.type != A_EXONIC) continue;
+      if (c.score < E.min_score || c.score < min_aln) continue;
+      cands.push_back(c);
+    }
+
+    int64_t max_score = min_aln;
+    for (const auto& c : cands) max_score = std::max(max_score, c.score);
+    kept.clear();
+    for (const auto& c : cands)
+      if (c.score >= max_score - E.mm_range) kept.push_back(c);
+
+    // filter_overlapping (driver.py / reference src/aligner.rs:317-349):
+    // stable sort by (name, strand, ystart), then linear max-end dedupe
+    std::stable_sort(kept.begin(), kept.end(), [](const Cand& a, const Cand& b) {
+      if (a.rank != b.rank) return a.rank < b.rank;
+      if (a.strand != b.strand) return a.strand < b.strand;
+      return a.ys < b.ys;
+    });
+    std::vector<Cand> res;
+    int64_t max_end = 0;
+    for (const auto& c : kept) {
+      if (res.empty() || c.ys >= max_end || c.rank != res.back().rank ||
+          c.strand != res.back().strand) {
+        max_end = c.ye;
+        res.push_back(c);
+      } else {
+        if (c.score > res.back().score) res.back() = c;
+        max_end = std::max(max_end, res.back().ye);
+      }
+    }
+    std::stable_sort(res.begin(), res.end(),
+                     [](const Cand& a, const Cand& b) { return a.score > b.score; });
+
+    for (size_t s = 0; s < res.size(); ++s) {
+      const auto& c = res[s];
+      int64_t row[S_NCOL] = {ri,      c.task, c.type, c.gene, c.refid, c.score,
+                             c.ys,    c.ye,   c.xs,   c.xe,   s == 0 ? 1 : 0};
+      ch.selected.insert(ch.selected.end(), row, row + S_NCOL);
+      ch.winner_pids.push_back(task(c.task, T_LP));
+      ch.winner_pids.push_back(task(c.task, T_RP));
+    }
+  }
+}
+
+int64_t thermite_chunk_n_selected(void* ch) {
+  return (int64_t)static_cast<Chunk*>(ch)->selected.size() / S_NCOL;
+}
+const int64_t* thermite_chunk_selected(void* ch) {
+  return static_cast<Chunk*>(ch)->selected.data();
+}
+int64_t thermite_chunk_n_winners(void* ch) {
+  return (int64_t)static_cast<Chunk*>(ch)->winner_pids.size();
+}
+const int64_t* thermite_chunk_winners(void* ch) {
+  return static_cast<Chunk*>(ch)->winner_pids.data();
 }
 
 }  // extern "C"

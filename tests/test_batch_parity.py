@@ -25,9 +25,9 @@ def index(tmp_path_factory):
     return Index.create_from_files(ref, gtf)
 
 
-def _assert_parity(index, reads, opts):
+def _assert_parity(index, reads, opts, use_native=None):
     oracle = OracleAligner(index, opts)
-    batch = BatchAligner(index, opts, backend="xla")
+    batch = BatchAligner(index, opts, backend="xla", use_native=use_native)
     got_all = batch.align_batch(reads)
     for read, got in zip(reads, got_all):
         want = oracle.align_read(read)
@@ -37,9 +37,12 @@ def _assert_parity(index, reads, opts):
 
 
 @pytest.mark.parametrize("intron_mode", [False, True])
-def test_fixture_parity(index, intron_mode):
+@pytest.mark.parametrize("use_native", [False, None])
+def test_fixture_parity(index, intron_mode, use_native):
     opts = AlignOpts(min_seed_len=3, min_aln_score=0, intron_mode=intron_mode)
-    _assert_parity(index, [seq.encode() for _, seq in READS], opts)
+    _assert_parity(
+        index, [seq.encode() for _, seq in READS], opts, use_native=use_native
+    )
 
 
 @pytest.fixture(scope="module")

@@ -110,10 +110,15 @@ class _ChunkState:
     )
     reads_host: Optional[np.ndarray] = None
     reads_dev: object = None
+    meta_all: Optional[np.ndarray] = None  # (P, 8) problem offsets
     fwd_raw: object = None  # un-synced device output of the forward pass
-    pid_list: List[int] = field(default_factory=list)
+    pid_list: object = None  # winner problem ids (list or int64 array)
     tb_raw: object = None  # un-synced device output of the traceback pass
     tb_meta_sub: Optional[np.ndarray] = None
+    # native-engine state
+    native_ch: object = None
+    tasks_arr: Optional[np.ndarray] = None  # (T, 10) int64
+    selected_arr: Optional[np.ndarray] = None  # (S, 11) int64
 
 
 @dataclass
@@ -133,7 +138,13 @@ class _Task:
 
 
 class BatchAligner:
-    def __init__(self, index: Index, opts: AlignOpts, backend: Optional[str] = None):
+    def __init__(
+        self,
+        index: Index,
+        opts: AlignOpts,
+        backend: Optional[str] = None,
+        use_native: Optional[bool] = None,
+    ):
         self.index = index
         self.opts = opts
         from ..seed.native import make_seeder
@@ -156,6 +167,23 @@ class BatchAligner:
             [index.seq_arr] + [np.frombuffer(tx.seq, np.uint8) for tx in txs]
         )
         self._ref_text_dev = None  # device copy, uploaded once on first use
+
+        # native (C++) build/arbitrate engine; Python stages below remain
+        # the fallback and parity referee
+        self.native = None
+        if use_native is not False:
+            try:
+                from ..seed.kmer import MAX_ANCHOR_K
+                from .native_batch import NativeBatchEngine
+
+                self.native = NativeBatchEngine(
+                    index, opts, self.tx_off, self._ref_text_host,
+                    opts.min_seed_len, min(MAX_ANCHOR_K, opts.min_seed_len),
+                )
+            except (RuntimeError, AttributeError, OSError):
+                if use_native:
+                    raise
+                self.native = None
 
     def _ref_text(self):
         if self._ref_text_dev is None:
@@ -206,6 +234,8 @@ class BatchAligner:
     def _build_chunk(
         self, all_reads: List[bytes], start: int
     ) -> Tuple["_ChunkState", int]:
+        if self.native is not None:
+            return self._build_chunk_native(all_reads, start)
         opts = self.opts
         index = self.index
         RPAD = max(
@@ -308,10 +338,48 @@ class BatchAligner:
         st.reads_dev = (
             jax.device_put(reads_pad) if self.backend == "pallas" else reads_pad
         )
+        st.meta_all = st.problems.meta()
         return st, pos
+
+    def _build_chunk_native(
+        self, all_reads: List[bytes], start: int
+    ) -> Tuple["_ChunkState", int]:
+        take = min(len(all_reads) - start, 4096)
+        reads = [all_reads[start + i].upper() for i in range(max(take, 0))]
+        RPAD = max(
+            _round_up(max((len(r) for r in reads), default=1), 32),
+            getattr(self, "_RPAD", 0),
+        )
+        self._RPAD = RPAD
+        reads_pad = np.zeros(
+            (_pow2_bucket(max(len(reads), 1), 256), RPAD), np.uint8
+        )
+        read_lens = np.zeros(max(len(reads), 1), np.int64)
+        for ri, r in enumerate(reads):
+            reads_pad[ri, : len(r)] = np.frombuffer(r, np.uint8)
+            read_lens[ri] = len(r)
+        ch, consumed, meta, tasks = self.native.build_chunk(
+            reads_pad, read_lens, len(reads), self.PROBLEM_BUDGET
+        )
+        st = _ChunkState(reads=reads[:consumed])
+        st.native_ch = ch
+        st.meta_all = meta
+        st.tasks_arr = tasks
+        st.reads_host = reads_pad
+        st.reads_dev = (
+            jax.device_put(reads_pad) if self.backend == "pallas" else reads_pad
+        )
+        return st, start + consumed
 
     # ------------------------------------------------------------------
     def _arbitrate_chunk(self, st: "_ChunkState") -> None:
+        if st.native_ch is not None:
+            scores, max_i, max_j = self._forward_results(st)
+            st.selected_arr, st.pid_list = self.native.arbitrate(
+                st.native_ch, scores, max_i, max_j
+            )
+            self._dispatch_traceback(st)
+            return
         opts = self.opts
         reads = st.reads
         tasks = st.tasks
@@ -387,12 +455,55 @@ class BatchAligner:
 
     def _finalize_chunk(self, st: "_ChunkState") -> List[List[GenomeAlignment]]:
         ops_by_pid = self._traceback_results(st)
+        if st.native_ch is not None:
+            return self._finalize_chunk_native(st, ops_by_pid)
         results: List[List[GenomeAlignment]] = []
         for ri, read in enumerate(st.reads):
             out: List[GenomeAlignment] = []
             for ga, task in st.selected[ri]:
                 out.append(self._finalize(read, ga, task, ops_by_pid))
             results.append(out)
+        return results
+
+    _ALN_TYPES = (EXONIC, INTRONIC, INTERGENIC)
+
+    def _finalize_chunk_native(
+        self, st: "_ChunkState", ops_by_pid
+    ) -> List[List[GenomeAlignment]]:
+        results: List[List[GenomeAlignment]] = [[] for _ in st.reads]
+        refs = self.index.refs
+        for row in st.selected_arr:
+            (ri, ti, atype, gene, refid, score, ys, ye, xs, xe, prim) = (
+                int(v) for v in row
+            )
+            t = st.tasks_arr[ti]
+            task = _Task(
+                read_i=ri,
+                kind="tx" if t[1] else "gx",
+                hit=Mem(int(t[2]), int(t[3]), int(t[4])),
+                left_pid=int(t[5]),
+                right_pid=int(t[6]),
+                ref_len=int(t[7]),
+                seq_start=int(t[8]),
+                tx_idx=int(t[9]),
+            )
+            ref = refs[refid]
+            read = st.reads[ri]
+            ga = GenomeAlignment(
+                gx_aln=Alignment(
+                    score=score, ystart=ys, xstart=xs, yend=ye, xend=xe,
+                    ylen=ref.len, xlen=len(read), operations=[],
+                ),
+                aln_type=self._ALN_TYPES[atype],
+                ref_name=ref.name,
+                strand=ref.strand,
+                primary=bool(prim),
+                tx_idx=int(t[9]) if atype == 0 else None,
+                gene_idx=gene if atype == 1 else None,
+            )
+            results[ri].append(self._finalize(read, ga, task, ops_by_pid))
+        self.native.free_chunk(st.native_ch)
+        st.native_ch = None
         return results
 
     # ------------------------------------------------------------------
@@ -533,7 +644,7 @@ class BatchAligner:
         return x, y
 
     def _dispatch_forward(self, st: "_ChunkState") -> None:
-        meta_all = st.problems.meta()
+        meta_all = st.meta_all
         n = len(meta_all)
         XMAX, YMAX, W = self._shapes(meta_all)
         if self.backend == "pallas":
@@ -553,7 +664,7 @@ class BatchAligner:
         st.fwd_raw = (score, mi, mj)
 
     def _forward_results(self, st: "_ChunkState"):
-        n = len(st.problems)
+        n = len(st.meta_all)
         if self.backend == "pallas":
             out = np.asarray(st.fwd_raw)[:n]
             st.fwd_raw = None
@@ -563,13 +674,12 @@ class BatchAligner:
         return np.asarray(score)[:n], np.asarray(mi)[:n], np.asarray(mj)[:n]
 
     def _dispatch_traceback(self, st: "_ChunkState") -> None:
-        if not st.pid_list:
+        if st.pid_list is None or len(st.pid_list) == 0:
             return
-        meta_all = st.problems.meta()
-        meta_sub = meta_all[np.asarray(st.pid_list, np.int64)]
+        meta_sub = st.meta_all[np.asarray(st.pid_list, np.int64)]
         st.tb_meta_sub = meta_sub
         n = len(st.pid_list)
-        XMAX, YMAX, W = self._shapes(meta_all)
+        XMAX, YMAX, W = self._shapes(st.meta_all)
 
         if self.backend == "pallas":
             from ..ops.swg_pallas import get_stream_traceback_gather_kernel
@@ -589,7 +699,7 @@ class BatchAligner:
     def _traceback_results(self, st: "_ChunkState"):
         ops_by_pid: Dict[int, Alignment] = {}
         pid_list = st.pid_list
-        if not pid_list:
+        if pid_list is None or len(pid_list) == 0:
             return ops_by_pid
         meta_sub = st.tb_meta_sub
         n = len(pid_list)

@@ -1,0 +1,186 @@
+"""ctypes bindings for the native (C++) batch host stages.
+
+``NativeBatchEngine`` ports the batch pipeline's host stages — chunk
+task building (seeding, genome windows, transcript candidates, device
+gather offsets) and post-kernel arbitration (genome-vs-transcriptome
+choice, thresholds, overlap filter, primary selection) — to C++
+(csrc/thermite_native.cpp).  The Python implementations in
+``batch.py`` remain the fallback and the parity referee
+(tests/test_batch_parity.py runs both paths).
+
+Task/selected array layouts mirror the C++ enums:
+  tasks   (T, 10): read_i, is_tx, hit_ref, hit_q, hit_len, lp, rp,
+                   ref_len, seq_start, tx_idx
+  selected(S, 11): read_i, task_idx, aln_type, gene_idx, ref_id,
+                   score, chr_ystart, chr_yend, xstart, xend, primary
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..index.build import Index
+from ..seed.native import _try_load
+
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+
+
+def _setup(lib):
+    if getattr(lib, "_batch_setup_done", False):
+        return
+    lib.thermite_engine_new.restype = ctypes.c_void_p
+    lib.thermite_engine_new.argtypes = [
+        _u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, _i64p, _i64p, _u8p, _i64p, _i64p,
+        _u8p, ctypes.c_int64, ctypes.c_int64, _i64p, _i64p,
+        ctypes.c_int64, _i64p, _i64p,
+        ctypes.c_int64, _i64p, _i64p, _i64p, _i64p,
+        ctypes.c_int64, _i64p, _i64p, _i64p, _i64p,
+        ctypes.c_double, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.thermite_engine_free.argtypes = [ctypes.c_void_p]
+    lib.thermite_chunk_build.restype = ctypes.c_void_p
+    lib.thermite_chunk_build.argtypes = [
+        ctypes.c_void_p, _u8p, ctypes.c_int64, ctypes.c_int64, _i64p,
+        ctypes.c_int64,
+    ]
+    lib.thermite_chunk_free.argtypes = [ctypes.c_void_p]
+    for name, res in [
+        ("thermite_chunk_n_reads", ctypes.c_int64),
+        ("thermite_chunk_n_problems", ctypes.c_int64),
+        ("thermite_chunk_n_tasks", ctypes.c_int64),
+        ("thermite_chunk_meta", _i32p),
+        ("thermite_chunk_tasks", _i64p),
+        ("thermite_chunk_n_selected", ctypes.c_int64),
+        ("thermite_chunk_selected", _i64p),
+        ("thermite_chunk_n_winners", ctypes.c_int64),
+        ("thermite_chunk_winners", _i64p),
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = res
+        fn.argtypes = [ctypes.c_void_p]
+    lib.thermite_chunk_arbitrate.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, _i32p, _i32p, _i32p,
+    ]
+    lib._batch_setup_done = True
+
+
+def _arr(a, ctype):
+    return a.ctypes.data_as(ctype)
+
+
+class NativeBatchEngine:
+    def __init__(self, index: Index, opts, tx_off: np.ndarray,
+                 ref_text: np.ndarray, min_seed_len: int, anchor_k: int):
+        lib = _try_load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        _setup(lib)
+        self._lib = lib
+        self.index = index
+
+        refs = index.refs
+        n_refs = len(refs)
+        ref_start = np.array([r.start_idx for r in refs], np.int64)
+        ref_end = np.array([r.end_idx for r in refs], np.int64)
+        ref_strand = np.array([1 if r.strand else 0 for r in refs], np.uint8)
+        ref_len = np.array([r.len for r in refs], np.int64)
+        names = sorted({r.name for r in refs})
+        rank_of = {n: i for i, n in enumerate(names)}
+        ref_rank = np.array([rank_of[r.name] for r in refs], np.int64)
+
+        txs = index.txome.txs
+        tx_exon_off = np.zeros(len(txs) + 1, np.int64)
+        exon_start: List[int] = []
+        exon_end: List[int] = []
+        for i, tx in enumerate(txs):
+            tx_exon_off[i] = len(exon_start)
+            for e in tx.exons:
+                exon_start.append(e.start)
+                exon_end.append(e.end)
+        tx_exon_off[len(txs)] = len(exon_start)
+        exon_start = np.asarray(exon_start, np.int64)
+        exon_end = np.asarray(exon_end, np.int64)
+
+        e2t = index.txome.exon_to_tx
+        gi = index.txome.gene_intervals
+
+        # keep all arrays alive (the engine copies, but text/ref_text
+        # are borrowed)
+        self._keep = (
+            index.seq_arr, ref_text, ref_start, ref_end, ref_strand,
+            ref_len, ref_rank, tx_off, tx_exon_off, exon_start, exon_end,
+        )
+        tx_off = np.ascontiguousarray(tx_off, np.int64)
+        # tx offsets relative to ref_text start (they already are)
+        self._h = lib.thermite_engine_new(
+            _arr(index.seq_arr, _u8p), len(index.seq_arr),
+            min_seed_len, anchor_k,
+            n_refs, _arr(ref_start, _i64p), _arr(ref_end, _i64p),
+            _arr(ref_strand, _u8p), _arr(ref_len, _i64p), _arr(ref_rank, _i64p),
+            _arr(ref_text, _u8p), len(ref_text),
+            len(txs), _arr(tx_off, _i64p), _arr(tx_exon_off, _i64p),
+            len(exon_start),
+            _arr(exon_start, _i64p), _arr(exon_end, _i64p),
+            len(e2t.starts), _arr(e2t.starts, _i64p), _arr(e2t.ends, _i64p),
+            _arr(e2t.data, _i64p), _arr(e2t.max_end_prefix, _i64p),
+            len(gi.starts), _arr(gi.starts, _i64p), _arr(gi.ends, _i64p),
+            _arr(gi.data, _i64p), _arr(gi.max_end_prefix, _i64p),
+            float(opts.min_aln_score_percent), int(opts.min_aln_score),
+            int(opts.multimap_score_range), 1 if opts.intron_mode else 0,
+        )
+        if not self._h:
+            raise RuntimeError("native engine init failed")
+        self._tx_off_arr = tx_off
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.thermite_engine_free(self._h)
+            self._h = None
+
+    def build_chunk(
+        self, reads_pad: np.ndarray, read_lens: np.ndarray, n_reads: int,
+        budget: int,
+    ) -> Tuple[object, int, np.ndarray, np.ndarray]:
+        """-> (chunk handle, n_consumed, meta (P,8) i32, tasks (T,10) i64)."""
+        lib = self._lib
+        rpad = reads_pad.shape[1]
+        ch = lib.thermite_chunk_build(
+            self._h, _arr(reads_pad, _u8p), n_reads, rpad,
+            _arr(read_lens, _i64p), budget,
+        )
+        n_consumed = lib.thermite_chunk_n_reads(ch)
+        P = lib.thermite_chunk_n_problems(ch)
+        T = lib.thermite_chunk_n_tasks(ch)
+        meta = np.ctypeslib.as_array(lib.thermite_chunk_meta(ch), (P, 8)).copy() \
+            if P else np.zeros((0, 8), np.int32)
+        tasks = np.ctypeslib.as_array(lib.thermite_chunk_tasks(ch), (T, 10)).copy() \
+            if T else np.zeros((0, 10), np.int64)
+        return ch, int(n_consumed), meta, tasks
+
+    def arbitrate(
+        self, ch, scores: np.ndarray, mi: np.ndarray, mj: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (selected (S,11) i64, winner pids (W,) i64)."""
+        lib = self._lib
+        scores = np.ascontiguousarray(scores, np.int32)
+        mi = np.ascontiguousarray(mi, np.int32)
+        mj = np.ascontiguousarray(mj, np.int32)
+        lib.thermite_chunk_arbitrate(
+            self._h, ch, _arr(scores, _i32p), _arr(mi, _i32p), _arr(mj, _i32p)
+        )
+        S = lib.thermite_chunk_n_selected(ch)
+        W = lib.thermite_chunk_n_winners(ch)
+        sel = np.ctypeslib.as_array(lib.thermite_chunk_selected(ch), (S, 11)).copy() \
+            if S else np.zeros((0, 11), np.int64)
+        pids = np.ctypeslib.as_array(lib.thermite_chunk_winners(ch), (W,)).copy() \
+            if W else np.zeros(0, np.int64)
+        return sel, pids
+
+    def free_chunk(self, ch) -> None:
+        self._lib.thermite_chunk_free(ch)
