@@ -323,6 +323,11 @@ struct Chunk {
   std::vector<int64_t> read_task_off;  // (n_reads+1,)
   std::vector<int64_t> selected;     // (S, S_NCOL)
   std::vector<int64_t> winner_pids;
+  // finalize outputs (RLE runs packed (op << 32) | len)
+  std::vector<int64_t> fin_runs, fin_off;     // final chr-coord ops
+  std::vector<int64_t> tx_runs, tx_off_runs;  // EXONIC tx_aln ops
+  std::vector<int64_t> tx_meta;               // (S, 5) ys, ye, xs, xe, txlen
+  std::vector<uint8_t> fallback;              // per-selected host-redo flag
   int64_t n_problems() const { return (int64_t)meta.size() / 8; }
   int64_t n_tasks() const { return (int64_t)tasks.size() / T_NCOL; }
 };
@@ -699,6 +704,245 @@ void thermite_chunk_arbitrate(void* eh, void* chh, const int32_t* scores,
       ch.winner_pids.push_back(task(c.task, T_RP));
     }
   }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Finalize: decode device traceback streams, stitch around the seed,
+// lift transcript alignments through exons (inserting intron skips),
+// normalise '-'-strand coords, and emit final RLE op runs.
+// Ports of ops/runs.py decode_stream_batch + align/extend.py stitch +
+// index/txome.py lift_tx_to_gx + align/driver.py concat_to_chr_aln.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// run op codes: 0..3 = DIR M/S/D/I; 4 = SC (query soft clip);
+// 5 = N (intron skip).  Packed (op << 32) | len in int64.
+enum { OP_M = 0, OP_S = 1, OP_D = 2, OP_I = 3, OP_SC = 4, OP_N = 5 };
+
+inline int64_t pack_run(int64_t op, int64_t len) { return (op << 32) | len; }
+
+struct RunAln {  // a decoded/stitched alignment as RLE runs
+  std::vector<int64_t> runs;
+  int64_t score, ystart, yend, xstart, xend;
+  void push(int64_t op, int64_t len) {
+    if (len <= 0) return;
+    if (!runs.empty() && (runs.back() >> 32) == op && op < OP_SC)
+      runs.back() += len;
+    else
+      runs.push_back(pack_run(op, len));
+  }
+};
+
+// decode one problem's backward-order 2-bit stream into forward runs
+// (ops/runs.py decode_stream_batch semantics, runs not per-cell ops)
+bool decode_stream(const int32_t* row, int64_t pw, int64_t xlen,
+                   std::vector<int64_t>* runs, int64_t* score, int64_t* max_i,
+                   int64_t* max_j) {
+  *score = row[0];
+  *max_i = row[1];
+  *max_j = row[2];
+  int64_t n = row[3];
+  if (n < 0) return false;  // device flagged: host fallback
+  runs->clear();
+  // stream is backward; walk from the end to emit forward order
+  int64_t prev_op = -1, len = 0;
+  for (int64_t s = n - 1; s >= 0; --s) {
+    int64_t w = (uint32_t)row[4 + (s >> 4)];
+    int64_t op = (w >> (2 * (s & 15))) & 3;
+    if (op == prev_op) {
+      ++len;
+    } else {
+      if (len) runs->push_back(pack_run(prev_op, len));
+      prev_op = op;
+      len = 1;
+    }
+  }
+  if (len) runs->push_back(pack_run(prev_op, len));
+  if (*max_i < xlen) runs->push_back(pack_run(OP_SC, xlen - *max_i));
+  return true;
+}
+
+// stitch (align/extend.py:17-43) on runs: reversed(left) + M*seed + right
+void stitch_runs(const RunAln& left, const RunAln& right, int64_t hit_ref,
+                 int64_t hit_q, int64_t hit_len, int64_t read_len,
+                 RunAln* out) {
+  out->runs.clear();
+  out->score = left.score + hit_len + right.score;  // MATCH_SCORE == 1
+  out->ystart = hit_ref - left.yend;
+  out->yend = hit_ref + hit_len + right.yend;
+  out->xstart = hit_q - left.xend;
+  out->xend = hit_q + hit_len + right.xend;
+  for (auto it = left.runs.rbegin(); it != left.runs.rend(); ++it)
+    out->push(*it >> 32, *it & 0xffffffff);
+  out->push(OP_M, hit_len);
+  for (int64_t r : right.runs) out->push(r >> 32, r & 0xffffffff);
+}
+
+// lift_tx_to_gx (index/txome.py:140-174) on runs
+void lift_runs(const Engine& E, int64_t tx, const RunAln& in, RunAln* out) {
+  int64_t e0 = E.tx_exon_off[tx], e1 = E.tx_exon_off[tx + 1];
+  auto elen = [&](int64_t k) { return E.exon_end[k] - E.exon_start[k]; };
+  int64_t i = in.ystart, exon_sum = 0, k = e0;
+  while (exon_sum + elen(k) <= i) {
+    exon_sum += elen(k);
+    ++k;
+  }
+  out->runs.clear();
+  out->score = in.score;
+  out->xstart = in.xstart;
+  out->xend = in.xend;
+  out->ystart = E.exon_start[k] + (i - exon_sum);
+  auto advance = [&]() {
+    if (k + 1 < e1 && exon_sum + elen(k) <= i) {
+      exon_sum += elen(k);
+      ++k;
+      out->push(OP_N, E.exon_start[k] - E.exon_end[k - 1]);
+      return true;
+    }
+    return false;
+  };
+  for (int64_t r : in.runs) {
+    int64_t op = r >> 32, len = r & 0xffffffff;
+    if (op == OP_M || op == OP_S || op == OP_D) {
+      int64_t rem = len;
+      while (rem) {
+        advance();
+        int64_t room = exon_sum + elen(k) - i;
+        int64_t take = std::min(rem, room);
+        out->push(op, take);
+        i += take;
+        rem -= take;
+      }
+    } else {
+      // non-ref-consuming run: the boundary check fires once (before
+      // its first element); i does not move
+      advance();
+      out->push(op, len);
+    }
+  }
+  out->yend = E.exon_start[k] + (i - exon_sum);
+}
+
+// concat_to_chr_aln (align/driver.py:212-231) on runs
+void chr_runs(const Engine& E, RunAln* a) {
+  int64_t r = E.ref_of(a->ystart);
+  if (E.ref_strand[r]) {
+    a->ystart -= E.ref_start[r];
+    a->yend -= E.ref_start[r];
+  } else {
+    int64_t ys = E.ref_len[r] - (a->yend - E.ref_start[r]);
+    int64_t ye = E.ref_len[r] - (a->ystart - E.ref_start[r]);
+    a->ystart = ys;
+    a->yend = ye;
+    std::reverse(a->runs.begin(), a->runs.end());
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Finalize all selected alignments of an arbitrated chunk.
+// tb_out: (n_rows, 4 + pw) int32 stream-traceback output rows, in
+// winner order (row 2s = left of selected s, 2s+1 = right).
+// tb_meta: (n_rows, 8) int32 problem meta (for xlen).
+// Returns 0 on success, -(s+1) if the finalized span/score of selected
+// s disagrees with arbitration (a bug), and fills per-selected outputs
+// readable via getters.  Rows whose stream was flagged get
+// fallback=1 and empty runs (host recomputes those in Python).
+int64_t thermite_chunk_finalize(void* eh, void* chh, const int32_t* tb_out,
+                                int64_t n_rows, int64_t pw,
+                                const int32_t* tb_meta) {
+  auto& E = *static_cast<Engine*>(eh);
+  auto& ch = *static_cast<Chunk*>(chh);
+  int64_t S = (int64_t)ch.selected.size() / S_NCOL;
+  ch.fin_runs.clear();
+  ch.fin_off.assign(1, 0);
+  ch.tx_runs.clear();
+  ch.tx_off_runs.assign(1, 0);
+  ch.tx_meta.assign(S * 5, 0);
+  ch.fallback.assign(S, 0);
+
+  RunAln left, right, stitched, lifted;
+  int64_t rc = 0;
+  for (int64_t s = 0; s < S; ++s) {
+    const int64_t* sel = ch.selected.data() + s * S_NCOL;
+    const int64_t* tk = ch.tasks.data() + sel[S_TASK] * T_NCOL;
+    int64_t lrow = 2 * s, rrow = 2 * s + 1;
+    if (lrow >= n_rows || rrow >= n_rows) return -1000000 - s;
+    int64_t ls, li, lj, rs2, ri2, rj2;
+    bool okl = decode_stream(tb_out + lrow * (4 + pw), pw,
+                             tb_meta[lrow * 8 + 5], &left.runs, &ls, &li, &lj);
+    bool okr = decode_stream(tb_out + rrow * (4 + pw), pw,
+                             tb_meta[rrow * 8 + 5], &right.runs, &rs2, &ri2,
+                             &rj2);
+    if (!okl || !okr) {
+      ch.fallback[s] = 1;
+      ch.fin_off.push_back((int64_t)ch.fin_runs.size());
+      ch.tx_off_runs.push_back((int64_t)ch.tx_runs.size());
+      continue;
+    }
+    left.score = ls; left.xend = li; left.yend = lj;
+    right.score = rs2; right.xend = ri2; right.yend = rj2;
+    int64_t rlen = ch.read_len[sel[S_READ]];
+    stitch_runs(left, right, tk[T_HITREF], tk[T_HITQ], tk[T_HITLEN], rlen,
+                &stitched);
+
+    RunAln* fin;
+    if (sel[S_TYPE] == A_EXONIC) {
+      lift_runs(E, tk[T_TXIDX], stitched, &lifted);
+      chr_runs(E, &lifted);
+      fin = &lifted;
+      // tx_aln payload (stitched, tx coords)
+      ch.tx_runs.insert(ch.tx_runs.end(), stitched.runs.begin(),
+                        stitched.runs.end());
+      int64_t* tm = ch.tx_meta.data() + s * 5;
+      tm[0] = stitched.ystart; tm[1] = stitched.yend;
+      tm[2] = stitched.xstart; tm[3] = stitched.xend;
+      tm[4] = tk[T_REFLEN];  // tx length
+    } else {
+      stitched.ystart += tk[T_SEQSTART];
+      stitched.yend += tk[T_SEQSTART];
+      chr_runs(E, &stitched);
+      fin = &stitched;
+    }
+    if (fin->ystart != sel[S_YS] || fin->yend != sel[S_YE] ||
+        fin->score != sel[S_SCORE]) {
+      rc = -(s + 1);  // span-only arbitration disagrees with traceback
+    }
+    ch.fin_runs.insert(ch.fin_runs.end(), fin->runs.begin(), fin->runs.end());
+    ch.fin_off.push_back((int64_t)ch.fin_runs.size());
+    ch.tx_off_runs.push_back((int64_t)ch.tx_runs.size());
+  }
+  return rc;
+}
+
+int64_t thermite_chunk_fin_nruns(void* ch) {
+  return (int64_t)static_cast<Chunk*>(ch)->fin_runs.size();
+}
+const int64_t* thermite_chunk_fin_runs(void* ch) {
+  return static_cast<Chunk*>(ch)->fin_runs.data();
+}
+const int64_t* thermite_chunk_fin_off(void* ch) {
+  return static_cast<Chunk*>(ch)->fin_off.data();
+}
+int64_t thermite_chunk_tx_nruns(void* ch) {
+  return (int64_t)static_cast<Chunk*>(ch)->tx_runs.size();
+}
+const int64_t* thermite_chunk_tx_runs(void* ch) {
+  return static_cast<Chunk*>(ch)->tx_runs.data();
+}
+const int64_t* thermite_chunk_tx_run_off(void* ch) {
+  return static_cast<Chunk*>(ch)->tx_off_runs.data();
+}
+const int64_t* thermite_chunk_tx_meta(void* ch) {
+  return static_cast<Chunk*>(ch)->tx_meta.data();
+}
+const uint8_t* thermite_chunk_fallback(void* ch) {
+  return static_cast<Chunk*>(ch)->fallback.data();
 }
 
 int64_t thermite_chunk_n_selected(void* ch) {

@@ -25,9 +25,13 @@ def index(tmp_path_factory):
     return Index.create_from_files(ref, gtf)
 
 
-def _assert_parity(index, reads, opts, use_native=None):
+def _assert_parity(index, reads, opts, use_native=None, backend="xla",
+                   interpret=False):
     oracle = OracleAligner(index, opts)
-    batch = BatchAligner(index, opts, backend="xla", use_native=use_native)
+    batch = BatchAligner(
+        index, opts, backend=backend, use_native=use_native,
+        interpret=interpret,
+    )
     got_all = batch.align_batch(reads)
     for read, got in zip(reads, got_all):
         want = oracle.align_read(read)
@@ -42,6 +46,17 @@ def test_fixture_parity(index, intron_mode, use_native):
     opts = AlignOpts(min_seed_len=3, min_aln_score=0, intron_mode=intron_mode)
     _assert_parity(
         index, [seq.encode() for _, seq in READS], opts, use_native=use_native
+    )
+
+
+@pytest.mark.parametrize("intron_mode", [False, True])
+def test_fixture_parity_pallas_native(index, intron_mode):
+    """Full TPU-production path on CPU: native C++ build/arbitrate/
+    finalize + Pallas kernels in interpret mode."""
+    opts = AlignOpts(min_seed_len=3, min_aln_score=0, intron_mode=intron_mode)
+    _assert_parity(
+        index, [seq.encode() for _, seq in READS], opts,
+        backend="pallas", interpret=True,
     )
 
 

@@ -144,6 +144,7 @@ class BatchAligner:
         opts: AlignOpts,
         backend: Optional[str] = None,
         use_native: Optional[bool] = None,
+        interpret: bool = False,
     ):
         self.index = index
         self.opts = opts
@@ -153,6 +154,7 @@ class BatchAligner:
         if backend is None:
             backend = "xla" if jax.default_backend() == "cpu" else "pallas"
         self.backend = backend
+        self.interpret = interpret  # run Pallas kernels in interpret mode
 
         # resident reference text: concatenated genome (fwd+rc, with $
         # sentinels) followed by every transcript's spliced sequence.
@@ -454,6 +456,10 @@ class BatchAligner:
         self._dispatch_traceback(st)
 
     def _finalize_chunk(self, st: "_ChunkState") -> List[List[GenomeAlignment]]:
+        if st.native_ch is not None and self.backend == "pallas":
+            # full native finalize: decode+stitch+lift in C++ straight
+            # from the device stream output
+            return self._finalize_chunk_native_fast(st)
         ops_by_pid = self._traceback_results(st)
         if st.native_ch is not None:
             return self._finalize_chunk_native(st, ops_by_pid)
@@ -466,6 +472,117 @@ class BatchAligner:
         return results
 
     _ALN_TYPES = (EXONIC, INTRONIC, INTERGENIC)
+    _RUN_CHARS = ("M", "S", "D", "I")
+
+    @classmethod
+    def _runs_to_ops(cls, runs) -> List:
+        ops: List = []
+        for r in runs:
+            op = int(r) >> 32
+            ln = int(r) & 0xFFFFFFFF
+            if op < 4:
+                ops.extend([cls._RUN_CHARS[op]] * ln)
+            elif op == 4:
+                ops.append(("SC", ln))
+            else:
+                ops.append(("N", ln))
+        return ops
+
+    def _finalize_chunk_native_fast(
+        self, st: "_ChunkState"
+    ) -> List[List[GenomeAlignment]]:
+        results: List[List[GenomeAlignment]] = [[] for _ in st.reads]
+        sel = st.selected_arr
+        if len(sel) == 0:
+            if st.tb_raw is not None:
+                st.tb_raw = None
+            self.native.free_chunk(st.native_ch)
+            st.native_ch = None
+            return results
+        tb_out = np.asarray(st.tb_raw)[: len(st.pid_list)]
+        st.tb_raw = None
+        fin_runs, fin_off, tx_runs, tx_off, tx_meta, fallback = (
+            self.native.finalize(st.native_ch, tb_out, st.tb_meta_sub)
+        )
+        refs = self.index.refs
+        for s, row in enumerate(sel):
+            (ri, ti, atype, gene, refid, score, ys, ye, xs, xe, prim) = (
+                int(v) for v in row
+            )
+            ref = refs[refid]
+            read = st.reads[ri]
+            if fallback[s]:
+                results[ri].append(
+                    self._finalize_selected_fallback(st, s, row)
+                )
+                continue
+            ops = self._runs_to_ops(fin_runs[fin_off[s] : fin_off[s + 1]])
+            gx_aln = Alignment(
+                score=score, ystart=ys, xstart=xs, yend=ye, xend=xe,
+                ylen=ref.len, xlen=len(read), operations=ops,
+            )
+            tx_aln = None
+            if atype == 0:
+                tm = tx_meta[s]
+                tx_aln = Alignment(
+                    score=score, ystart=int(tm[0]), xstart=int(tm[2]),
+                    yend=int(tm[1]), xend=int(tm[3]), ylen=int(tm[4]),
+                    xlen=len(read),
+                    operations=self._runs_to_ops(
+                        tx_runs[tx_off[s] : tx_off[s + 1]]
+                    ),
+                )
+            results[ri].append(
+                GenomeAlignment(
+                    gx_aln=gx_aln,
+                    aln_type=self._ALN_TYPES[atype],
+                    ref_name=ref.name,
+                    strand=ref.strand,
+                    primary=bool(prim),
+                    tx_aln=tx_aln,
+                    tx_idx=int(st.tasks_arr[ti][9]) if atype == 0 else None,
+                    gene_idx=gene if atype == 1 else None,
+                )
+            )
+        self.native.free_chunk(st.native_ch)
+        st.native_ch = None
+        return results
+
+    def _finalize_selected_fallback(self, st, s, row):
+        """Host recompute for a device-flagged stream (not expected)."""
+        from ..ops.swg_ref import SwgExtend
+
+        (ri, ti, atype, gene, refid, score, ys, ye, xs, xe, prim) = (
+            int(v) for v in row
+        )
+        t = st.tasks_arr[ti]
+        task = _Task(
+            read_i=ri, kind="tx" if t[1] else "gx",
+            hit=Mem(int(t[2]), int(t[3]), int(t[4])),
+            left_pid=int(t[5]), right_pid=int(t[6]), ref_len=int(t[7]),
+            seq_start=int(t[8]), tx_idx=int(t[9]),
+        )
+        ops_by_pid = {}
+        for pid in (task.left_pid, task.right_pid):
+            m = st.meta_all[pid]
+            x, y = self._problem_bytes(st, m)
+            band, xd = int(m[6]), int(m[7])
+            ops_by_pid[pid] = SwgExtend(band).extend(x, y, band, xd)
+        ref = self.index.refs[refid]
+        read = st.reads[ri]
+        ga = GenomeAlignment(
+            gx_aln=Alignment(
+                score=score, ystart=ys, xstart=xs, yend=ye, xend=xe,
+                ylen=ref.len, xlen=len(read), operations=[],
+            ),
+            aln_type=self._ALN_TYPES[atype],
+            ref_name=ref.name,
+            strand=ref.strand,
+            primary=bool(prim),
+            tx_idx=int(t[9]) if atype == 0 else None,
+            gene_idx=gene if atype == 1 else None,
+        )
+        return self._finalize(read, ga, task, ops_by_pid)
 
     def _finalize_chunk_native(
         self, st: "_ChunkState", ops_by_pid
@@ -652,7 +769,7 @@ class BatchAligner:
 
             BBLK = 256
             meta = self._pad_meta(meta_all, _pow2_bucket(max(n, 1), BBLK))
-            kern = get_forward_gather_kernel(BBLK, XMAX, YMAX, W)
+            kern = get_forward_gather_kernel(BBLK, XMAX, YMAX, W, self.interpret)
             st.fwd_raw = kern(self._ref_text(), st.reads_dev, meta)
             return
 
@@ -686,7 +803,9 @@ class BatchAligner:
 
             BBLK = 64
             meta = self._pad_meta(meta_sub, _pow2_bucket(n, BBLK))
-            kern = get_stream_traceback_gather_kernel(BBLK, XMAX, YMAX, W)
+            kern = get_stream_traceback_gather_kernel(
+                BBLK, XMAX, YMAX, W, self.interpret
+            )
             st.tb_raw = kern(self._ref_text(), st.reads_dev, meta)
             return
 

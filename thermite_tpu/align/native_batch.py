@@ -67,6 +67,24 @@ def _setup(lib):
     lib.thermite_chunk_arbitrate.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, _i32p, _i32p, _i32p,
     ]
+    lib.thermite_chunk_finalize.restype = ctypes.c_int64
+    lib.thermite_chunk_finalize.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, _i32p, ctypes.c_int64,
+        ctypes.c_int64, _i32p,
+    ]
+    for name, res in [
+        ("thermite_chunk_fin_nruns", ctypes.c_int64),
+        ("thermite_chunk_fin_runs", _i64p),
+        ("thermite_chunk_fin_off", _i64p),
+        ("thermite_chunk_tx_nruns", ctypes.c_int64),
+        ("thermite_chunk_tx_runs", _i64p),
+        ("thermite_chunk_tx_run_off", _i64p),
+        ("thermite_chunk_tx_meta", _i64p),
+        ("thermite_chunk_fallback", _u8p),
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = res
+        fn.argtypes = [ctypes.c_void_p]
     lib._batch_setup_done = True
 
 
@@ -181,6 +199,37 @@ class NativeBatchEngine:
         pids = np.ctypeslib.as_array(lib.thermite_chunk_winners(ch), (W,)).copy() \
             if W else np.zeros(0, np.int64)
         return sel, pids
+
+    def finalize(self, ch, tb_out: np.ndarray, tb_meta: np.ndarray):
+        """Decode+stitch+lift all selected alignments in C++.
+
+        -> (fin_runs, fin_off, tx_runs, tx_off, tx_meta (S,5), fallback (S,))
+        Runs are (op << 32) | len int64; op 0..3 = M/S/D/I, 4 = SC, 5 = N.
+        """
+        lib = self._lib
+        tb_out = np.ascontiguousarray(tb_out, np.int32)
+        tb_meta = np.ascontiguousarray(tb_meta, np.int32)
+        n_rows = tb_out.shape[0]
+        pw = tb_out.shape[1] - 4
+        rc = lib.thermite_chunk_finalize(
+            self._h, ch, _arr(tb_out, _i32p), n_rows, pw, _arr(tb_meta, _i32p)
+        )
+        if rc != 0:
+            raise AssertionError(
+                f"native finalize: span-only arbitration disagrees with "
+                f"traceback (selected #{-rc - 1})"
+            )
+        S = lib.thermite_chunk_n_selected(ch)
+        NF = lib.thermite_chunk_fin_nruns(ch)
+        NT = lib.thermite_chunk_tx_nruns(ch)
+        z = np.zeros(0, np.int64)
+        fin_runs = np.ctypeslib.as_array(lib.thermite_chunk_fin_runs(ch), (NF,)).copy() if NF else z
+        fin_off = np.ctypeslib.as_array(lib.thermite_chunk_fin_off(ch), (S + 1,)).copy()
+        tx_runs = np.ctypeslib.as_array(lib.thermite_chunk_tx_runs(ch), (NT,)).copy() if NT else z
+        tx_off = np.ctypeslib.as_array(lib.thermite_chunk_tx_run_off(ch), (S + 1,)).copy()
+        tx_meta = np.ctypeslib.as_array(lib.thermite_chunk_tx_meta(ch), (S, 5)).copy() if S else np.zeros((0, 5), np.int64)
+        fallback = np.ctypeslib.as_array(lib.thermite_chunk_fallback(ch), (S,)).copy() if S else np.zeros(0, np.uint8)
+        return fin_runs, fin_off, tx_runs, tx_off, tx_meta, fallback
 
     def free_chunk(self, ch) -> None:
         self._lib.thermite_chunk_free(ch)
