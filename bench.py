@@ -63,12 +63,12 @@ def main():
 
     # TPU batched pipeline
     batch = BatchAligner(idx, opts)
-    warm = make_reads(chrM, 8192, seed=12)
+    warm = make_reads(chrM, 16384, seed=12)
     batch.align_batch(warm)  # compile warmup
 
     best = 0.0
     for trial in range(3):
-        reads = make_reads(chrM, 8192, seed=20 + trial)
+        reads = make_reads(chrM, 16384, seed=20 + trial)
         t0 = time.time()
         out = batch.align_batch(reads)
         dt = time.time() - t0

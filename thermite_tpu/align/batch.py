@@ -188,8 +188,15 @@ class BatchAligner:
                 self.native = None
 
     def _ref_text(self):
+        """Device-resident packed-word reference text: ((4, Lw) int32, Lw)."""
         if self._ref_text_dev is None:
-            self._ref_text_dev = jax.device_put(self._ref_text_host)
+            from ..ops.swg_pallas import pack_text_words
+
+            ref_u8 = jax.device_put(self._ref_text_host)
+            words = jax.jit(lambda a: pack_text_words(a)[0])(ref_u8)
+            L = len(self._ref_text_host)
+            lw = ((512 + L + 512 + 3) // 4 * 4) // 4
+            self._ref_text_dev = (words, np.int32(lw))
         return self._ref_text_dev
 
     # ------------------------------------------------------------------
@@ -767,10 +774,11 @@ class BatchAligner:
         if self.backend == "pallas":
             from ..ops.swg_pallas import get_forward_gather_kernel
 
-            BBLK = 256
+            BBLK = 128  # sweet spot on v5e (see BENCH notes)
             meta = self._pad_meta(meta_all, _pow2_bucket(max(n, 1), BBLK))
             kern = get_forward_gather_kernel(BBLK, XMAX, YMAX, W, self.interpret)
-            st.fwd_raw = kern(self._ref_text(), st.reads_dev, meta)
+            words, lw = self._ref_text()
+            st.fwd_raw = kern(words, lw, st.reads_dev, meta)
             return
 
         from ..ops.swg_batch import get_swg_gather_kernel
@@ -806,7 +814,8 @@ class BatchAligner:
             kern = get_stream_traceback_gather_kernel(
                 BBLK, XMAX, YMAX, W, self.interpret
             )
-            st.tb_raw = kern(self._ref_text(), st.reads_dev, meta)
+            words, lw = self._ref_text()
+            st.tb_raw = kern(words, lw, st.reads_dev, meta)
             return
 
         from ..ops.swg_batch import get_swg_gather_kernel

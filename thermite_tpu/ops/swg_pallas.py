@@ -55,14 +55,27 @@ RUN_OP_SHIFT = 28
 
 def _dp_column_step(
     j, D, C, R, xs, yb, max_s, max_i, max_j, stop1, stop2,
-    xlen, ylen, band, x_drop, t, W,
+    xlen, ylen, band, x_drop, t, W, want_dirs=True,
 ):
     """One DP column update on (BBLK, W) state; returns new state and the
-    direction row.  j is a traced scalar column index (1-based)."""
+    direction row.  j is a traced scalar column index (1-based).
+
+    Loop-invariant lane masks / ladders (t*e, t<=2b, lane-0/last masks)
+    are hoisted to module-level helpers of t so Mosaic computes them
+    once; ``want_dirs=False`` (forward-scores kernel) skips the
+    direction select chain entirely.  ``R`` is retained in the carry
+    only for signature stability — it is never read across columns (the
+    within-column insertion chain is the lane prefix-max)."""
     e = jnp.int32(GAP_EXTEND)
     o = jnp.int32(GAP_OPEN)
     MIN = jnp.int32(MIN_SCORE)
-    b2 = 2 * band  # (BBLK,1)
+
+    # loop-invariant per-pair / per-lane masks (computed from carried
+    # constants; XLA/Mosaic hoists them out of the fori_loop)
+    tb2 = t <= 2 * band  # (BBLK, W), invariant
+    tz = t == 0
+    tlast = t == W - 1
+    te = t * e  # invariant ladder
 
     in_p1 = j <= band  # (BBLK,1)
     sh = ~in_p1
@@ -70,14 +83,12 @@ def _dp_column_step(
     active = (j <= ylen) & (stop1 == 0) & (in_p1 | (stop2 == 0))  # (BBLK,1)
 
     row0 = jnp.maximum(j - band, 0)  # (BBLK,1)
-    i_row = row0 + t  # (BBLK, W)
-    computed = (t <= b2) & (i_row <= xlen)
+    computed = tb2 & (t <= xlen - row0)
 
     # shifted previous-column reads: lane roll by -1, MIN in the last lane
-    last = t == W - 1
-    D_l = jnp.where(last, MIN, pltpu.roll(D, W - 1, 1))
-    C_l = jnp.where(last, MIN, pltpu.roll(C, W - 1, 1))
-    D_r = jnp.where(t == 0, MIN, pltpu.roll(D, 1, 1))
+    D_l = jnp.where(tlast, MIN, pltpu.roll(D, W - 1, 1))
+    C_l = jnp.where(tlast, MIN, pltpu.roll(C, W - 1, 1))
+    D_r = jnp.where(tz, MIN, pltpu.roll(D, 1, 1))
     Dp = jnp.where(sh, D_l, D)
     Cp = jnp.where(sh, C_l, C)
     Dm = jnp.where(sh, D, D_r)
@@ -92,38 +103,43 @@ def _dp_column_step(
     yb = pltpu.roll(yb, yb.shape[1] - 1, 1)  # left-by-1 (circular)
 
     c_val = jnp.maximum(Cp + e, Dp + e + o)
-    c_val = jnp.where(sh & (t == b2), MIN, c_val)
+    c_val = jnp.where(sh & (t == 2 * band), MIN, c_val)
 
-    is_match = (i_row > 0) & (win == yj)
+    # row 0 exists only in phase 1 at lane 0: i_row == 0 <=> tz & in_p1
+    row_is0 = tz & in_p1
+    is_match = (win == yj) & ~row_is0
     s = jnp.where(is_match, MATCH_SCORE, MISMATCH_SCORE).astype(jnp.int32)
-    d_val = jnp.where(i_row == 0, MIN, Dm + s)
+    d_val = jnp.where(row_is0, MIN, Dm + s)
 
     A = jnp.maximum(d_val, c_val)
     A_m = jnp.where(computed, A, MIN)
 
     # exclusive prefix max of (A - t*e) over lanes
-    base = A_m - t * e
-    pm = jnp.where(t == 0, _PAD, pltpu.roll(base, 1, 1))
+    base = A_m - te
+    pm = jnp.where(tz, _PAD, pltpu.roll(base, 1, 1))
     k = 1
     while k < W:
         shifted = jnp.where(t < k, _PAD, pltpu.roll(pm, k, 1))
         pm = jnp.maximum(pm, shifted)
         k *= 2
-    r_val = jnp.where(t == 0, MIN, o + t * e + pm)
+    r_val = jnp.where(tz, MIN, o + te + pm)
 
     D_new = jnp.maximum(A, r_val)
-    # int32 dirs: Mosaic scalar extracts are 32-bit only
-    dir_new = jnp.where(
-        D_new == d_val,
-        jnp.where(is_match, DIR_MATCH, DIR_SUBST),
-        jnp.where(D_new == c_val, DIR_DEL, DIR_INS),
-    )
 
     mask = computed & active
     D = jnp.where(mask, D_new, D)
     C = jnp.where(mask, c_val, C)
-    R = jnp.where(mask, r_val, R)
-    dir_row = jnp.where(mask, dir_new, DIR_MATCH)
+
+    if want_dirs:
+        # int32 dirs: Mosaic scalar extracts are 32-bit only
+        dir_new = jnp.where(
+            D_new == d_val,
+            jnp.where(is_match, DIR_MATCH, DIR_SUBST),
+            jnp.where(D_new == c_val, DIR_DEL, DIR_INS),
+        )
+        dir_row = jnp.where(mask, dir_new, DIR_MATCH)
+    else:
+        dir_row = None
 
     D_for_max = jnp.where(mask, D_new, MIN)
     band_max = jnp.max(D_for_max, axis=1, keepdims=True)  # (BBLK,1)
@@ -191,7 +207,7 @@ def make_forward_kernel(BBLK: int, XMAX: int, YMAX: int, W: int, interpret: bool
             D, C, R, xs, yb, ms, mi, mj, s1, s2 = carry
             D, C, R, xs, yb, ms, mi, mj, s1, s2, _ = _dp_column_step(
                 j, D, C, R, xs, yb, ms, mi, mj, s1, s2,
-                xlen, ylen, band, x_drop, t, W,
+                xlen, ylen, band, x_drop, t, W, want_dirs=False,
             )
             return (D, C, R, xs, yb, ms, mi, mj, s1, s2)
 
@@ -496,12 +512,14 @@ def make_stream_traceback_kernel(
 def make_stream_traceback_gather_kernel(
     BBLK: int, XMAX: int, YMAX: int, W: int, interpret: bool = False
 ):
-    """jit fn (ref_text, reads, meta) -> (N, 4 + SMAX/16) int32."""
+    """jit fn (ref_words, ref_lw, reads, meta) -> (N, 4 + SMAX/16) int32."""
     XW = xwidth(XMAX, W)
     inner = make_stream_traceback_kernel(BBLK, XMAX, YMAX, W, interpret)
 
-    def call(ref_text, reads, meta):
-        x, y = _gather_windows(ref_text, reads, meta, XW, YMAX, shifted_x=True)
+    def call(ref_words, ref_lw, reads, meta):
+        x, y = _gather_windows_packed(
+            ref_words, ref_lw, reads, meta, XMAX, XW, YMAX, shifted_x=True
+        )
         return inner(x, y, _params_from_meta(meta))
 
     return jax.jit(call)
@@ -540,6 +558,66 @@ def get_stream_traceback_gather_kernel(BBLK, XMAX, YMAX, W, interpret=False):
 
 META_COLS = 8  # y_base, y_dir, ylen, x_base, x_dir, xlen, band, x_drop
 
+# Window gathers fetch int32 *words* from 4 byte-shifted copies of the
+# text (4x fewer gathered elements than a byte gather; XLA gather cost
+# is per element).  _WPAD zero bytes pad both ends so reversed windows
+# near position 0 and word straddles never index out of range.
+_WPAD = 512
+
+
+def pack_text_words(text_u8):
+    """(L,) uint8 -> ((4, Lw) int32 shifted word copies, Lw).
+
+    copy s, word w holds bytes text_padded[4w+s .. 4w+s+3] little-endian,
+    where text_padded = [0]*_WPAD + text + [0]*_WPAD.
+    """
+    L = int(text_u8.shape[0])
+    total4 = ((_WPAD + L + _WPAD + 3) // 4) * 4
+    Lw = total4 // 4
+    padded = jnp.zeros((total4 + 4,), jnp.uint8)
+    padded = jax.lax.dynamic_update_slice(padded, text_u8, (_WPAD,))
+    outs = []
+    for s in range(4):
+        w = jax.lax.slice(padded, (s,), (s + 4 * Lw,)).reshape(Lw, 4)
+        w = w.astype(jnp.uint32)
+        outs.append(w[:, 0] | (w[:, 1] << 8) | (w[:, 2] << 16) | (w[:, 3] << 24))
+    return jnp.stack(outs).astype(jnp.int32), Lw
+
+
+def _gather_span_packed(words_flat, lw, base, dirp, SPAN):
+    """(N,1) base/dir -> (N, SPAN) int32 window bytes (dir applied)."""
+    lo = jnp.where(dirp == 1, base, base - (SPAN - 1)) + _WPAD
+    s = lo & 3
+    w0 = lo >> 2
+    k = jnp.arange(SPAN // 4, dtype=jnp.int32)[None, :]
+    idx = s * lw + jnp.clip(w0 + k, 0, lw - 1)
+    words = jnp.take(words_flat, idx)
+    sh = (jnp.arange(4, dtype=jnp.int32) * 8)[None, None, :]
+    b = ((words[:, :, None] >> sh) & 0xFF).reshape(words.shape[0], SPAN)
+    return jnp.where(dirp == 1, b, jnp.flip(b, axis=1))
+
+
+def _gather_windows_packed(
+    ref_words, ref_lw, reads, meta, XMAX, XW, YMAX, shifted_x: bool
+):
+    """Packed-word variant of _gather_windows (pallas path)."""
+    rw, rlw = pack_text_words(reads.reshape(-1))
+    xb = _gather_span_packed(
+        rw.reshape(-1), rlw, meta[:, 3:4], meta[:, 4:5], XMAX
+    )
+    ix = jnp.arange(XMAX, dtype=jnp.int32)[None, :]
+    win = jnp.where(ix < meta[:, 5:6], xb, 0).astype(jnp.uint8)
+    if shifted_x:
+        x = jnp.pad(win, ((0, 0), (1, XW - XMAX - 1)))
+    else:
+        x = win
+    yb = _gather_span_packed(
+        ref_words.reshape(-1), ref_lw, meta[:, 0:1], meta[:, 1:2], YMAX
+    )
+    iy = jnp.arange(YMAX, dtype=jnp.int32)[None, :]
+    y = jnp.where(iy < meta[:, 2:3], yb, 0).astype(jnp.uint8)
+    return x, y
+
 
 def _gather_windows(ref_text, reads, meta, XW, YMAX, shifted_x: bool):
     """Build (N, XW) x and (N, YMAX) y windows on device from offsets."""
@@ -571,24 +649,32 @@ def _params_from_meta(meta):
 
 
 def make_forward_gather_kernel(BBLK, XMAX, YMAX, W, interpret=False):
-    """jit fn (ref_text, reads, meta) -> (N, 4) [score, max_i, max_j, 0]."""
+    """jit fn (ref_words, ref_lw, reads, meta) -> (N, 4)
+    [score, max_i, max_j, 0].  ref_words is the pack_text_words copy of
+    the resident reference text."""
     XW = xwidth(XMAX, W)
+    assert XMAX <= _WPAD and YMAX <= _WPAD
     inner = make_forward_kernel(BBLK, XMAX, YMAX, W, interpret)
 
-    def call(ref_text, reads, meta):
-        x, y = _gather_windows(ref_text, reads, meta, XW, YMAX, shifted_x=True)
+    def call(ref_words, ref_lw, reads, meta):
+        x, y = _gather_windows_packed(
+            ref_words, ref_lw, reads, meta, XMAX, XW, YMAX, shifted_x=True
+        )
         return inner(x, y, _params_from_meta(meta))
 
     return jax.jit(call)
 
 
 def make_traceback_gather_kernel(BBLK, XMAX, YMAX, W, RMAX=24, interpret=False):
-    """jit fn (ref_text, reads, meta) -> (meta_out, runs)."""
+    """jit fn (ref_words, ref_lw, reads, meta) -> (meta_out, runs)."""
     XW = xwidth(XMAX, W)
+    assert XMAX <= _WPAD and YMAX <= _WPAD
     inner = make_traceback_kernel(BBLK, XMAX, YMAX, W, RMAX, interpret)
 
-    def call(ref_text, reads, meta):
-        x, y = _gather_windows(ref_text, reads, meta, XW, YMAX, shifted_x=True)
+    def call(ref_words, ref_lw, reads, meta):
+        x, y = _gather_windows_packed(
+            ref_words, ref_lw, reads, meta, XMAX, XW, YMAX, shifted_x=True
+        )
         return inner(x, y, _params_from_meta(meta))
 
     return jax.jit(call)
