@@ -42,3 +42,34 @@ def test_graft_entry():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     ge.dryrun_multichip(8)
+
+
+def test_dp_gather_align_step_matches_unsharded():
+    """Production layout (replicated text, sharded offset problems,
+    on-device gather) must match the single-device gather kernel."""
+    from thermite_tpu.ops.swg_batch import get_swg_gather_kernel
+    from thermite_tpu.parallel.mesh import dp_gather_align_step, make_mesh
+
+    rng = np.random.default_rng(3)
+    ref_text = rng.integers(65, 69, 2048).astype(np.uint8)
+    B, RPAD = 16, 32
+    reads = np.zeros((B, RPAD), np.uint8)
+    meta = np.zeros((2 * B, 8), np.int32)
+    for i in range(B):
+        p = int(rng.integers(4, len(ref_text) - RPAD - 4))
+        r = ref_text[p : p + RPAD].copy()
+        r[int(rng.integers(0, RPAD))] = 65 + int(rng.integers(0, 4))
+        reads[i] = r
+        meta[2 * i] = (p + 4, 1, 40, i * RPAD + 4, 1, RPAD - 4, 8, 8)
+        meta[2 * i + 1] = (p + 3, -1, 12, i * RPAD + 3, -1, 4, 8, 8)
+
+    mesh = make_mesh(8)
+    step = dp_gather_align_step(mesh, XMAX=32, YMAX=64, W=128)
+    score, mi, mj, n_pass = step(ref_text, reads, meta, np.int32(20))
+
+    kern = get_swg_gather_kernel(32, 64, 128)
+    s1, m1, j1, _ = kern(ref_text, reads, meta)
+    assert (np.asarray(score) == np.asarray(s1)).all()
+    assert (np.asarray(mi) == np.asarray(m1)).all()
+    assert (np.asarray(mj) == np.asarray(j1)).all()
+    assert int(n_pass) == int((np.asarray(s1) >= 20).sum())

@@ -60,6 +60,41 @@ def sharded_forward_scores(mesh: Mesh, W: int, unroll: int = 4):
 
 
 def dp_align_step(mesh: Mesh, W: int):
-    """The full multi-chip alignment step used by dryrun_multichip:
-    shard problems, run the DP, reduce global stats."""
+    """Multi-chip alignment step on materialised windows: shard
+    problems, run the DP, reduce global stats."""
     return sharded_forward_scores(mesh, W)
+
+
+def dp_gather_align_step(mesh: Mesh, XMAX: int, YMAX: int, W: int, unroll: int = 2):
+    """The production multi-chip layout: the reference text and the read
+    block are REPLICATED in every chip's HBM, extension problems (8-int32
+    gather offsets) are SHARDED along ``data``, each chip gathers its own
+    x/y windows locally and runs the banded DP, and global stats reduce
+    with a psum over ICI.  This is the full sharding story of the batch
+    pipeline (align/batch.py) expressed as one pjit-able step; the driver
+    dry-runs it on an N-device mesh to validate the layout compiles and
+    executes.
+
+    step(ref_text (G,) u8, reads (B, RPAD) u8, meta (N, 8) i32,
+         min_score) -> (score, max_i, max_j sharded; n_pass replicated)
+    """
+    from ..ops.swg_batch import make_swg_kernel
+    from ..ops.swg_pallas import _gather_windows
+
+    kern = make_swg_kernel(W, unroll)
+
+    def step(ref_text, reads, meta, min_score):
+        x, y = _gather_windows(ref_text, reads, meta, XMAX, YMAX, shifted_x=False)
+        score, mi, mj, _dirs = kern(
+            x, meta[:, 5], y, meta[:, 2], meta[:, 6], meta[:, 7]
+        )
+        n_pass = jnp.sum((score >= min_score).astype(jnp.int32))
+        return score, mi, mj, n_pass
+
+    data = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, data, repl),
+        out_shardings=(data, data, data, repl),
+    )
