@@ -89,6 +89,51 @@ def test_chrm_parity(chrm_index):
     _assert_parity(idx, reads, opts)
 
 
+def test_chrm_parity_indels_and_edge_reads(chrm_index):
+    """Harder read mix: indels (exercising I/D ops and exon lifting),
+    N bases, reads shorter than the seed length, homopolymer junk, and
+    reads overlapping the chromosome ends."""
+    idx = chrm_index
+    rng = np.random.default_rng(21)
+    chrM = idx.seq[idx.refs[0].start_idx : idx.refs[0].end_idx - 1]
+    alpha = b"ACGT"
+    reads = []
+    for i in range(50):
+        p = int(rng.integers(0, len(chrM) - 100))
+        r = bytearray(chrM[p : p + 90])
+        for _ in range(int(rng.integers(1, 4))):
+            m = int(rng.integers(0, 4))
+            q = int(rng.integers(1, len(r) - 1))
+            if m == 0:
+                del r[q]
+            elif m == 1:
+                r.insert(q, alpha[int(rng.integers(0, 4))])
+            elif m == 2:
+                r[q] = alpha[int(rng.integers(0, 4))]
+            else:
+                r[q] = ord("N")
+        r = bytes(r)
+        if rng.random() < 0.5:
+            r = revcomp(r)
+        reads.append(r)
+    # edge cases
+    reads.append(chrM[:90])                      # chromosome start
+    reads.append(chrM[-90:])                     # chromosome end
+    reads.append(b"ACGT")                        # shorter than k
+    reads.append(b"A" * 90)                      # homopolymer junk
+    reads.append(b"N" * 90)                      # all N
+    reads.append(revcomp(chrM[: 30]) + chrM[:30] + b"T" * 30)  # chimeric-ish
+    opts = AlignOpts(
+        min_seed_len=20, min_aln_score_percent=0.0, min_aln_score=30, intron_mode=True
+    )
+    _assert_parity(idx, reads, opts)
+    # and through the full native + Pallas-interpret production path
+    # (subset: interpret mode is slow)
+    _assert_parity(
+        idx, reads[:12] + reads[-6:], opts, backend="pallas", interpret=True
+    )
+
+
 def test_span_lift_matches_full_lift():
     from thermite_tpu.align.types import Alignment
 

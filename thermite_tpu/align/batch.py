@@ -155,6 +155,9 @@ class BatchAligner:
             backend = "xla" if jax.default_backend() == "cpu" else "pallas"
         self.backend = backend
         self.interpret = interpret  # run Pallas kernels in interpret mode
+        from ..utils.stats import PipelineStats
+
+        self.stats = PipelineStats()
 
         # resident reference text: concatenated genome (fwd+rc, with $
         # sentinels) followed by every transcript's spliced sequence.
@@ -220,21 +223,33 @@ class BatchAligner:
         fin_i = 0
         i = 0
         while i < len(reads) or not built:
-            st, i = self._build_chunk(reads, i)
+            with self.stats.stage("build"):
+                st, i = self._build_chunk(reads, i)
             self._dispatch_forward(st)
+            self.stats.chunks += 1
+            self.stats.reads += len(st.reads)
+            self.stats.problems += len(st.meta_all)
+            if st.tasks_arr is not None:
+                self.stats.tasks += len(st.tasks_arr)
+            else:
+                self.stats.tasks += len(st.tasks)
             built.append(st)
             if len(built) - arb_i >= 2:
-                self._arbitrate_chunk(built[arb_i])
+                with self.stats.stage("arbitrate"):
+                    self._arbitrate_chunk(built[arb_i])
                 arb_i += 1
             if arb_i - fin_i >= 2:
-                out.extend(self._finalize_chunk(built[fin_i]))
+                with self.stats.stage("finalize"):
+                    out.extend(self._finalize_chunk(built[fin_i]))
                 built[fin_i] = None
                 fin_i += 1
         while arb_i < len(built):
-            self._arbitrate_chunk(built[arb_i])
+            with self.stats.stage("arbitrate"):
+                self._arbitrate_chunk(built[arb_i])
             arb_i += 1
         while fin_i < len(built):
-            out.extend(self._finalize_chunk(built[fin_i]))
+            with self.stats.stage("finalize"):
+                out.extend(self._finalize_chunk(built[fin_i]))
             built[fin_i] = None
             fin_i += 1
         return out
@@ -776,6 +791,7 @@ class BatchAligner:
 
             BBLK = 128  # sweet spot on v5e (see BENCH notes)
             meta = self._pad_meta(meta_all, _pow2_bucket(max(n, 1), BBLK))
+            self.stats.dp_cells += len(meta) * YMAX * W
             kern = get_forward_gather_kernel(BBLK, XMAX, YMAX, W, self.interpret)
             words, lw = self._ref_text()
             st.fwd_raw = kern(words, lw, st.reads_dev, meta)
@@ -804,7 +820,9 @@ class BatchAligner:
         meta_sub = st.meta_all[np.asarray(st.pid_list, np.int64)]
         st.tb_meta_sub = meta_sub
         n = len(st.pid_list)
+        self.stats.winners += n
         XMAX, YMAX, W = self._shapes(st.meta_all)
+        self.stats.dp_cells += _pow2_bucket(n, 64) * YMAX * W
 
         if self.backend == "pallas":
             from ..ops.swg_pallas import get_stream_traceback_gather_kernel

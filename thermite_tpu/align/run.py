@@ -29,8 +29,19 @@ def align_reads_from_file(
     output_fmt: str,
     opts: AlignOpts,
     engine: str = "oracle",
-    batch_size: int = 512,
+    batch_size: int = 16384,
+    verbose: bool = False,
+    profile_dir: Optional[str] = None,
 ) -> None:
+    if profile_dir:
+        import jax
+
+        with jax.profiler.trace(profile_dir):
+            align_reads_from_file(
+                index, query_paths, output_path, output_fmt, opts,
+                engine=engine, batch_size=batch_size, verbose=verbose,
+            )
+        return
     binary = output_fmt == FORMAT_BAM
     if output_path == "-":
         fh = sys.stdout.buffer if binary else sys.stdout
@@ -47,6 +58,7 @@ def align_reads_from_file(
         else:
             writer = None
 
+        batcher = None
         if engine == "oracle":
             aligner = OracleAligner(index, opts)
 
@@ -94,6 +106,8 @@ def align_reads_from_file(
 
         if writer is not None:
             writer.finish()
+        if verbose and batcher is not None:
+            print(batcher.stats.report(), file=sys.stderr)
     finally:
         if close:
             fh.close()

@@ -63,7 +63,11 @@ def main(argv=None) -> int:
     pa.add_argument("-a", dest="bam", action="store_true", help="SAM/BAM output")
     pa.add_argument("--intron-mode", action="store_true")
     pa.add_argument("--engine", choices=["oracle", "batch"], default="batch")
-    pa.add_argument("--batch-size", type=int, default=512)
+    pa.add_argument("--batch-size", type=int, default=16384)
+    pa.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="write a jax.profiler (XProf) trace of the run to DIR",
+    )
 
     args = p.parse_args(argv)
 
@@ -104,6 +108,8 @@ def main(argv=None) -> int:
         opts,
         engine=args.engine,
         batch_size=args.batch_size,
+        verbose=args.verbose,
+        profile_dir=args.profile,
     )
     return 0
 

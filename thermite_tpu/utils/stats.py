@@ -1,0 +1,59 @@
+"""Pipeline observability: per-stage timers and throughput counters.
+
+The reference has no in-code instrumentation (its only observability is
+zsh REPORTTIME around make targets, reference data/Makefile:45-51);
+SURVEY §5 calls for designed-in equivalents on the TPU build:
+per-stage wall times, reads/s, and DP-cell throughput (GCUPS).
+``BatchAligner`` feeds one ``PipelineStats`` across its lifetime;
+``thermite align -v`` prints the report, and ``--profile DIR`` wraps
+the run in a ``jax.profiler`` trace for XProf.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+from typing import Dict
+
+
+@dataclass
+class PipelineStats:
+    reads: int = 0
+    chunks: int = 0
+    problems: int = 0
+    tasks: int = 0
+    winners: int = 0
+    dp_cells: int = 0  # padded batch cells submitted to the DP kernels
+    stage_s: Dict[str, float] = field(default_factory=lambda: defaultdict(float))
+    _t0: float = field(default_factory=time.time)
+
+    @contextmanager
+    def stage(self, name: str):
+        t = time.time()
+        try:
+            yield
+        finally:
+            self.stage_s[name] += time.time() - t
+
+    def wall_s(self) -> float:
+        return time.time() - self._t0
+
+    def report(self) -> str:
+        wall = max(self.wall_s(), 1e-9)
+        lines = [
+            "pipeline stats:",
+            f"  reads\t{self.reads}",
+            f"  chunks\t{self.chunks}",
+            f"  extension problems\t{self.problems}",
+            f"  tasks (seed x target)\t{self.tasks}",
+            f"  traceback winners\t{self.winners}",
+            f"  wall time\t{wall:.3f} s",
+            f"  throughput\t{self.reads / wall:.1f} reads/s",
+            f"  DP cells submitted\t{self.dp_cells}",
+            f"  effective DP throughput\t{self.dp_cells / wall / 1e9:.2f} GCUPS",
+        ]
+        for name, s in sorted(self.stage_s.items()):
+            lines.append(f"  stage {name}\t{s:.3f} s ({100 * s / wall:.0f}%)")
+        return "\n".join(lines)
