@@ -69,7 +69,26 @@ def main(argv=None) -> int:
         help="write a jax.profiler (XProf) trace of the run to DIR",
     )
 
+    pm = sub.add_parser(
+        "merge",
+        help="Merge per-host output shards (host order) into one file",
+    )
+    pm.add_argument("-o", "--output", required=True)
+    pm.add_argument("shards", nargs="+")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "merge":
+        from .parallel.multihost import merge_shards
+
+        out = args.output
+        fmt = (
+            "bam" if out.endswith(".bam")
+            else "sam" if out.endswith(".sam")
+            else "paf"
+        )
+        merge_shards(args.shards, out, fmt)
+        return 0
 
     if args.cmd == "index":
         index = Index.create_from_files(args.reference, args.annotations)

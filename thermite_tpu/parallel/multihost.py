@@ -1,0 +1,80 @@
+"""Multi-host data parallelism: read sharding and output-shard merging.
+
+The multi-host story for an embarrassingly read-parallel workload
+(SURVEY §7 M5): every host loads the same index artifact, takes a
+contiguous block of the input reads (``shard_bounds``), runs the batch
+pipeline on its local chips, and writes its own output shard; the
+shards are then merged **in host order**, which restores the original
+input read order (block sharding is order-preserving).  No inter-host
+communication is needed during alignment — cross-host collectives
+(psum'd stats) ride the jit'd step in ``mesh.py``.
+
+Merging is format-aware:
+* SAM: first shard verbatim; later shards with their ``@`` header
+  lines stripped.
+* BAM: BGZF-level — the decompressed record bytes of later shards are
+  appended verbatim after the first shard's header and re-blocked
+  (byte-exact records, no decode/re-encode).
+* PAF: plain concatenation.
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+from typing import List, Tuple
+
+from ..io.bam import BgzfWriter
+
+
+def shard_bounds(n_reads: int, n_hosts: int, host_id: int) -> Tuple[int, int]:
+    """Contiguous [start, end) block of reads owned by ``host_id``."""
+    base = n_reads // n_hosts
+    rem = n_reads % n_hosts
+    start = host_id * base + min(host_id, rem)
+    end = start + base + (1 if host_id < rem else 0)
+    return start, end
+
+
+def _bam_header_len(data: bytes) -> int:
+    """Byte length of the uncompressed BAM header (magic..refs)."""
+    assert data[:4] == b"BAM\x01", "not a BAM stream"
+    (l_text,) = struct.unpack("<i", data[4:8])
+    off = 8 + l_text
+    (n_ref,) = struct.unpack("<i", data[off : off + 4])
+    off += 4
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack("<i", data[off : off + 4])
+        off += 4 + l_name + 4
+    return off
+
+
+def merge_shards(shard_paths: List[str], out_path: str, fmt: str) -> None:
+    """Merge per-host output shards (in host order) into one file."""
+    if fmt == "bam":
+        with open(out_path, "wb") as fh:
+            w = BgzfWriter(fh)
+            for i, p in enumerate(shard_paths):
+                data = gzip.open(p, "rb").read()
+                off = _bam_header_len(data)
+                if i == 0:
+                    w.write(data[:off])
+                w.write(data[off:])
+            w.finish()
+        return
+    if fmt == "sam":
+        with open(out_path, "w") as out:
+            for i, p in enumerate(shard_paths):
+                with open(p) as f:
+                    for line in f:
+                        if i > 0 and line.startswith("@"):
+                            continue
+                        out.write(line)
+        return
+    if fmt == "paf":
+        with open(out_path, "w") as out:
+            for p in shard_paths:
+                with open(p) as f:
+                    out.write(f.read())
+        return
+    raise ValueError(f"unknown format {fmt!r}")
