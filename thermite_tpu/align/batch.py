@@ -527,18 +527,27 @@ class BatchAligner:
             self.native.finalize(st.native_ch, tb_out, st.tb_meta_sub)
         )
         refs = self.index.refs
-        for s, row in enumerate(sel):
-            (ri, ti, atype, gene, refid, score, ys, ye, xs, xe, prim) = (
-                int(v) for v in row
-            )
+        # bulk C-level conversions: one tolist() per array instead of
+        # per-element int() casts in the hot loop
+        sel_rows = sel.tolist()
+        fin_runs = fin_runs.tolist()
+        fin_off = fin_off.tolist()
+        tx_runs = tx_runs.tolist()
+        tx_off = tx_off.tolist()
+        tx_meta = tx_meta.tolist()
+        task_tx = st.tasks_arr[:, 9].tolist()
+        aln_types = self._ALN_TYPES
+        runs_to_ops = self._runs_to_ops
+        for s, row in enumerate(sel_rows):
+            (ri, ti, atype, gene, refid, score, ys, ye, xs, xe, prim) = row
             ref = refs[refid]
             read = st.reads[ri]
             if fallback[s]:
                 results[ri].append(
-                    self._finalize_selected_fallback(st, s, row)
+                    self._finalize_selected_fallback(st, s, sel[s])
                 )
                 continue
-            ops = self._runs_to_ops(fin_runs[fin_off[s] : fin_off[s + 1]])
+            ops = runs_to_ops(fin_runs[fin_off[s] : fin_off[s + 1]])
             gx_aln = Alignment(
                 score=score, ystart=ys, xstart=xs, yend=ye, xend=xe,
                 ylen=ref.len, xlen=len(read), operations=ops,
@@ -547,22 +556,20 @@ class BatchAligner:
             if atype == 0:
                 tm = tx_meta[s]
                 tx_aln = Alignment(
-                    score=score, ystart=int(tm[0]), xstart=int(tm[2]),
-                    yend=int(tm[1]), xend=int(tm[3]), ylen=int(tm[4]),
+                    score=score, ystart=tm[0], xstart=tm[2],
+                    yend=tm[1], xend=tm[3], ylen=tm[4],
                     xlen=len(read),
-                    operations=self._runs_to_ops(
-                        tx_runs[tx_off[s] : tx_off[s + 1]]
-                    ),
+                    operations=runs_to_ops(tx_runs[tx_off[s] : tx_off[s + 1]]),
                 )
             results[ri].append(
                 GenomeAlignment(
                     gx_aln=gx_aln,
-                    aln_type=self._ALN_TYPES[atype],
+                    aln_type=aln_types[atype],
                     ref_name=ref.name,
                     strand=ref.strand,
                     primary=bool(prim),
                     tx_aln=tx_aln,
-                    tx_idx=int(st.tasks_arr[ti][9]) if atype == 0 else None,
+                    tx_idx=task_tx[ti] if atype == 0 else None,
                     gene_idx=gene if atype == 1 else None,
                 )
             )
@@ -829,8 +836,15 @@ class BatchAligner:
 
             BBLK = 64
             meta = self._pad_meta(meta_sub, _pow2_bucket(n, BBLK))
+            # tight batch bound on walk steps (sticky; shrinks the ops
+            # buffer and the packed d2h payload vs XMAX+YMAX)
+            smax = _round_up(
+                int((meta_sub[:, 5] + meta_sub[:, 2]).max(initial=1)) + 2, 128
+            )
+            smax = max(smax, getattr(self, "_SMAX", 0))
+            self._SMAX = smax
             kern = get_stream_traceback_gather_kernel(
-                BBLK, XMAX, YMAX, W, self.interpret
+                BBLK, XMAX, YMAX, W, self.interpret, SMAX=smax
             )
             words, lw = self._ref_text()
             st.tb_raw = kern(words, lw, st.reads_dev, meta)

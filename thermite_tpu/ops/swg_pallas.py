@@ -378,7 +378,8 @@ def smax_for(XMAX: int, YMAX: int) -> int:
 
 
 def make_stream_traceback_kernel(
-    BBLK: int, XMAX: int, YMAX: int, W: int, interpret: bool = False
+    BBLK: int, XMAX: int, YMAX: int, W: int, interpret: bool = False,
+    SMAX: int = 0,
 ):
     """Forward + *vectorized* on-device traceback.
 
@@ -405,7 +406,10 @@ def make_stream_traceback_kernel(
       2 bits each, little-endian within each word.
     """
     XW = xwidth(XMAX, W)
-    SMAX = smax_for(XMAX, YMAX)
+    # SMAX bounds the per-pair step count; callers may pass a tighter
+    # batch bound (max xlen + max ylen + 2, lane-rounded) to shrink the
+    # ops buffer and the packed d2h payload
+    SMAX = SMAX or smax_for(XMAX, YMAX)
     MAXIT = YMAX + 1 + XMAX + 2
 
     def kernel(x_ref, y_ref, p_ref, meta_ref, ops_ref, dirs_ref):
@@ -510,11 +514,12 @@ def make_stream_traceback_kernel(
 
 
 def make_stream_traceback_gather_kernel(
-    BBLK: int, XMAX: int, YMAX: int, W: int, interpret: bool = False
+    BBLK: int, XMAX: int, YMAX: int, W: int, interpret: bool = False,
+    SMAX: int = 0,
 ):
     """jit fn (ref_words, ref_lw, reads, meta) -> (N, 4 + SMAX/16) int32."""
     XW = xwidth(XMAX, W)
-    inner = make_stream_traceback_kernel(BBLK, XMAX, YMAX, W, interpret)
+    inner = make_stream_traceback_kernel(BBLK, XMAX, YMAX, W, interpret, SMAX)
 
     def call(ref_words, ref_lw, reads, meta):
         x, y = _gather_windows_packed(
@@ -528,11 +533,11 @@ def make_stream_traceback_gather_kernel(
 _STB_CACHE = {}
 
 
-def get_stream_traceback_gather_kernel(BBLK, XMAX, YMAX, W, interpret=False):
-    key = (BBLK, XMAX, YMAX, W, interpret)
+def get_stream_traceback_gather_kernel(BBLK, XMAX, YMAX, W, interpret=False, SMAX=0):
+    key = (BBLK, XMAX, YMAX, W, interpret, SMAX)
     if key not in _STB_CACHE:
         _STB_CACHE[key] = make_stream_traceback_gather_kernel(
-            BBLK, XMAX, YMAX, W, interpret
+            BBLK, XMAX, YMAX, W, interpret, SMAX
         )
     return _STB_CACHE[key]
 
