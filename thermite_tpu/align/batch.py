@@ -111,6 +111,8 @@ class _ChunkState:
     reads_host: Optional[np.ndarray] = None
     reads_dev: object = None
     meta_all: Optional[np.ndarray] = None  # (P, 8) problem offsets
+    fwd_idx: Optional[np.ndarray] = None  # rows sent to device (nontrivial)
+    tb_idx: Optional[np.ndarray] = None
     fwd_raw: object = None  # un-synced device output of the forward pass
     pid_list: object = None  # winner problem ids (list or int64 array)
     tb_raw: object = None  # un-synced device output of the traceback pass
@@ -521,8 +523,10 @@ class BatchAligner:
             self.native.free_chunk(st.native_ch)
             st.native_ch = None
             return results
-        tb_out = np.asarray(st.tb_raw)[: len(st.pid_list)]
+        sub_out = np.asarray(st.tb_raw)[: len(st.tb_idx)]
         st.tb_raw = None
+        tb_out = np.zeros((len(st.pid_list), sub_out.shape[1]), np.int32)
+        tb_out[st.tb_idx] = sub_out
         fin_runs, fin_off, tx_runs, tx_off, tx_meta, fallback = (
             self.native.finalize(st.native_ch, tb_out, st.tb_meta_sub)
         )
@@ -796,8 +800,21 @@ class BatchAligner:
         if self.backend == "pallas":
             from ..ops.swg_pallas import get_forward_gather_kernel
 
+            # trivial problems (empty query or reference flank) have a
+            # known result (score 0, max cell (0,0)) — roughly half of
+            # all problems on short-read workloads; keep them off-device
+            nontriv = (meta_all[:, 5] > 0) & (meta_all[:, 2] > 0)
+            st.fwd_idx = np.flatnonzero(nontriv)
+            sub = meta_all[st.fwd_idx]
+
             BBLK = 128  # sweet spot on v5e (see BENCH notes)
-            meta = self._pad_meta(meta_all, _pow2_bucket(max(n, 1), BBLK))
+            # sticky bucket: a short trailing chunk pads up to the
+            # largest bucket seen instead of compiling a new shape
+            nb = max(
+                _pow2_bucket(max(len(sub), 1), BBLK), getattr(self, "_NFWD", 0)
+            )
+            self._NFWD = nb
+            meta = self._pad_meta(sub, nb)
             self.stats.dp_cells += len(meta) * YMAX * W
             kern = get_forward_gather_kernel(BBLK, XMAX, YMAX, W, self.interpret)
             words, lw = self._ref_text()
@@ -814,8 +831,10 @@ class BatchAligner:
     def _forward_results(self, st: "_ChunkState"):
         n = len(st.meta_all)
         if self.backend == "pallas":
-            out = np.asarray(st.fwd_raw)[:n]
+            sub = np.asarray(st.fwd_raw)[: len(st.fwd_idx)]
             st.fwd_raw = None
+            out = np.zeros((n, 3), np.int32)
+            out[st.fwd_idx] = sub[:, :3]
             return out[:, 0], out[:, 1], out[:, 2]
         score, mi, mj = st.fwd_raw
         st.fwd_raw = None
@@ -829,13 +848,23 @@ class BatchAligner:
         n = len(st.pid_list)
         self.stats.winners += n
         XMAX, YMAX, W = self._shapes(st.meta_all)
-        self.stats.dp_cells += _pow2_bucket(n, 64) * YMAX * W
 
         if self.backend == "pallas":
             from ..ops.swg_pallas import get_stream_traceback_gather_kernel
 
+            # keep trivial (empty-flank) winners off-device: their stream
+            # row is all zeros (score 0, max cell (0,0), no steps)
+            nontriv = (meta_sub[:, 5] > 0) & (meta_sub[:, 2] > 0)
+            st.tb_idx = np.flatnonzero(nontriv)
+            sub = meta_sub[st.tb_idx]
+
             BBLK = 64
-            meta = self._pad_meta(meta_sub, _pow2_bucket(n, BBLK))
+            nb = max(
+                _pow2_bucket(max(len(sub), 1), BBLK), getattr(self, "_NTB", 0)
+            )
+            self._NTB = nb
+            meta = self._pad_meta(sub, nb)
+            self.stats.dp_cells += len(meta) * YMAX * W
             # tight batch bound on walk steps (sticky; shrinks the ops
             # buffer and the packed d2h payload vs XMAX+YMAX)
             smax = _round_up(
@@ -867,8 +896,10 @@ class BatchAligner:
         if self.backend == "pallas":
             from ..ops.runs import decode_stream_batch
 
-            out = np.asarray(st.tb_raw)[:n]
+            sub_out = np.asarray(st.tb_raw)[: len(st.tb_idx)]
             st.tb_raw = None
+            out = np.zeros((n, sub_out.shape[1]), np.int32)
+            out[st.tb_idx] = sub_out
             alns = decode_stream_batch(out, meta_sub[:, 5], meta_sub[:, 2])
             for k, pid in enumerate(pid_list):
                 aln = alns[k]
