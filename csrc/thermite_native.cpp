@@ -763,7 +763,7 @@ struct RunAln {  // a decoded/stitched alignment as RLE runs
 
 // decode one problem's backward-order 2-bit stream into forward runs
 // (ops/runs.py decode_stream_batch semantics, runs not per-cell ops)
-bool decode_stream(const int32_t* row, int64_t pw, int64_t xlen,
+bool decode_stream(const int32_t* row, int64_t xlen,
                    std::vector<int64_t>* runs, int64_t* score, int64_t* max_i,
                    int64_t* max_j) {
   *score = row[0];
@@ -792,8 +792,7 @@ bool decode_stream(const int32_t* row, int64_t pw, int64_t xlen,
 
 // stitch (align/extend.py:17-43) on runs: reversed(left) + M*seed + right
 void stitch_runs(const RunAln& left, const RunAln& right, int64_t hit_ref,
-                 int64_t hit_q, int64_t hit_len, int64_t read_len,
-                 RunAln* out) {
+                 int64_t hit_q, int64_t hit_len, RunAln* out) {
   out->runs.clear();
   out->score = left.score + hit_len + right.score;  // MATCH_SCORE == 1
   out->ystart = hit_ref - left.yend;
@@ -899,9 +898,9 @@ int64_t thermite_chunk_finalize(void* eh, void* chh, const int32_t* tb_out,
     int64_t lrow = 2 * s, rrow = 2 * s + 1;
     if (lrow >= n_rows || rrow >= n_rows) return -1000000 - s;
     int64_t ls, li, lj, rs2, ri2, rj2;
-    bool okl = decode_stream(tb_out + lrow * (4 + pw), pw,
+    bool okl = decode_stream(tb_out + lrow * (4 + pw),
                              tb_meta[lrow * 8 + 5], &left.runs, &ls, &li, &lj);
-    bool okr = decode_stream(tb_out + rrow * (4 + pw), pw,
+    bool okr = decode_stream(tb_out + rrow * (4 + pw),
                              tb_meta[rrow * 8 + 5], &right.runs, &rs2, &ri2,
                              &rj2);
     if (!okl || !okr) {
@@ -912,8 +911,7 @@ int64_t thermite_chunk_finalize(void* eh, void* chh, const int32_t* tb_out,
     }
     left.score = ls; left.xend = li; left.yend = lj;
     right.score = rs2; right.xend = ri2; right.yend = rj2;
-    int64_t rlen = ch.read_len[sel[S_READ]];
-    stitch_runs(left, right, tk[T_HITREF], tk[T_HITQ], tk[T_HITLEN], rlen,
+    stitch_runs(left, right, tk[T_HITREF], tk[T_HITQ], tk[T_HITLEN],
                 &stitched);
 
     RunAln* fin;

@@ -28,7 +28,6 @@ Backends: "pallas" (TPU; single-launch kernels) or "xla"
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -39,7 +38,6 @@ from ..constants import MATCH_SCORE
 from ..index.build import Index
 from ..index.span_lift import lift_tx_span_to_gx
 from ..index.txome import lift_mem_to_tx, lift_tx_to_gx
-from ..seed.smem import SmemEngine
 from .driver import AlignOpts, concat_to_chr_aln, filter_overlapping
 from .extend import extend_seed_match, stitch
 from .types import (
@@ -49,7 +47,6 @@ from .types import (
     INTERGENIC,
     INTRONIC,
     Mem,
-    xclip,
 )
 
 

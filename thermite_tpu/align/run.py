@@ -8,7 +8,7 @@ batched TPU pipeline (``thermite_tpu.align.batch``).
 from __future__ import annotations
 
 import sys
-from typing import Iterable, List, Optional
+from typing import Iterable, Optional
 
 from ..index.build import Index
 from ..io.bam import BamWriter

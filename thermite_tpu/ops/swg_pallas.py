@@ -32,8 +32,6 @@ write is a major-dim dynamic store.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
