@@ -189,6 +189,15 @@ class BatchAligner:
                     raise
                 self.native = None
 
+    def _reads_bucket(self, n: int) -> int:
+        """Sticky row bucket for the padded read block: a short trailing
+        chunk pads up to the largest bucket seen instead of introducing a
+        new jit input shape (each fresh shape costs a full remote kernel
+        compile on this deployment)."""
+        b = max(_pow2_bucket(max(n, 1), 256), getattr(self, "_NREADS", 0))
+        self._NREADS = b
+        return b
+
     def _ref_text(self):
         """Device-resident packed-word reference text: ((4, Lw) int32, Lw)."""
         if self._ref_text_dev is None:
@@ -354,7 +363,7 @@ class BatchAligner:
         # padded read block (device-resident for the duration of the
         # chunk); rows padded to a power-of-two bucket so the jitted
         # gather sees a bounded set of shapes across chunks
-        reads_pad = np.zeros((_pow2_bucket(max(len(reads), 1), 256), RPAD), np.uint8)
+        reads_pad = np.zeros((self._reads_bucket(len(reads)), RPAD), np.uint8)
         for ri, r in enumerate(reads):
             reads_pad[ri, : len(r)] = np.frombuffer(r, np.uint8)
         st.reads_host = reads_pad
@@ -374,9 +383,7 @@ class BatchAligner:
             getattr(self, "_RPAD", 0),
         )
         self._RPAD = RPAD
-        reads_pad = np.zeros(
-            (_pow2_bucket(max(len(reads), 1), 256), RPAD), np.uint8
-        )
+        reads_pad = np.zeros((self._reads_bucket(len(reads)), RPAD), np.uint8)
         read_lens = np.zeros(max(len(reads), 1), np.int64)
         for ri, r in enumerate(reads):
             reads_pad[ri, : len(r)] = np.frombuffer(r, np.uint8)

@@ -24,6 +24,26 @@ from .constants import (
 from .index.build import Index
 
 
+def _enable_compile_cache() -> None:
+    """Persist compiled kernels across CLI invocations (a cold kernel
+    compile costs ~40 s on the remote-compile TPU deployment).  Honors
+    an explicit JAX_COMPILATION_CACHE_DIR; otherwise defaults to
+    ~/.cache/thermite_tpu/jax."""
+    import os
+
+    if "JAX_COMPILATION_CACHE_DIR" in os.environ:
+        return
+    try:
+        import jax
+
+        d = os.path.expanduser("~/.cache/thermite_tpu/jax")
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization; never block alignment
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="thermite", description="TPU-native spliced RNA aligner")
     p.add_argument("-v", "--verbose", action="store_true")
@@ -77,6 +97,9 @@ def main(argv=None) -> int:
     pm.add_argument("shards", nargs="+")
 
     args = p.parse_args(argv)
+
+    if args.cmd == "align":
+        _enable_compile_cache()
 
     if args.cmd == "merge":
         from .parallel.multihost import merge_shards
