@@ -317,7 +317,7 @@ struct Engine {
   IntervalTable e2t, genes;
   // opts
   double pct;
-  int64_t min_score, mm_range, intron_mode;
+  int64_t min_score, mm_range, intron_mode, match_score;
 
   int64_t ref_of(int64_t idx) const {  // idx_to_ref binary search
     return std::upper_bound(ref_end.begin(), ref_end.end(), idx) -
@@ -467,7 +467,12 @@ void* thermite_engine_new(
     const int64_t* e2t_start, const int64_t* e2t_end, const int64_t* e2t_data,
     const int64_t* e2t_maxend, int64_t n_gi, const int64_t* gi_start,
     const int64_t* gi_end, const int64_t* gi_data, const int64_t* gi_maxend,
-    double pct, int64_t min_score, int64_t mm_range, int64_t intron_mode) {
+    double pct, int64_t min_score, int64_t mm_range, int64_t intron_mode,
+    int64_t match_score) {
+  // the pipeline encodes problems as int32 gather offsets; a reference
+  // text >= 2 GiB needs the (unimplemented) int64 offset path — fail
+  // loudly instead of silently truncating (callers surface the error)
+  if (ref_text_len > (((int64_t)1 << 31) - 1)) return nullptr;
   auto* E = new Engine();
   E->seeds = static_cast<SeedIndex*>(
       thermite_seed_index_new(text, text_len, (int)k));
@@ -501,6 +506,7 @@ void* thermite_engine_new(
   E->min_score = min_score;
   E->mm_range = mm_range;
   E->intron_mode = intron_mode;
+  E->match_score = match_score;
   return E;
 }
 
@@ -631,7 +637,8 @@ void thermite_chunk_arbitrate(void* eh, void* chh, const int32_t* scores,
       // group: one gx task + its tx tasks
       int64_t gx = t++;
       int64_t lp = task(gx, T_LP), rp = task(gx, T_RP);
-      int64_t gx_score = scores[lp] + task(gx, T_HITLEN) + scores[rp];
+      int64_t gx_score =
+          scores[lp] + E.match_score * task(gx, T_HITLEN) + scores[rp];
       int64_t abs_ref = task(gx, T_SEQSTART) + task(gx, T_HITREF);
       int64_t gys = abs_ref - mj[lp];
       int64_t gye = abs_ref + task(gx, T_HITLEN) + mj[rp];
@@ -643,7 +650,7 @@ void thermite_chunk_arbitrate(void* eh, void* chh, const int32_t* scores,
       int64_t tys = 0, tye = 0, txs = 0, txe = 0;
       while (t < t1 && task(t, T_ISTX)) {
         int64_t tl = task(t, T_LP), tr = task(t, T_RP);
-        int64_t sc = scores[tl] + task(t, T_HITLEN) + scores[tr];
+        int64_t sc = scores[tl] + E.match_score * task(t, T_HITLEN) + scores[tr];
         if (best < 0 || sc > best_score) {
           best = t;
           best_score = sc;
@@ -653,7 +660,7 @@ void thermite_chunk_arbitrate(void* eh, void* chh, const int32_t* scores,
           txe = task(t, T_HITQ) + task(t, T_HITLEN) + mi[tr];
         }
         ++t;
-        if (sc >= rlen) {  // MATCH_SCORE == 1
+        if (sc >= rlen * E.match_score) {  // perfect score
           while (t < t1 && task(t, T_ISTX)) ++t;  // skip rest of group
           break;
         }
@@ -792,9 +799,10 @@ bool decode_stream(const int32_t* row, int64_t xlen,
 
 // stitch (align/extend.py:17-43) on runs: reversed(left) + M*seed + right
 void stitch_runs(const RunAln& left, const RunAln& right, int64_t hit_ref,
-                 int64_t hit_q, int64_t hit_len, RunAln* out) {
+                 int64_t hit_q, int64_t hit_len, int64_t match_score,
+                 RunAln* out) {
   out->runs.clear();
-  out->score = left.score + hit_len + right.score;  // MATCH_SCORE == 1
+  out->score = left.score + match_score * hit_len + right.score;
   out->ystart = hit_ref - left.yend;
   out->yend = hit_ref + hit_len + right.yend;
   out->xstart = hit_q - left.xend;
@@ -912,7 +920,7 @@ int64_t thermite_chunk_finalize(void* eh, void* chh, const int32_t* tb_out,
     left.score = ls; left.xend = li; left.yend = lj;
     right.score = rs2; right.xend = ri2; right.yend = rj2;
     stitch_runs(left, right, tk[T_HITREF], tk[T_HITQ], tk[T_HITLEN],
-                &stitched);
+                E.match_score, &stitched);
 
     RunAln* fin;
     if (sel[S_TYPE] == A_EXONIC) {

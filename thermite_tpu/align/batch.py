@@ -201,12 +201,11 @@ class BatchAligner:
     def _ref_text(self):
         """Device-resident packed-word reference text: ((4, Lw) int32, Lw)."""
         if self._ref_text_dev is None:
-            from ..ops.swg_pallas import pack_text_words
+            from ..ops.swg_pallas import pack_text_words, packed_lw
 
             ref_u8 = jax.device_put(self._ref_text_host)
             words = jax.jit(lambda a: pack_text_words(a)[0])(ref_u8)
-            L = len(self._ref_text_host)
-            lw = ((512 + L + 512 + 3) // 4 * 4) // 4
+            lw = packed_lw(len(self._ref_text_host))
             self._ref_text_dev = (words, np.int32(lw))
         return self._ref_text_dev
 
@@ -230,6 +229,12 @@ class BatchAligner:
         arb_i = 0
         fin_i = 0
         i = 0
+        # one O(N) scan raises the sticky read pad for the whole batch
+        # (per-chunk rescans would be O(N x chunks))
+        self._RPAD = max(
+            _round_up(max(map(len, reads), default=1), 32),
+            getattr(self, "_RPAD", 0),
+        )
         while i < len(reads) or not built:
             with self.stats.stage("build"):
                 st, i = self._build_chunk(reads, i)
@@ -270,13 +275,7 @@ class BatchAligner:
             return self._build_chunk_native(all_reads, start)
         opts = self.opts
         index = self.index
-        RPAD = max(
-            _round_up(
-                max((len(r) for r in all_reads[start:]), default=1), 32
-            ),
-            getattr(self, "_RPAD", 0),
-        )
-        self._RPAD = RPAD
+        RPAD = self._RPAD
 
         reads: List[bytes] = []
         st = _ChunkState(reads=reads)
@@ -376,14 +375,16 @@ class BatchAligner:
     def _build_chunk_native(
         self, all_reads: List[bytes], start: int
     ) -> Tuple["_ChunkState", int]:
-        take = min(len(all_reads) - start, 4096)
+        # take a bit more than the running reads-per-chunk estimate so the
+        # problem budget, not `take`, usually cuts the chunk — without
+        # uppercasing/packing far more reads than will be consumed
+        est = getattr(self, "_est_chunk_reads", self.PROBLEM_BUDGET // 4)
+        take = min(len(all_reads) - start, max(256, (est * 5) // 4))
         reads = [all_reads[start + i].upper() for i in range(max(take, 0))]
-        RPAD = max(
-            _round_up(max((len(r) for r in reads), default=1), 32),
-            getattr(self, "_RPAD", 0),
+        RPAD = self._RPAD
+        reads_pad = np.zeros(
+            (_pow2_bucket(max(len(reads), 1), 256), RPAD), np.uint8
         )
-        self._RPAD = RPAD
-        reads_pad = np.zeros((self._reads_bucket(len(reads)), RPAD), np.uint8)
         read_lens = np.zeros(max(len(reads), 1), np.int64)
         for ri, r in enumerate(reads):
             reads_pad[ri, : len(r)] = np.frombuffer(r, np.uint8)
@@ -391,13 +392,26 @@ class BatchAligner:
         ch, consumed, meta, tasks = self.native.build_chunk(
             reads_pad, read_lens, len(reads), self.PROBLEM_BUDGET
         )
+        if consumed == take and start + consumed < len(all_reads):
+            # budget not reached: grow the estimate for the next chunk
+            self._est_chunk_reads = est * 2
+        elif consumed:
+            self._est_chunk_reads = consumed
         st = _ChunkState(reads=reads[:consumed])
         st.native_ch = ch
         st.meta_all = meta
         st.tasks_arr = tasks
         st.reads_host = reads_pad
+        # device copy gets the sticky row bucket (stable jit shape),
+        # sized by what the chunk actually consumed
+        rows = self._reads_bucket(max(consumed, 1))
+        if rows <= len(reads_pad):
+            upload = reads_pad[:rows]
+        else:
+            upload = np.zeros((rows, RPAD), np.uint8)
+            upload[: len(reads_pad)] = reads_pad
         st.reads_dev = (
-            jax.device_put(reads_pad) if self.backend == "pallas" else reads_pad
+            jax.device_put(upload) if self.backend == "pallas" else upload
         )
         return st, start + consumed
 
@@ -585,6 +599,16 @@ class BatchAligner:
         st.native_ch = None
         return results
 
+    @staticmethod
+    def _task_from_row(ri: int, t) -> _Task:
+        """Decode one native tasks_arr row (C++ T_* column layout)."""
+        return _Task(
+            read_i=ri, kind="tx" if t[1] else "gx",
+            hit=Mem(int(t[2]), int(t[3]), int(t[4])),
+            left_pid=int(t[5]), right_pid=int(t[6]), ref_len=int(t[7]),
+            seq_start=int(t[8]), tx_idx=int(t[9]),
+        )
+
     def _finalize_selected_fallback(self, st, s, row):
         """Host recompute for a device-flagged stream (not expected)."""
         from ..ops.swg_ref import SwgExtend
@@ -592,13 +616,7 @@ class BatchAligner:
         (ri, ti, atype, gene, refid, score, ys, ye, xs, xe, prim) = (
             int(v) for v in row
         )
-        t = st.tasks_arr[ti]
-        task = _Task(
-            read_i=ri, kind="tx" if t[1] else "gx",
-            hit=Mem(int(t[2]), int(t[3]), int(t[4])),
-            left_pid=int(t[5]), right_pid=int(t[6]), ref_len=int(t[7]),
-            seq_start=int(t[8]), tx_idx=int(t[9]),
-        )
+        task = self._task_from_row(ri, st.tasks_arr[ti])
         ops_by_pid = {}
         for pid in (task.left_pid, task.right_pid):
             m = st.meta_all[pid]
@@ -616,7 +634,7 @@ class BatchAligner:
             ref_name=ref.name,
             strand=ref.strand,
             primary=bool(prim),
-            tx_idx=int(t[9]) if atype == 0 else None,
+            tx_idx=task.tx_idx if atype == 0 else None,
             gene_idx=gene if atype == 1 else None,
         )
         return self._finalize(read, ga, task, ops_by_pid)
@@ -631,16 +649,7 @@ class BatchAligner:
                 int(v) for v in row
             )
             t = st.tasks_arr[ti]
-            task = _Task(
-                read_i=ri,
-                kind="tx" if t[1] else "gx",
-                hit=Mem(int(t[2]), int(t[3]), int(t[4])),
-                left_pid=int(t[5]),
-                right_pid=int(t[6]),
-                ref_len=int(t[7]),
-                seq_start=int(t[8]),
-                tx_idx=int(t[9]),
-            )
+            task = self._task_from_row(ri, t)
             ref = refs[refid]
             read = st.reads[ri]
             ga = GenomeAlignment(

@@ -22,6 +22,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
+from ..constants import MATCH_SCORE
 from ..index.build import Index
 from ..seed.native import _try_load
 
@@ -42,6 +43,7 @@ def _setup(lib):
         ctypes.c_int64, _i64p, _i64p, _i64p, _i64p,
         ctypes.c_int64, _i64p, _i64p, _i64p, _i64p,
         ctypes.c_double, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64,
     ]
     lib.thermite_engine_free.argtypes = [ctypes.c_void_p]
     lib.thermite_chunk_build.restype = ctypes.c_void_p
@@ -151,8 +153,14 @@ class NativeBatchEngine:
             _arr(gi.data, _i64p), _arr(gi.max_end_prefix, _i64p),
             float(opts.min_aln_score_percent), int(opts.min_aln_score),
             int(opts.multimap_score_range), 1 if opts.intron_mode else 0,
+            MATCH_SCORE,
         )
         if not self._h:
+            if len(ref_text) >= (1 << 31):
+                raise NotImplementedError(
+                    "reference text >= 2 GiB needs the int64 offset path "
+                    "(problems are encoded as int32 gather offsets)"
+                )
             raise RuntimeError("native engine init failed")
         self._tx_off_arr = tx_off
 

@@ -568,6 +568,12 @@ META_COLS = 8  # y_base, y_dir, ylen, x_base, x_dir, xlen, band, x_drop
 _WPAD = 512
 
 
+def packed_lw(L: int) -> int:
+    """Word count per shifted copy for a text of L bytes (the gather
+    stride; must match pack_text_words)."""
+    return ((_WPAD + L + _WPAD + 3) // 4 * 4) // 4
+
+
 def pack_text_words(text_u8):
     """(L,) uint8 -> ((4, Lw) int32 shifted word copies, Lw).
 
@@ -575,8 +581,8 @@ def pack_text_words(text_u8):
     where text_padded = [0]*_WPAD + text + [0]*_WPAD.
     """
     L = int(text_u8.shape[0])
-    total4 = ((_WPAD + L + _WPAD + 3) // 4) * 4
-    Lw = total4 // 4
+    Lw = packed_lw(L)
+    total4 = Lw * 4
     padded = jnp.zeros((total4 + 4,), jnp.uint8)
     padded = jax.lax.dynamic_update_slice(padded, text_u8, (_WPAD,))
     outs = []
