@@ -107,3 +107,18 @@ def test_wrapper(ws):
         [b"r1", b"r2"], [b"ATTACAG", b"ATTGACTTAAC"], [b"9" * 7, b"9" * 11]
     )
     assert out[0][0].rname == "alpha" and out[1][0].rname == "gamma"
+
+
+def test_gzipped_fastq_input(ws):
+    """Gzip-transparent FASTQ parsing (role of the reference's needletail
+    dependency): a .fastq.gz input must produce identical output."""
+    import gzip
+
+    d, idx, fq = ws
+    gz = str(d / "mini_query.fastq.gz")
+    with open(fq, "rb") as src, gzip.open(gz, "wb") as dst:
+        dst.write(src.read())
+    plain = _align(ws, "plain.sam", ["-a"])
+    gzout = str(d / "gz.sam")
+    assert cli_main(["align", idx, gz, "-o", gzout, "-a"] + FLAGS) == 0
+    assert open(plain).read() == open(gzout).read()
