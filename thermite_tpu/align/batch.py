@@ -183,6 +183,7 @@ class BatchAligner:
                 self.native = NativeBatchEngine(
                     index, opts, self.tx_off, self._ref_text_host,
                     opts.min_seed_len, min(MAX_ANCHOR_K, opts.min_seed_len),
+                    seeder=self.seeder if hasattr(self.seeder, "_h") else None,
                 )
             except (RuntimeError, AttributeError, OSError):
                 if use_native:

@@ -36,6 +36,7 @@ def _setup(lib):
         return
     lib.thermite_engine_new.restype = ctypes.c_void_p
     lib.thermite_engine_new.argtypes = [
+        ctypes.c_void_p,
         _u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, _i64p, _i64p, _u8p, _i64p, _i64p,
         _u8p, ctypes.c_int64, ctypes.c_int64, _i64p, _i64p,
@@ -96,13 +97,18 @@ def _arr(a, ctype):
 
 class NativeBatchEngine:
     def __init__(self, index: Index, opts, tx_off: np.ndarray,
-                 ref_text: np.ndarray, min_seed_len: int, anchor_k: int):
+                 ref_text: np.ndarray, min_seed_len: int, anchor_k: int,
+                 seeder=None):
         lib = _try_load()
         if lib is None:
             raise RuntimeError("native library unavailable")
         _setup(lib)
         self._lib = lib
         self.index = index
+        # borrow the seeder's k-mer table instead of building a second
+        # one (the table build dominates init at chromosome scale)
+        self._seeder = seeder  # keeps the borrowed handle alive
+        seeds_h = getattr(seeder, "_h", None) if seeder is not None else None
 
         refs = index.refs
         n_refs = len(refs)
@@ -139,6 +145,7 @@ class NativeBatchEngine:
         tx_off = np.ascontiguousarray(tx_off, np.int64)
         # tx offsets relative to ref_text start (they already are)
         self._h = lib.thermite_engine_new(
+            seeds_h,
             _arr(index.seq_arr, _u8p), len(index.seq_arr),
             min_seed_len, anchor_k,
             n_refs, _arr(ref_start, _i64p), _arr(ref_end, _i64p),
