@@ -53,28 +53,32 @@ struct SeedIndex {
   std::vector<int64_t> offsets;
   std::vector<int64_t> positions;
   // open-addressing key -> bucket hash (2 probes typical vs ~14 for
-  // the binary search; seeding is the host pipeline's hottest loop)
-  std::vector<std::pair<int64_t, int64_t>> khash;  // (key+1, bucket)
+  // the binary search; seeding is the host pipeline's hottest loop).
+  // Entries pack to 8 bytes (key+1 in the low 32 bits — keys are
+  // < 5^13 < 2^31 — bucket in the high 32) to halve probe traffic on
+  // chromosome-scale tables that far exceed cache.
+  std::vector<uint64_t> khash;
   uint64_t hmask = 0;
 
   void build_hash() {
     size_t cap = 64;
     while (cap < uniq_keys.size() * 2) cap <<= 1;
-    khash.assign(cap, {0, -1});
+    khash.assign(cap, 0);
     hmask = cap - 1;
     for (size_t b = 0; b < uniq_keys.size(); ++b) {
       uint64_t slot = ((uint64_t)uniq_keys[b] * 0x9E3779B97F4A7C15ull) & hmask;
-      while (khash[slot].first != 0) slot = (slot + 1) & hmask;
-      khash[slot] = {uniq_keys[b] + 1, (int64_t)b};
+      while (khash[slot] != 0) slot = (slot + 1) & hmask;
+      khash[slot] = (uint64_t)(uniq_keys[b] + 1) | ((uint64_t)b << 32);
     }
   }
   // bucket for key, or -1
   inline int64_t find_bucket(int64_t key) const {
     uint64_t slot = ((uint64_t)key * 0x9E3779B97F4A7C15ull) & hmask;
+    uint32_t want = (uint32_t)(key + 1);
     while (true) {
-      const auto& e = khash[slot];
-      if (e.first == 0) return -1;
-      if (e.first == key + 1) return e.second;
+      uint64_t e = khash[slot];
+      if (e == 0) return -1;
+      if ((uint32_t)e == want) return (int64_t)(e >> 32);
       slot = (slot + 1) & hmask;
     }
   }
@@ -193,14 +197,18 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
   };
   std::vector<Occ> occs;
 
-  // pre-pass: total anchor hits, to size the dedupe table safely
+  // pre-pass: total anchor hits (to size the dedupe table safely);
+  // buckets are cached so the main pass skips the hash probes, whose
+  // cache misses dominate seeding on chromosome-scale tables
   int64_t total_hits = 0;
+  std::vector<int64_t> bcache(rlen - k + 1, -1);
   for (int64_t q = 0; q + k <= rlen; ++q) {
     bool valid;
     int64_t key = pack_key(read + q, k, &valid);
     if (!valid) continue;
     int64_t b = idx->find_bucket(key);
     if (b < 0) continue;
+    bcache[q] = b;
     total_hits += idx->offsets[b + 1] - idx->offsets[b];
   }
 
@@ -229,10 +237,7 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
   };
 
   for (int64_t q = 0; q + k <= rlen; ++q) {
-    bool valid;
-    int64_t key = pack_key(read + q, k, &valid);
-    if (!valid) continue;
-    int64_t b = idx->find_bucket(key);
+    int64_t b = bcache[q];
     if (b < 0) continue;
     for (int64_t pi = idx->offsets[b]; pi < idx->offsets[b + 1]; ++pi) {
       int64_t p = idx->positions[pi];

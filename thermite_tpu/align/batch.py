@@ -31,6 +31,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
+import time
+
 import jax
 import numpy as np
 
@@ -154,6 +156,11 @@ class BatchAligner:
             backend = "xla" if jax.default_backend() == "cpu" else "pallas"
         self.backend = backend
         self.interpret = interpret  # run Pallas kernels in interpret mode
+        # pipeline depth: 2 overlaps device kernels with host work; on a
+        # single-core host the device runtime's polling thread contends
+        # with long host builds (large genomes), where serializing wins.
+        # None = decide from the first (uncontended) chunk build time.
+        self.pipeline_depth: Optional[int] = None
         from ..utils.stats import PipelineStats
 
         self.stats = PipelineStats()
@@ -248,11 +255,12 @@ class BatchAligner:
             else:
                 self.stats.tasks += len(st.tasks)
             built.append(st)
-            if len(built) - arb_i >= 2:
+            depth = self.pipeline_depth or 2
+            if len(built) - arb_i >= depth:
                 with self.stats.stage("arbitrate"):
                     self._arbitrate_chunk(built[arb_i])
                 arb_i += 1
-            if arb_i - fin_i >= 2:
+            if arb_i - fin_i >= depth:
                 with self.stats.stage("finalize"):
                     out.extend(self._finalize_chunk(built[fin_i]))
                 built[fin_i] = None
@@ -390,9 +398,19 @@ class BatchAligner:
         for ri, r in enumerate(reads):
             reads_pad[ri, : len(r)] = np.frombuffer(r, np.uint8)
             read_lens[ri] = len(r)
+        t0 = time.time()
         ch, consumed, meta, tasks = self.native.build_chunk(
             reads_pad, read_lens, len(reads), self.PROBLEM_BUDGET
         )
+        if self.pipeline_depth is None and consumed >= 1024:
+            # first sizeable chunk builds before any device dispatch, so
+            # this timing is uncontended: expensive builds (large seed
+            # tables) lose more to poll-thread contention than pipeline
+            # overlap saves on a single-core host
+            per_chunk = (time.time() - t0) * self.PROBLEM_BUDGET / max(
+                len(meta), 1
+            )
+            self.pipeline_depth = 1 if per_chunk > 0.12 else 2
         if consumed == take and start + consumed < len(all_reads):
             # budget not reached: grow the estimate for the next chunk
             self._est_chunk_reads = est * 2
