@@ -201,14 +201,25 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
   // buckets are cached so the main pass skips the hash probes, whose
   // cache misses dominate seeding on chromosome-scale tables
   int64_t total_hits = 0;
-  std::vector<int64_t> bcache(rlen - k + 1, -1);
-  for (int64_t q = 0; q + k <= rlen; ++q) {
+  const int64_t n_anchor = rlen - k + 1;
+  std::vector<int64_t> bcache(n_anchor, -1);
+  std::vector<int64_t> keys(n_anchor, -1);
+  for (int64_t q = 0; q < n_anchor; ++q) {
     bool valid;
     int64_t key = pack_key(read + q, k, &valid);
-    if (!valid) continue;
-    int64_t b = idx->find_bucket(key);
+    if (valid) {
+      keys[q] = key;
+      // hide the (likely) cache miss of this anchor's hash probe
+      __builtin_prefetch(
+          &idx->khash[((uint64_t)key * 0x9E3779B97F4A7C15ull) & idx->hmask]);
+    }
+  }
+  for (int64_t q = 0; q < n_anchor; ++q) {
+    if (keys[q] < 0) continue;
+    int64_t b = idx->find_bucket(keys[q]);
     if (b < 0) continue;
     bcache[q] = b;
+    __builtin_prefetch(&idx->offsets[b]);
     total_hits += idx->offsets[b + 1] - idx->offsets[b];
   }
 
