@@ -122,3 +122,69 @@ def test_gzipped_fastq_input(ws):
     gzout = str(d / "gz.sam")
     assert cli_main(["align", idx, gz, "-o", gzout, "-a"] + FLAGS) == 0
     assert open(plain).read() == open(gzout).read()
+
+
+def test_bgzf_blocks_conformant(ws):
+    """Walk the BAM's BGZF blocks exactly as htslib does (seek by
+    BSIZE+1): the chain must tile the file and end with the EOF marker.
+    Guards the BSIZE=length-1 rule that Python's gzip module ignores."""
+    import struct
+
+    bam = _align(ws, "conf.bam", ["-a"])
+    data = open(bam, "rb").read()
+    off = 0
+    blocks = 0
+    while off < len(data):
+        assert data[off : off + 4] == b"\x1f\x8b\x08\x04", f"bad header @{off}"
+        xlen = struct.unpack("<H", data[off + 10 : off + 12])[0]
+        # find the BC subfield in the extra area
+        extra = data[off + 12 : off + 12 + xlen]
+        p = 0
+        bsize = None
+        while p < len(extra):
+            si1, si2, slen = extra[p], extra[p + 1], struct.unpack("<H", extra[p + 2 : p + 4])[0]
+            if si1 == 66 and si2 == 67:
+                bsize = struct.unpack("<H", extra[p + 4 : p + 6])[0]
+            p += 4 + slen
+        assert bsize is not None
+        off += bsize + 1
+        blocks += 1
+    assert off == len(data), "block chain does not tile the file"
+    from thermite_tpu.io.bam import _BGZF_EOF
+
+    assert data.endswith(_BGZF_EOF), "missing BGZF EOF marker"
+    assert blocks >= 2
+
+
+def test_index_artifact_path_normalization(ws, tmp_path):
+    """save/load agree on the .npz artifact name regardless of the
+    extension the caller passes (np.savez always appends .npz)."""
+    from thermite_tpu.index.build import Index
+
+    d, idx_path, fq = ws
+    idx = Index.load(idx_path)
+    p = str(tmp_path / "art.tai")
+    idx.save(p)
+    for name in (p, p + ".npz"):
+        loaded = Index.load(name)
+        assert loaded.stats() == idx.stats()
+
+
+def test_gtf_unknown_chromosome_skipped(tmp_path, capfd):
+    """Annotations on chromosomes absent from the FASTA are skipped
+    with a warning instead of crashing (e.g. full GTF vs reduced FASTA)."""
+    from thermite_tpu.index.build import Index
+
+    fa = tmp_path / "r.fasta"
+    fa.write_text(">chrA\nACGTACGTACGTACGTACGT\n")
+    gtf = tmp_path / "r.gtf"
+    attrs = 'gene_id "g1"; transcript_id "t1"; gene_name "g1n";'
+    attrs2 = 'gene_id "g2"; transcript_id "t2"; gene_name "g2n";'
+    gtf.write_text(
+        f"chrA\tx\texon\t1\t8\t.\t+\t.\t{attrs}\n"
+        f"chrMISSING\tx\texon\t1\t8\t.\t+\t.\t{attrs2}\n"
+    )
+    idx = Index.create_from_files(str(fa), str(gtf))
+    err = capfd.readouterr().err
+    assert "chrMISSING" in err and "skipping" in err
+    assert len(idx.txome.txs) == 1

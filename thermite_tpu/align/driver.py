@@ -89,6 +89,9 @@ def align_read(
         if not opts.intron_mode and gx_aln.aln_type != EXONIC:
             continue
 
+        # NB: the opts.min_aln_score clause is subsumed by min_aln_score
+        # (= max(pct*len, opts.min_aln_score)); kept because this module
+        # mirrors reference src/aligner.rs:154-159 line-for-line
         if (
             gx_aln.gx_aln.score < opts.min_aln_score
             or gx_aln.gx_aln.score < min_aln_score

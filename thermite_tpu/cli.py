@@ -120,9 +120,7 @@ def main(argv=None) -> int:
         out = args.index
         if out == "-":
             raise SystemExit("index output to stdout not supported; pass -o FILE")
-        if not out.endswith(".npz"):
-            out += ".npz"
-        index.save(out)
+        index.save(out)  # Index.save normalizes to the .npz artifact name
         return 0
 
     assert 0.0 <= args.min_aln_score_percent <= 1.0, (
@@ -133,8 +131,7 @@ def main(argv=None) -> int:
     else:
         fmt = FORMAT_PAF
 
-    idx_path = args.index if args.index.endswith(".npz") else args.index + ".npz"
-    index = Index.load(idx_path)
+    index = Index.load(args.index)
     opts = AlignOpts(
         min_seed_len=args.min_seed_len,
         min_aln_score_percent=args.min_aln_score_percent,

@@ -93,8 +93,23 @@ class Index:
             genes = [Gene(g.id, g.name) for g in gtf_genes]
             gene_spans = [(len(seq), 0)] * len(genes)
 
+            skipped_chroms = set()
             for gtf_tx in gtf_txs:
                 strand = gtf_tx.strand
+                if (gtf_tx.chrom, strand) not in name_to_ref:
+                    # GTF annotations on chromosomes/scaffolds absent
+                    # from the FASTA (e.g. full GENCODE GTF against a
+                    # reduced assembly): skip, warn once per chromosome
+                    if gtf_tx.chrom not in skipped_chroms:
+                        skipped_chroms.add(gtf_tx.chrom)
+                        import sys
+
+                        print(
+                            f"warning: skipping annotations on "
+                            f"{gtf_tx.chrom!r}: not in the reference FASTA",
+                            file=sys.stderr,
+                        )
+                    continue
                 tx_ref = refs[name_to_ref[(gtf_tx.chrom, strand)]]
                 tx_seq = gtf_tx.spliced_seq(chrom_seqs[gtf_tx.chrom])
 
@@ -186,8 +201,17 @@ class Index:
         print(f"Number of transcripts\t{s['num_transcripts']}")
 
     # -- artifact IO (.tai equivalent) ---------------------------------
+    #
+    # np.savez always appends .npz; save/load normalize the path the
+    # same way so every API caller (CLI, wrapper, library) sees one
+    # consistent artifact name.
+
+    @staticmethod
+    def _artifact_path(path: str) -> str:
+        return path if path.endswith(".npz") else path + ".npz"
 
     def save(self, path: str) -> None:
+        path = self._artifact_path(path)
         meta = {
             "version": 1,
             "refs": [
@@ -233,6 +257,10 @@ class Index:
 
     @classmethod
     def load(cls, path: str) -> "Index":
+        import os
+
+        if not os.path.exists(path):
+            path = cls._artifact_path(path)
         z = np.load(path, allow_pickle=False)
         meta = json.loads(bytes(z["meta"]).decode())
         if meta.get("version") != 1:

@@ -23,7 +23,8 @@ _BGZF_EOF = bytes.fromhex(
 def _bgzf_block(data: bytes) -> bytes:
     co = zlib.compressobj(6, zlib.DEFLATED, -15)
     comp = co.compress(data) + co.flush()
-    bsize = len(comp) + 25 + 1  # header(18) + comp + crc(4) + isize(4) - 1
+    # BSIZE = total block length - 1: header(18) + comp + crc(4) + isize(4) - 1
+    bsize = len(comp) + 25
     header = (
         b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
         + struct.pack("<HHBBH", 6, 0x4342, 2, 0, bsize)
@@ -137,14 +138,11 @@ def encode_bam_record(rec: SamRecord, ref_ids: dict) -> bytes:
 
 class BamWriter:
     def __init__(self, fh, index):
+        from .sam import unique_refs
+
         self.bgzf = BgzfWriter(fh)
         header_text = build_sam_header(index)
-        refs = []
-        seen = set()
-        for r in index.refs:
-            if r.name not in seen:
-                seen.add(r.name)
-                refs.append((r.name, r.len))
+        refs = unique_refs(index)
         self.ref_ids = {name: i for i, (name, _) in enumerate(refs)}
         blob = bytearray(b"BAM\x01")
         ht = header_text.encode()

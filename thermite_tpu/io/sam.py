@@ -187,18 +187,27 @@ def unmapped_sam_record(
     )
 
 
+def unique_refs(index):
+    """(name, length) per unique chromosome, in first-appearance order.
+
+    The index stores fwd+revcomp copies sharing one name; SAM @SQ lines
+    and the BAM binary reference table must both be built from this one
+    dedup so their order/content can never diverge."""
+    out = []
+    seen = set()
+    for r in index.refs:
+        if r.name not in seen:
+            seen.add(r.name)
+            out.append((r.name, r.len))
+    return out
+
+
 def build_sam_header(index) -> str:
     """@SQ lines for every chromosome copy's forward entry + @PG
     (reference src/aln_writer.rs:256-276 keeps both strand copies'
     names; both copies share the chromosome name, so emit one @SQ per
     *unique* name to produce a valid SAM header)."""
-    lines = []
-    seen = set()
-    for r in index.refs:
-        if r.name in seen:
-            continue
-        seen.add(r.name)
-        lines.append(f"@SQ\tSN:{r.name}\tLN:{r.len}")
+    lines = [f"@SQ\tSN:{name}\tLN:{ln}" for name, ln in unique_refs(index)]
     lines.append("@PG\tID:thermite")
     return "\n".join(lines) + "\n"
 
