@@ -920,8 +920,9 @@ void chr_runs(const Engine& E, RunAln* a) {
 extern "C" {
 
 // Finalize all selected alignments of an arbitrated chunk.
-// tb_out: (n_rows, 4 + pw) int32 stream-traceback output rows, in
-// winner order (row 2s = left of selected s, 2s+1 = right).
+// tb_out: (n_rows, 4 + pw) int32 stream-traceback output rows indexed
+// BY PROBLEM ID (the single-pass pipeline runs the stream kernel on
+// every nontrivial problem; trivial problems have all-zero rows).
 // tb_meta: (n_rows, 8) int32 problem meta (for xlen).
 // Returns 0 on success, -(s+1) if the finalized span/score of selected
 // s disagrees with arbitration (a bug), and fills per-selected outputs
@@ -945,7 +946,7 @@ int64_t thermite_chunk_finalize(void* eh, void* chh, const int32_t* tb_out,
   for (int64_t s = 0; s < S; ++s) {
     const int64_t* sel = ch.selected.data() + s * S_NCOL;
     const int64_t* tk = ch.tasks.data() + sel[S_TASK] * T_NCOL;
-    int64_t lrow = 2 * s, rrow = 2 * s + 1;
+    int64_t lrow = tk[T_LP], rrow = tk[T_RP];
     if (lrow >= n_rows || rrow >= n_rows) return -1000000 - s;
     int64_t ls, li, lj, rs2, ri2, rj2;
     bool okl = decode_stream(tb_out + lrow * (4 + pw),

@@ -120,6 +120,7 @@ class _ChunkState:
     native_ch: object = None
     tasks_arr: Optional[np.ndarray] = None  # (T, 10) int64
     selected_arr: Optional[np.ndarray] = None  # (S, 11) int64
+    tb_full: Optional[np.ndarray] = None  # pid-indexed stream rows
 
 
 @dataclass
@@ -441,7 +442,11 @@ class BatchAligner:
             st.selected_arr, st.pid_list = self.native.arbitrate(
                 st.native_ch, scores, max_i, max_j
             )
-            self._dispatch_traceback(st)
+            if st.tb_full is None:
+                # two-pass path (xla backend): traceback winners now
+                self._dispatch_traceback(st)
+            else:
+                self.stats.winners += len(st.pid_list)
             return
         opts = self.opts
         reads = st.reads
@@ -555,17 +560,15 @@ class BatchAligner:
         results: List[List[GenomeAlignment]] = [[] for _ in st.reads]
         sel = st.selected_arr
         if len(sel) == 0:
-            if st.tb_raw is not None:
-                st.tb_raw = None
+            st.tb_full = None
             self.native.free_chunk(st.native_ch)
             st.native_ch = None
             return results
-        sub_out = np.asarray(st.tb_raw)[: len(st.tb_idx)]
-        st.tb_raw = None
-        tb_out = np.zeros((len(st.pid_list), sub_out.shape[1]), np.int32)
-        tb_out[st.tb_idx] = sub_out
+        # single-pass: pid-indexed stream rows captured at arbitration
+        tb_out = st.tb_full
+        st.tb_full = None
         fin_runs, fin_off, tx_runs, tx_off, tx_meta, fallback = (
-            self.native.finalize(st.native_ch, tb_out, st.tb_meta_sub)
+            self.native.finalize(st.native_ch, tb_out, st.meta_all)
         )
         refs = self.index.refs
         # bulk C-level conversions: one tolist() per array instead of
@@ -830,14 +833,44 @@ class BatchAligner:
         n = len(meta_all)
         XMAX, YMAX, W = self._shapes(meta_all)
         if self.backend == "pallas":
-            from ..ops.swg_pallas import get_forward_gather_kernel
-
             # trivial problems (empty query or reference flank) have a
             # known result (score 0, max cell (0,0)) — roughly half of
             # all problems on short-read workloads; keep them off-device
             nontriv = (meta_all[:, 5] > 0) & (meta_all[:, 2] > 0)
             st.fwd_idx = np.flatnonzero(nontriv)
             sub = meta_all[st.fwd_idx]
+
+            if st.native_ch is not None:
+                # single-pass pipeline: the stream-traceback kernel runs
+                # on every nontrivial problem up front, so arbitration
+                # gets scores AND finalize gets op streams from ONE
+                # device round trip (losers' walks are cheap; the extra
+                # packed payload is a few hundred KB per chunk)
+                from ..ops.swg_pallas import (
+                    get_stream_traceback_gather_kernel,
+                )
+
+                BBLK = 64
+                nb = max(
+                    _pow2_bucket(max(len(sub), 1), BBLK),
+                    getattr(self, "_NFWD1", 0),
+                )
+                self._NFWD1 = nb
+                meta = self._pad_meta(sub, nb)
+                self.stats.dp_cells += len(meta) * YMAX * W
+                smax = _round_up(
+                    int((sub[:, 5] + sub[:, 2]).max(initial=1)) + 2, 128
+                )
+                smax = max(smax, getattr(self, "_SMAX", 0))
+                self._SMAX = smax
+                kern = get_stream_traceback_gather_kernel(
+                    BBLK, XMAX, YMAX, W, self.interpret, SMAX=smax
+                )
+                words, lw = self._ref_text()
+                st.fwd_raw = kern(words, lw, st.reads_dev, meta)
+                return
+
+            from ..ops.swg_pallas import get_forward_gather_kernel
 
             BBLK = 128  # sweet spot on v5e (see BENCH notes)
             # sticky bucket: a short trailing chunk pads up to the
@@ -865,6 +898,13 @@ class BatchAligner:
         if self.backend == "pallas":
             sub = np.asarray(st.fwd_raw)[: len(st.fwd_idx)]
             st.fwd_raw = None
+            if st.native_ch is not None:
+                # single-pass: keep the full pid-indexed stream rows for
+                # finalize; cols 0-2 are score/max_i/max_j
+                full = np.zeros((n, sub.shape[1]), np.int32)
+                full[st.fwd_idx] = sub
+                st.tb_full = full
+                return full[:, 0], full[:, 1], full[:, 2]
             out = np.zeros((n, 3), np.int32)
             out[st.fwd_idx] = sub[:, :3]
             return out[:, 0], out[:, 1], out[:, 2]
