@@ -230,7 +230,7 @@ class BatchAligner:
     # power-of-two batch bucket, so padding waste stays a few percent
     # (cutting by read count can overshoot a bucket boundary and
     # double the padded batch).
-    PROBLEM_BUDGET = 16384 - 512
+    PROBLEM_BUDGET = 32768 - 1024
 
     def align_batch(self, reads: List[bytes]) -> List[List[GenomeAlignment]]:
         out: List[List[GenomeAlignment]] = []
