@@ -183,6 +183,7 @@ def test_gtf_unknown_chromosome_skipped(tmp_path, capfd):
     gtf.write_text(
         f"chrA\tx\texon\t1\t8\t.\t+\t.\t{attrs}\n"
         f"chrMISSING\tx\texon\t1\t8\t.\t+\t.\t{attrs2}\n"
+        'chrA\tx\texon\t1\t8\t.\t+\t.\ttranscript_id "orphan";\n'
     )
     idx = Index.create_from_files(str(fa), str(gtf))
     err = capfd.readouterr().err

@@ -206,6 +206,21 @@ class BamRead:
         return "".join(f"{n}{_CIGAR_OPS[op]}" for n, op in self.cigar)
 
 
+def bam_header_len(data: bytes) -> int:
+    """Byte length of the uncompressed BAM header (magic..refs).
+    Raises struct.error on a truncated buffer (callers may retry with
+    more bytes) and AssertionError on a non-BAM stream."""
+    assert data[:4] == b"BAM\x01", "not a BAM stream"
+    (l_text,) = struct.unpack("<i", data[4:8])
+    off = 8 + l_text
+    (n_ref,) = struct.unpack("<i", data[off : off + 4])
+    off += 4
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack("<i", data[off : off + 4])
+        off += 4 + l_name + 4
+    return off
+
+
 def read_bam(path: str) -> Tuple[str, List[str], Iterator[BamRead]]:
     """Returns (header_text, ref_names, record iterator)."""
     import gzip

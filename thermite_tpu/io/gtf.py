@@ -83,6 +83,10 @@ def parse_gtf(path: str) -> Tuple[List[GtfGene], List[GtfTranscript]]:
             tx_id = a.get(b"transcript_id", b"").decode()
             if not tx_id:
                 continue
+            if not gene_id:
+                # exon with a transcript but no gene_id: skip rather
+                # than KeyError into an aborted index build
+                continue
             if tx_id not in tx_idx_of:
                 tx_idx_of[tx_id] = len(txs)
                 txs.append(

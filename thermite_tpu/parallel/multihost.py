@@ -24,7 +24,7 @@ import gzip
 import struct
 from typing import List, Tuple
 
-from ..io.bam import BgzfWriter
+from ..io.bam import BgzfWriter, bam_header_len
 
 
 def shard_bounds(n_reads: int, n_hosts: int, host_id: int) -> Tuple[int, int]:
@@ -36,30 +36,39 @@ def shard_bounds(n_reads: int, n_hosts: int, host_id: int) -> Tuple[int, int]:
     return start, end
 
 
-def _bam_header_len(data: bytes) -> int:
-    """Byte length of the uncompressed BAM header (magic..refs)."""
-    assert data[:4] == b"BAM\x01", "not a BAM stream"
-    (l_text,) = struct.unpack("<i", data[4:8])
-    off = 8 + l_text
-    (n_ref,) = struct.unpack("<i", data[off : off + 4])
-    off += 4
-    for _ in range(n_ref):
-        (l_name,) = struct.unpack("<i", data[off : off + 4])
-        off += 4 + l_name + 4
-    return off
+def _read_bam_header(f) -> Tuple[bytes, int]:
+    """Read just enough of a decompressed BAM stream to cover the
+    header; returns (buffer, header byte length)."""
+    buf = f.read(1 << 16)
+    while True:
+        try:
+            return buf, bam_header_len(buf)
+        except struct.error:
+            more = f.read(max(len(buf), 1 << 16))
+            if not more:
+                raise
+            buf += more
 
 
 def merge_shards(shard_paths: List[str], out_path: str, fmt: str) -> None:
-    """Merge per-host output shards (in host order) into one file."""
+    """Merge per-host output shards (in host order) into one file.
+
+    BAM shards stream through in bounded chunks (a shard's decompressed
+    bytes are never held in memory at once)."""
     if fmt == "bam":
         with open(out_path, "wb") as fh:
             w = BgzfWriter(fh)
             for i, p in enumerate(shard_paths):
-                data = gzip.open(p, "rb").read()
-                off = _bam_header_len(data)
-                if i == 0:
-                    w.write(data[:off])
-                w.write(data[off:])
+                with gzip.open(p, "rb") as f:
+                    buf, off = _read_bam_header(f)
+                    if i == 0:
+                        w.write(buf[:off])
+                    w.write(buf[off:])
+                    while True:
+                        chunk = f.read(1 << 20)
+                        if not chunk:
+                            break
+                        w.write(chunk)
             w.finish()
         return
     if fmt == "sam":

@@ -37,7 +37,6 @@ import numpy as np
 from ..align.types import Mem
 from .kmer import KmerTable, MAX_ANCHOR_K, encode_base5, rolling_keys
 
-_native = None  # set by seed.native when available
 
 
 class SmemEngine:

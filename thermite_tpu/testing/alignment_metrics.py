@@ -48,6 +48,10 @@ def _identical_to_ref(r: BamRead) -> bool:
 
 
 def _identical(a: BamRead, b: BamRead) -> bool:
+    """NB: mutually-unmapped pairs compare identical (None == None) —
+    this mirrors the reference harness's queries_identical
+    (reference lib/testing/alignment_metrics.py:171-180), which also
+    has no unmapped guard; kept so golden tables stay comparable."""
     return (
         a.rname == b.rname
         and a.pos == b.pos
@@ -84,7 +88,12 @@ def compare(path1: str, path2: str) -> Metrics:
         m.n_reads += 1
         row2s: List[BamRead] = []
         while True:
-            row2 = next(it2)
+            row2 = next(it2, None)
+            if row2 is None:
+                raise SystemExit(
+                    f"file2 ran out of records at read {row1.qname!r} "
+                    "(truncated file or multimap group without HI == NH)"
+                )
             row2s.append(row2)
             if row2.is_unmapped or row2.tags.get("HI") == row2.tags.get("NH"):
                 break
