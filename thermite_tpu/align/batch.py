@@ -850,7 +850,7 @@ class BatchAligner:
                     get_stream_traceback_gather_kernel,
                 )
 
-                BBLK = 64
+                BBLK = 128  # dirs scratch (~10.5 MB) still fits VMEM
                 nb = max(
                     _pow2_bucket(max(len(sub), 1), BBLK),
                     getattr(self, "_NFWD1", 0),
