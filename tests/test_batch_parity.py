@@ -161,3 +161,35 @@ def test_span_lift_matches_full_lift():
         trailing = bool(ops) and ops[-1] not in ("M", "S", "D")
         gys, gye = lift_tx_span_to_gx(ys, i, tx, trailing_nonref=trailing)
         assert (gys, gye) == (lifted.ystart, lifted.yend), f"ys={ys} ops={ops}"
+
+
+def test_chrm_parity_variable_length_reads(chrm_index):
+    """Mixed 40-150 bp reads grow the band (W), column count (YMAX) and
+    walk bound (SMAX) buckets; parity must hold across the growth.
+    (The TPU run of this mix also guards the adaptive traceback block
+    size that keeps the dirs scratch within VMEM.)"""
+    idx = chrm_index
+    rng = np.random.default_rng(31)
+    chrM = idx.seq[idx.refs[0].start_idx : idx.refs[0].end_idx - 1]
+    alpha = b"ACGT"
+    reads = []
+    for _ in range(80):
+        L = int(rng.integers(40, 150))
+        p = int(rng.integers(0, len(chrM) - L - 1))
+        r = bytearray(chrM[p : p + L])
+        for _ in range(int(rng.integers(0, 6))):
+            m = int(rng.integers(0, 3))
+            q = int(rng.integers(1, max(len(r) - 1, 2)))
+            if m == 0 and len(r) > 30:
+                del r[q]
+            elif m == 1:
+                r.insert(q, alpha[int(rng.integers(0, 4))])
+            else:
+                r[q] = alpha[int(rng.integers(0, 4))]
+        r = bytes(r)
+        reads.append(revcomp(r) if rng.random() < 0.5 else r)
+    opts = AlignOpts(
+        min_seed_len=20, min_aln_score_percent=0.0, min_aln_score=30,
+        intron_mode=True,
+    )
+    _assert_parity(idx, reads, opts)

@@ -811,6 +811,19 @@ class BatchAligner:
         return XMAX, YMAX, W
 
     @staticmethod
+    def _tb_bblk(YMAX: int, W: int) -> int:
+        """Largest power-of-two block whose traceback dirs scratch
+        ((YMAX+1) x BBLK x W int32) fits the ~16 MB VMEM budget with
+        room for the x/y/ops blocks (longer reads widen the band and
+        the column count, shrinking the feasible block)."""
+        budget = 11 << 20
+        per = (YMAX + 1) * W * 4
+        b = 128
+        while b > 8 and b * per > budget:
+            b //= 2
+        return b
+
+    @staticmethod
     def _pad_meta(meta, N):
         """Pad to N rows; padding rows are empty problems (band 1)."""
         out = np.zeros((N, meta.shape[1]), np.int32)
@@ -850,7 +863,7 @@ class BatchAligner:
                     get_stream_traceback_gather_kernel,
                 )
 
-                BBLK = 128  # dirs scratch (~10.5 MB) still fits VMEM
+                BBLK = self._tb_bblk(YMAX, W)
                 nb = max(
                     _pow2_bucket(max(len(sub), 1), BBLK),
                     getattr(self, "_NFWD1", 0),
@@ -930,7 +943,7 @@ class BatchAligner:
             st.tb_idx = np.flatnonzero(nontriv)
             sub = meta_sub[st.tb_idx]
 
-            BBLK = 64
+            BBLK = self._tb_bblk(YMAX, W)
             nb = max(
                 _pow2_bucket(max(len(sub), 1), BBLK), getattr(self, "_NTB", 0)
             )
