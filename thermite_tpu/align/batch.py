@@ -415,7 +415,11 @@ class BatchAligner:
         if consumed == take and start + consumed < len(all_reads):
             # budget not reached: grow the estimate for the next chunk
             self._est_chunk_reads = est * 2
-        elif consumed:
+        elif consumed < take:
+            # budget-limited chunk: this is the real reads-per-chunk
+            # estimate.  (A tail chunk — consumed == take == remainder —
+            # must NOT shrink the estimate, or every later batch would
+            # restart with tiny chunks.)
             self._est_chunk_reads = consumed
         st = _ChunkState(reads=reads[:consumed])
         st.native_ch = ch
