@@ -54,7 +54,10 @@ def extend_left_right(
     """Banded SWG extension both ways around a seed hit
     (reference src/aligner.rs:352-407)."""
     x = read[hit.query_idx + hit.len :]
-    y = ref_seq[hit.ref_idx + hit.len :]
+    # the band slides one row per column, so no cell exists beyond
+    # column len(x) + band_width — clamp the suffix (transcript tails
+    # can be tens of kb) exactly like the left side / the batch path
+    y = ref_seq[hit.ref_idx + hit.len :][: len(x) + band_width + 1]
     right_aln = swg.extend(x, y, band_width, x_drop)
 
     x = read[: hit.query_idx][::-1]

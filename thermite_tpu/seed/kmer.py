@@ -81,6 +81,11 @@ class KmerTable:
 
     def lookup(self, query_keys: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """For each query key: (bucket_start, bucket_count); (0,0) if absent."""
+        if len(self.uniq_keys) == 0:
+            # empty table (text shorter than k): offsets is [0], so the
+            # offsets[idx + 1] below would index out of bounds
+            z = np.zeros(len(query_keys), dtype=np.int64)
+            return z, z
         idx = np.searchsorted(self.uniq_keys, query_keys)
         idx_c = np.minimum(idx, len(self.uniq_keys) - 1) if len(self.uniq_keys) else idx * 0
         found = (
