@@ -193,3 +193,15 @@ def test_chrm_parity_variable_length_reads(chrm_index):
         intron_mode=True,
     )
     _assert_parity(idx, reads, opts)
+
+
+def test_no_annotation_index_parity(tmp_path):
+    """Alignment without a transcriptome (the reference's GTF support is
+    an optional crate feature): everything classifies intergenic, batch
+    must still equal the oracle."""
+    ref, _gtf, fq = write_fixture(tmp_path)
+    idx = Index.create_from_files(ref, None)
+    opts = AlignOpts(min_seed_len=3, min_aln_score=0, intron_mode=True)
+    reads = [seq.encode() for _, seq in READS]
+    _assert_parity(idx, reads, opts)
+    _assert_parity(idx, reads, opts, backend="pallas", interpret=True)
