@@ -55,7 +55,7 @@ def main():
 
     # CPU oracle baseline (single core)
     oracle = OracleAligner(idx, opts)
-    oreads = make_reads(chrM, 192, seed=11)
+    oreads = make_reads(chrM, 256, seed=11)
     t0 = time.time()
     for r in oreads:
         oracle.align_read(r)
@@ -67,7 +67,7 @@ def main():
     batch.align_batch(warm)  # compile warmup
 
     best = 0.0
-    for trial in range(5):
+    for trial in range(7):
         reads = make_reads(chrM, 16384, seed=20 + trial)
         t0 = time.time()
         out = batch.align_batch(reads)
