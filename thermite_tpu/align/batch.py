@@ -595,19 +595,22 @@ class BatchAligner:
                     self._finalize_selected_fallback(st, s, sel[s])
                 )
                 continue
-            ops = runs_to_ops(fin_runs[fin_off[s] : fin_off[s + 1]])
+            gruns = fin_runs[fin_off[s] : fin_off[s + 1]]
             gx_aln = Alignment(
                 score=score, ystart=ys, xstart=xs, yend=ye, xend=xe,
-                ylen=ref.len, xlen=len(read), operations=ops,
+                ylen=ref.len, xlen=len(read), operations=runs_to_ops(gruns),
+                op_runs=gruns,
             )
             tx_aln = None
             if atype == 0:
                 tm = tx_meta[s]
+                truns = tx_runs[tx_off[s] : tx_off[s + 1]]
                 tx_aln = Alignment(
                     score=score, ystart=tm[0], xstart=tm[2],
                     yend=tm[1], xend=tm[3], ylen=tm[4],
                     xlen=len(read),
-                    operations=runs_to_ops(tx_runs[tx_off[s] : tx_off[s + 1]]),
+                    operations=runs_to_ops(truns),
+                    op_runs=truns,
                 )
             results[ri].append(
                 GenomeAlignment(

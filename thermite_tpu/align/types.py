@@ -59,6 +59,12 @@ class Alignment:
     ylen: int
     xlen: int
     operations: List[Op] = field(default_factory=list)
+    # Optional RLE form of `operations` ((op_code << 32) | length ints,
+    # codes 0..3 = M/S/D/I, 4 = SC, 5 = N) attached by the batch
+    # pipeline's native finalize; writers use it as a fast path for
+    # CIGAR/mismatch computation.  Excluded from equality: it is a
+    # cache of `operations`, not independent state.
+    op_runs: Optional[List[int]] = field(default=None, compare=False)
 
     def copy(self) -> "Alignment":
         return Alignment(

@@ -32,9 +32,28 @@ FLAG_REVERSE = 16
 FLAG_SECONDARY = 256
 
 
-def cigar_string(ops: List) -> str:
+_RUN_CIGAR_CHARS = ("M", "M", "D", "I", "S", "N")  # codes 0..5
+
+
+def cigar_from_runs(runs: List[int]) -> str:
+    """CIGAR from the RLE op_runs form — same output as cigar_string
+    on the expanded ops (M/S runs merge; clips and N never merge)."""
+    merged: List = []
+    for r in runs:
+        ch = _RUN_CIGAR_CHARS[r >> 32]
+        n = r & 0xFFFFFFFF
+        if merged and merged[-1][0] == ch and ch in "MID":
+            merged[-1][1] += n
+        else:
+            merged.append([ch, n])
+    return "".join(f"{n}{ch}" for ch, n in merged)
+
+
+def cigar_string(ops: List, runs: Optional[List[int]] = None) -> str:
     """Run-length CIGAR; Match and Subst both emit 'M'
     (reference src/aln_writer.rs:279-323)."""
+    if runs is not None:
+        return cigar_from_runs(runs)
     out: List[Tuple[str, int]] = []
     for op in ops:
         if isinstance(op, tuple):
@@ -137,7 +156,12 @@ def aln_to_sam_record(
     if not aln.primary:
         flag |= FLAG_SECONDARY
 
-    num_mismatch = sum(1 for op in aln.gx_aln.operations if op == OP_SUBST)
+    if aln.gx_aln.op_runs is not None:
+        num_mismatch = sum(
+            r & 0xFFFFFFFF for r in aln.gx_aln.op_runs if (r >> 32) == 1
+        )
+    else:
+        num_mismatch = sum(1 for op in aln.gx_aln.operations if op == OP_SUBST)
 
     tags: List[Tuple[str, str, str]] = [
         ("AS", "i", str(aln.gx_aln.score)),
@@ -148,7 +172,10 @@ def aln_to_sam_record(
     if aln.aln_type == EXONIC:
         tx = index.txome.txs[aln.tx_idx]
         gene = index.txome.genes[tx.gene_idx]
-        tx_val = f"{tx.id},+{aln.tx_aln.ystart},{cigar_string(aln.tx_aln.operations)}"
+        tx_val = (
+            f"{tx.id},+{aln.tx_aln.ystart},"
+            f"{cigar_string(aln.tx_aln.operations, aln.tx_aln.op_runs)}"
+        )
         tags.append(("TX", "Z", tx_val))
         tags.append(("GX", "Z", gene.id))
         tags.append(("GN", "Z", gene.name))
@@ -167,7 +194,7 @@ def aln_to_sam_record(
         rname=aln.ref_name,
         pos=aln.gx_aln.ystart + 1,
         mapq=multimapq(multimap),
-        cigar=cigar_string(aln.gx_aln.operations),
+        cigar=cigar_string(aln.gx_aln.operations, aln.gx_aln.op_runs),
         seq=_maybe_empty(seq),
         qual=_maybe_empty(qual),
         tags=tags,
