@@ -18,11 +18,23 @@ from .sam import format_read_name, multimapq
 def paf_line(
     query_name: bytes, query_seq: bytes, aln: GenomeAlignment, multimap: int
 ) -> str:
-    ops = aln.gx_aln.operations
-    num_match = sum(1 for op in ops if op == OP_MATCH)
-    num_match_gap = sum(
-        1 for op in ops if not (isinstance(op, tuple) and op[0] == YCLIP)
-    )
+    runs = aln.gx_aln.op_runs
+    if runs is not None:
+        # runs fast path (codes 0..3 = M/S/D/I per-cell, 4 = SC, 5 = N);
+        # SC counts as ONE element, N as zero — matching the per-cell
+        # accounting below
+        num_match = sum(r & 0xFFFFFFFF for r in runs if (r >> 32) == 0)
+        num_match_gap = sum(
+            (r & 0xFFFFFFFF) if (r >> 32) < 4 else 1
+            for r in runs
+            if (r >> 32) != 5
+        )
+    else:
+        ops = aln.gx_aln.operations
+        num_match = sum(1 for op in ops if op == OP_MATCH)
+        num_match_gap = sum(
+            1 for op in ops if not (isinstance(op, tuple) and op[0] == YCLIP)
+        )
     fields = [
         query_name.decode(),
         str(len(query_seq)),
