@@ -123,9 +123,10 @@ def main(argv=None) -> int:
         index.save(out)  # Index.save normalizes to the .npz artifact name
         return 0
 
-    assert 0.0 <= args.min_aln_score_percent <= 1.0, (
-        "Min alignment score percent must be between 0.0 and 1.0!"
-    )
+    if not 0.0 <= args.min_aln_score_percent <= 1.0:
+        # explicit check (asserts vanish under python -O); message text
+        # matches reference src/main.rs:46-49
+        raise SystemExit("Min alignment score percent must be between 0.0 and 1.0!")
     if args.bam:
         fmt = FORMAT_BAM if args.output.endswith(".bam") else FORMAT_SAM
     else:

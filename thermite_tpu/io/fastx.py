@@ -23,9 +23,11 @@ class SeqRecord:
 
 def _open(path: str) -> io.BufferedReader:
     f = open(path, "rb")
-    magic = f.peek(2)[:2] if hasattr(f, "peek") else f.read(2)
+    magic = f.peek(2)[:2]
     if magic == b"\x1f\x8b":
-        return io.BufferedReader(gzip.open(path, "rb"))
+        # reuse the already-open handle (opening the path again would
+        # leak this fd until GC)
+        return io.BufferedReader(gzip.GzipFile(fileobj=f))
     return f
 
 

@@ -188,9 +188,11 @@ def get_swg_kernel(W: int, unroll: int = 4):
     return _KERNEL_CACHE[key]
 
 
-def make_swg_gather_kernel(XMAX: int, YMAX: int, W: int, unroll: int = 4):
-    """Gather front-end over a resident reference text (same meta layout
-    as ``swg_pallas.META_COLS``); used by the xla backend in tests."""
+def swg_gather_call(XMAX: int, YMAX: int, W: int, unroll: int = 4):
+    """Unjitted gather+DP step over a resident reference text (meta
+    layout = ``swg_pallas.META_COLS``).  Shared by the jitted
+    single-device wrapper below and the sharded step in
+    ``parallel/mesh.py`` (one definition of the meta column mapping)."""
     from .swg_pallas import _gather_windows
 
     inner = make_swg_kernel(W, unroll)
@@ -199,7 +201,12 @@ def make_swg_gather_kernel(XMAX: int, YMAX: int, W: int, unroll: int = 4):
         x, y = _gather_windows(ref_text, reads, meta, XMAX, YMAX, shifted_x=False)
         return inner(x, meta[:, 5], y, meta[:, 2], meta[:, 6], meta[:, 7])
 
-    return jax.jit(call)
+    return call
+
+
+def make_swg_gather_kernel(XMAX: int, YMAX: int, W: int, unroll: int = 4):
+    """Jitted single-device gather front-end (xla test backend)."""
+    return jax.jit(swg_gather_call(XMAX, YMAX, W, unroll))
 
 
 _GATHER_CACHE = {}

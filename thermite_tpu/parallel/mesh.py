@@ -24,6 +24,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} device(s) are available"
+            )
         devices = devices[:n_devices]
     return Mesh(np.array(devices), ("data",))
 
@@ -78,16 +83,12 @@ def dp_gather_align_step(mesh: Mesh, XMAX: int, YMAX: int, W: int, unroll: int =
     step(ref_text (G,) u8, reads (B, RPAD) u8, meta (N, 8) i32,
          min_score) -> (score, max_i, max_j sharded; n_pass replicated)
     """
-    from ..ops.swg_batch import make_swg_kernel
-    from ..ops.swg_pallas import _gather_windows
+    from ..ops.swg_batch import swg_gather_call
 
-    kern = make_swg_kernel(W, unroll)
+    inner = swg_gather_call(XMAX, YMAX, W, unroll)
 
     def step(ref_text, reads, meta, min_score):
-        x, y = _gather_windows(ref_text, reads, meta, XMAX, YMAX, shifted_x=False)
-        score, mi, mj, _dirs = kern(
-            x, meta[:, 5], y, meta[:, 2], meta[:, 6], meta[:, 7]
-        )
+        score, mi, mj, _dirs = inner(ref_text, reads, meta)
         n_pass = jnp.sum((score >= min_score).astype(jnp.int32))
         return score, mi, mj, n_pass
 
