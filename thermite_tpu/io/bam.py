@@ -52,6 +52,20 @@ class BgzfWriter:
 
 _CIGAR_OPS = "MIDNSHP=X"
 _SEQ_NIBBLE = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+# byte translation tables for C-speed record encoding: base -> hex digit
+# of its 4-bit code (unknown bases -> 'f' == N, matching the dict's
+# default 15), and qual char -> clamped phred byte
+_SEQ_HEX_TBL = bytes.maketrans(
+    bytes(range(256)),
+    bytes(
+        ord("0123456789abcdef"[_SEQ_NIBBLE.get(chr(b), 15)])
+        for b in range(256)
+    ),
+)
+_QUAL_TBL = bytes.maketrans(
+    bytes(range(256)),
+    bytes(min(max(b - 33, 0), 93) for b in range(256)),
+)
 
 
 def _reg2bin(beg: int, end: int) -> int:
@@ -113,12 +127,15 @@ def encode_bam_record(rec: SamRecord, ref_ids: dict) -> bytes:
     body += name
     for n, op in cig:
         body += struct.pack("<I", (n << 4) | op)
-    for i in range(0, l_seq, 2):
-        hi = _SEQ_NIBBLE.get(seq[i], 15)
-        lo = _SEQ_NIBBLE.get(seq[i + 1], 15) if i + 1 < l_seq else 0
-        body.append((hi << 4) | lo)
+    if l_seq:
+        # C-speed nibble packing: translate bases to hex digits of
+        # their 4-bit codes, then bytes.fromhex packs pairs
+        hexs = seq.encode().translate(_SEQ_HEX_TBL).decode()
+        if l_seq & 1:
+            hexs += "0"
+        body += bytes.fromhex(hexs)
     if qual:
-        body += bytes((min(ord(c) - 33, 93) for c in qual))
+        body += qual.encode().translate(_QUAL_TBL)
     else:
         body += b"\xff" * l_seq
     for tag, ty, val in rec.tags:
