@@ -75,6 +75,13 @@ def main():
         best = max(best, len(reads) / dt)
     assert sum(1 for o in out if o) > len(reads) * 0.9, "mapping rate sanity"
 
+    # secondary observability on stderr (stdout stays one JSON line)
+    print(batch.stats.report(), file=sys.stderr)
+    print(
+        f"oracle baseline: {oracle_rps:.1f} reads/s (single core)",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {
