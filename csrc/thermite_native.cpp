@@ -23,6 +23,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <functional>
 #include <vector>
 
 namespace {
@@ -116,19 +117,13 @@ void* thermite_seed_index_new(const uint8_t* text, int64_t n, int k) {
     int64_t key = 0;
     int64_t pow_top = 1;
     for (int t = 0; t < k - 1; ++t) pow_top *= 5;
-    int invalid_run = 0;  // number of invalid chars in current window
-    // init first window
+    // init first window, counting invalid chars
+    int inv_count = 0;
     for (int t = 0; t < k; ++t) {
       uint8_t c = kCodes.code[idx->text[t]];
       key = key * 5 + (c == 255 ? 0 : c);
-      if (c == 255) invalid_run++;
+      inv_count += (c == 255);
     }
-    // track invalidity with a count of invalid chars in window
-    // (recompute incrementally)
-    std::vector<uint8_t> inv(k, 0);
-    for (int t = 0; t < k; ++t) inv[t] = kCodes.code[idx->text[t]] == 255;
-    int inv_count = 0;
-    for (int t = 0; t < k; ++t) inv_count += inv[t];
     if (inv_count == 0) kv.emplace_back(key, 0);
     for (int64_t i = 1; i + k <= n; ++i) {
       uint8_t c_out = kCodes.code[idx->text[i - 1]];
@@ -197,10 +192,9 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
   };
   std::vector<Occ> occs;
 
-  // pre-pass: total anchor hits (to size the dedupe table safely);
-  // buckets are cached so the main pass skips the hash probes, whose
-  // cache misses dominate seeding on chromosome-scale tables
-  int64_t total_hits = 0;
+  // pre-pass: resolve and cache each anchor's bucket (prefetched a
+  // pass ahead — the probes' cache misses dominate seeding on
+  // chromosome-scale tables)
   const int64_t n_anchor = rlen - k + 1;
   std::vector<int64_t> bcache(n_anchor, -1);
   std::vector<int64_t> keys(n_anchor, -1);
@@ -219,18 +213,17 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
     int64_t b = idx->find_bucket(keys[q]);
     if (b < 0) continue;
     bcache[q] = b;
-    __builtin_prefetch(&idx->offsets[b]);
-    total_hits += idx->offsets[b + 1] - idx->offsets[b];
   }
 
   // per-diagonal coverage dedupe: remember last covered query end per
-  // diagonal via a small hash map (open addressing)
+  // diagonal via a growable open-addressing map (sizing it from raw
+  // anchor-hit counts could allocate GBs for repeat-pathological reads)
   struct DiagCover {
     int64_t diag;
     int64_t qend;
   };
-  size_t hcap = 64;
-  while (hcap < (size_t)(total_hits + rlen) * 2) hcap <<= 1;
+  size_t hcap = 256;
+  size_t hcount = 0;
   std::vector<DiagCover> cover(hcap, {INT64_MIN, -1});
   auto covered_until = [&](int64_t diag) -> int64_t {
     size_t slot = ((uint64_t)diag * 0x9E3779B97F4A7C15ull) & (hcap - 1);
@@ -240,12 +233,29 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
     }
     return -1;
   };
-  auto set_covered = [&](int64_t diag, int64_t qend) {
-    size_t slot = ((uint64_t)diag * 0x9E3779B97F4A7C15ull) & (hcap - 1);
-    while (cover[slot].diag != INT64_MIN && cover[slot].diag != diag)
-      slot = (slot + 1) & (hcap - 1);
-    cover[slot] = {diag, qend};
-  };
+  std::function<void(int64_t, int64_t)> set_covered =
+      [&](int64_t diag, int64_t qend) {
+        size_t slot = ((uint64_t)diag * 0x9E3779B97F4A7C15ull) & (hcap - 1);
+        while (cover[slot].diag != INT64_MIN && cover[slot].diag != diag)
+          slot = (slot + 1) & (hcap - 1);
+        if (cover[slot].diag == INT64_MIN) {
+          if ((hcount + 1) * 2 > hcap) {  // grow at 50% load
+            std::vector<DiagCover> old_tab(std::move(cover));
+            hcap <<= 1;
+            cover.assign(hcap, {INT64_MIN, -1});
+            size_t saved = hcount;
+            hcount = 0;
+            for (const auto& e : old_tab)
+              if (e.diag != INT64_MIN) set_covered(e.diag, e.qend);
+            hcount = saved;
+            set_covered(diag, qend);
+            ++hcount;
+            return;
+          }
+          ++hcount;
+        }
+        cover[slot] = {diag, qend};
+      };
 
   for (int64_t q = 0; q + k <= rlen; ++q) {
     int64_t b = bcache[q];
@@ -336,8 +346,6 @@ struct IntervalTable {
 struct Engine {
   SeedIndex* seeds = nullptr;
   bool owns_seeds = true;
-  const uint8_t* text;  // borrowed (kept alive by Python Index)
-  int64_t text_len;
   int64_t min_seed_len;
   // refs (concatenated copies: fwd + revcomp per chromosome)
   std::vector<int64_t> ref_start, ref_end, ref_len, ref_rank;
@@ -376,8 +384,7 @@ enum { A_EXONIC = 0, A_INTRONIC = 1, A_INTERGENIC = 2 };
 
 struct Chunk {
   int64_t n_reads = 0;  // consumed
-  int64_t rpad = 0;
-  std::vector<int64_t> read_len, read_minscore, read_band;
+  std::vector<int64_t> read_len, read_minscore;
   std::vector<int32_t> meta;         // (P, 8)
   std::vector<int64_t> tasks;        // (T, T_NCOL)
   std::vector<int64_t> read_task_off;  // (n_reads+1,)
@@ -522,8 +529,6 @@ void* thermite_engine_new(
     delete E;
     return nullptr;
   }
-  E->text = text;
-  E->text_len = text_len;
   E->min_seed_len = min_seed_len;
   E->ref_start.assign(ref_start, ref_start + n_refs);
   E->ref_end.assign(ref_end, ref_end + n_refs);
@@ -566,7 +571,6 @@ void* thermite_chunk_build(void* h, const uint8_t* reads, int64_t n_reads,
                            int64_t problem_budget) {
   auto& E = *static_cast<Engine*>(h);
   auto* ch = new Chunk();
-  ch->rpad = rpad;
 
   std::vector<int64_t> mq, mt, ml;
   mq.resize(4096); mt.resize(4096); ml.resize(4096);
@@ -581,7 +585,6 @@ void* thermite_chunk_build(void* h, const uint8_t* reads, int64_t n_reads,
     int64_t xdrop = band;
     ch->read_len.push_back(rlen);
     ch->read_minscore.push_back(min_aln);
-    ch->read_band.push_back(band);
     ch->read_task_off.push_back(ch->n_tasks());
     ch->n_reads = ri + 1;
     int64_t read_off = ri * rpad;
@@ -665,6 +668,7 @@ void thermite_chunk_arbitrate(void* eh, void* chh, const int32_t* scores,
     int64_t task, type, gene, refid, score, ys, ye, xs, xe, rank, strand;
   };
   std::vector<Cand> cands, kept;
+  std::vector<int64_t> gidx;
 
   auto task = [&](int64_t t, int c) { return ch.tasks[t * T_NCOL + c]; };
 
@@ -725,7 +729,6 @@ void thermite_chunk_arbitrate(void* eh, void* chh, const int32_t* scores,
         c.xs = txs;
         c.xe = txe;
       } else {
-        std::vector<int64_t> gidx;
         E.genes.find(gys, gye, &gidx);
         c.task = gx;
         c.type = gidx.empty() ? A_INTERGENIC : A_INTRONIC;
@@ -812,14 +815,14 @@ struct RunAln {  // a decoded/stitched alignment as RLE runs
 
 // decode one problem's backward-order 2-bit stream into forward runs
 // (ops/runs.py decode_stream_batch semantics, runs not per-cell ops)
-bool decode_stream(const int32_t* row, int64_t xlen,
+bool decode_stream(const int32_t* row, int64_t pw, int64_t xlen,
                    std::vector<int64_t>* runs, int64_t* score, int64_t* max_i,
                    int64_t* max_j) {
   *score = row[0];
   *max_i = row[1];
   *max_j = row[2];
   int64_t n = row[3];
-  if (n < 0) return false;  // device flagged: host fallback
+  if (n < 0 || n > pw * 16) return false;  // flagged/corrupt: host fallback
   runs->clear();
   // stream is backward; walk from the end to emit forward order
   int64_t prev_op = -1, len = 0;
@@ -949,9 +952,9 @@ int64_t thermite_chunk_finalize(void* eh, void* chh, const int32_t* tb_out,
     int64_t lrow = tk[T_LP], rrow = tk[T_RP];
     if (lrow >= n_rows || rrow >= n_rows) return -1000000 - s;
     int64_t ls, li, lj, rs2, ri2, rj2;
-    bool okl = decode_stream(tb_out + lrow * (4 + pw),
+    bool okl = decode_stream(tb_out + lrow * (4 + pw), pw,
                              tb_meta[lrow * 8 + 5], &left.runs, &ls, &li, &lj);
-    bool okr = decode_stream(tb_out + rrow * (4 + pw),
+    bool okr = decode_stream(tb_out + rrow * (4 + pw), pw,
                              tb_meta[rrow * 8 + 5], &right.runs, &rs2, &ri2,
                              &rj2);
     if (!okl || !okr) {
@@ -983,8 +986,8 @@ int64_t thermite_chunk_finalize(void* eh, void* chh, const int32_t* tb_out,
       chr_runs(E, &stitched);
       fin = &stitched;
     }
-    if (fin->ystart != sel[S_YS] || fin->yend != sel[S_YE] ||
-        fin->score != sel[S_SCORE]) {
+    if (rc == 0 && (fin->ystart != sel[S_YS] || fin->yend != sel[S_YE] ||
+                    fin->score != sel[S_SCORE])) {
       rc = -(s + 1);  // span-only arbitration disagrees with traceback
     }
     ch.fin_runs.insert(ch.fin_runs.end(), fin->runs.begin(), fin->runs.end());

@@ -183,6 +183,11 @@ class NativeBatchEngine:
         """-> (chunk handle, n_consumed, meta (P,8) i32, tasks (T,10) i64)."""
         lib = self._lib
         rpad = reads_pad.shape[1]
+        if reads_pad.size >= (1 << 31):
+            raise NotImplementedError(
+                "padded read block >= 2 GiB needs the int64 offset path "
+                "(problems are encoded as int32 gather offsets)"
+            )
         ch = lib.thermite_chunk_build(
             self._h, _arr(reads_pad, _u8p), n_reads, rpad,
             _arr(read_lens, _i64p), budget,
@@ -230,6 +235,11 @@ class NativeBatchEngine:
             self._h, ch, _arr(tb_out, _i32p), n_rows, pw, _arr(tb_meta, _i32p)
         )
         if rc != 0:
+            if rc <= -1000000:
+                raise AssertionError(
+                    f"native finalize: traceback row out of range for "
+                    f"selected #{-rc - 1000000}"
+                )
             raise AssertionError(
                 f"native finalize: span-only arbitration disagrees with "
                 f"traceback (selected #{-rc - 1})"
