@@ -23,7 +23,6 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
-#include <functional>
 #include <vector>
 
 namespace {
@@ -213,6 +212,7 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
     int64_t b = idx->find_bucket(keys[q]);
     if (b < 0) continue;
     bcache[q] = b;
+    __builtin_prefetch(&idx->offsets[b]);  // warm for the main pass
   }
 
   // per-diagonal coverage dedupe: remember last covered query end per
@@ -233,29 +233,25 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
     }
     return -1;
   };
-  std::function<void(int64_t, int64_t)> set_covered =
-      [&](int64_t diag, int64_t qend) {
-        size_t slot = ((uint64_t)diag * 0x9E3779B97F4A7C15ull) & (hcap - 1);
-        while (cover[slot].diag != INT64_MIN && cover[slot].diag != diag)
-          slot = (slot + 1) & (hcap - 1);
-        if (cover[slot].diag == INT64_MIN) {
-          if ((hcount + 1) * 2 > hcap) {  // grow at 50% load
-            std::vector<DiagCover> old_tab(std::move(cover));
-            hcap <<= 1;
-            cover.assign(hcap, {INT64_MIN, -1});
-            size_t saved = hcount;
-            hcount = 0;
-            for (const auto& e : old_tab)
-              if (e.diag != INT64_MIN) set_covered(e.diag, e.qend);
-            hcount = saved;
-            set_covered(diag, qend);
-            ++hcount;
-            return;
-          }
-          ++hcount;
-        }
-        cover[slot] = {diag, qend};
-      };
+  auto raw_insert = [](std::vector<DiagCover>& tab, size_t cap,
+                       int64_t diag, int64_t qend) {
+    size_t slot = ((uint64_t)diag * 0x9E3779B97F4A7C15ull) & (cap - 1);
+    while (tab[slot].diag != INT64_MIN && tab[slot].diag != diag)
+      slot = (slot + 1) & (cap - 1);
+    bool fresh = tab[slot].diag == INT64_MIN;
+    tab[slot] = {diag, qend};
+    return fresh;
+  };
+  auto set_covered = [&](int64_t diag, int64_t qend) {
+    if ((hcount + 1) * 2 > hcap) {  // grow at 50% load
+      std::vector<DiagCover> bigger(hcap << 1, {INT64_MIN, -1});
+      for (const auto& e : cover)
+        if (e.diag != INT64_MIN) raw_insert(bigger, hcap << 1, e.diag, e.qend);
+      cover.swap(bigger);
+      hcap <<= 1;
+    }
+    hcount += raw_insert(cover, hcap, diag, qend);
+  };
 
   for (int64_t q = 0; q + k <= rlen; ++q) {
     int64_t b = bcache[q];
