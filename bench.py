@@ -53,13 +53,17 @@ def main():
         min_seed_len=20, min_aln_score_percent=0.0, min_aln_score=30, intron_mode=True
     )
 
-    # CPU oracle baseline (single core)
+    # CPU oracle baseline (single core): best of two passes — the
+    # shared host is noisy and a slow oracle pass would inflate the
+    # speedup ratio; taking its best run keeps vs_baseline conservative
     oracle = OracleAligner(idx, opts)
     oreads = make_reads(chrM, 256, seed=11)
-    t0 = time.time()
-    for r in oreads:
-        oracle.align_read(r)
-    oracle_rps = len(oreads) / (time.time() - t0)
+    oracle_rps = 0.0
+    for _ in range(2):
+        t0 = time.time()
+        for r in oreads:
+            oracle.align_read(r)
+        oracle_rps = max(oracle_rps, len(oreads) / (time.time() - t0))
 
     # TPU batched pipeline
     batch = BatchAligner(idx, opts)
