@@ -587,9 +587,15 @@ def pack_text_words(text_u8):
     padded = jax.lax.dynamic_update_slice(padded, text_u8, (_WPAD,))
     outs = []
     for s in range(4):
-        w = jax.lax.slice(padded, (s,), (s + 4 * Lw,)).reshape(Lw, 4)
-        w = w.astype(jnp.uint32)
-        outs.append(w[:, 0] | (w[:, 1] << 8) | (w[:, 2] << 16) | (w[:, 3] << 24))
+        seg = jax.lax.slice(padded, (s,), (s + 4 * Lw,))
+        # strided 1-D slices, NOT a (Lw, 4) reshape: TPU tiles the minor
+        # dimension to 128, so a skinny 2-D intermediate transiently
+        # blows HBM 32x (23 GB for a 90 Mbp text)
+        b0 = jax.lax.slice(seg, (0,), (4 * Lw,), (4,)).astype(jnp.uint32)
+        b1 = jax.lax.slice(seg, (1,), (4 * Lw,), (4,)).astype(jnp.uint32)
+        b2 = jax.lax.slice(seg, (2,), (4 * Lw,), (4,)).astype(jnp.uint32)
+        b3 = jax.lax.slice(seg, (3,), (4 * Lw,), (4,)).astype(jnp.uint32)
+        outs.append(b0 | (b1 << 8) | (b2 << 16) | (b3 << 24))
     return jnp.stack(outs).astype(jnp.int32), Lw
 
 
