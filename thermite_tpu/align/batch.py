@@ -4,15 +4,20 @@ Same observable semantics as the oracle driver
 (``thermite_tpu.align.driver``, reference src/aligner.rs:123-314) but
 restructured for TPU execution:
 
-1. **Seed** all reads on host (SMEM engine; k-mer gather tables).
-2. **Score** every extension problem of every read in ONE device batch
-   (Pallas forward kernel; 12 B/problem comes back).
-3. **Arbitrate** on host using scores + spans only (span-only lifting,
-   filter thresholds, genome-vs-transcriptome choice, overlap filter,
-   primary selection — all rules identical to the oracle).
-4. **Traceback** only the winner problems (≈ NH per read) in a second
-   device batch (Pallas forward+walk kernel; ~128 B/problem back),
-   stitch ops, lift, and emit final GenomeAlignments.
+1. **Build** (C++ engine, Python fallback): seed every read, derive
+   extension problems as 8-int32 gather offsets into the
+   device-resident reference text.
+2. **One device pass per chunk**: the Pallas stream-traceback kernel
+   scores every nontrivial problem AND walks its traceback, returning
+   a pid-indexed ``[score, max cell, packed 2-bit op stream]`` row set
+   (losers' walks are cheap; empty-flank problems have known results
+   and never reach the device).
+3. **Arbitrate** (C++/host) using scores + spans only (span-only
+   lifting, filter thresholds, genome-vs-transcriptome choice, overlap
+   filter, primary selection — all rules identical to the oracle).
+4. **Finalize** (C++/host) only the winners: decode streams, stitch,
+   lift through exons, flip '-'-strand coords, and emit final
+   GenomeAlignments (with RLE op runs attached for fast writers).
 
 Why batching at a fixed band is exact (vs the reference's sequential
 band narrowing, src/aligner.rs:162-172): narrowing only prunes — an
