@@ -27,7 +27,7 @@
 
 namespace {
 
-constexpr int kMaxAnchorK = 13;  // 5^13 < 2^31
+constexpr int kMaxAnchorK = 20;  // 5^20 < 2^63 (int64 keys)
 
 // byte -> base-5 code, 255 invalid (alphabet ACGTN, matching the
 // reference FM alphabet "ACGNT" so N-N matches seed exactly)
@@ -54,31 +54,33 @@ struct SeedIndex {
   std::vector<int64_t> positions;
   // open-addressing key -> bucket hash (2 probes typical vs ~14 for
   // the binary search; seeding is the host pipeline's hottest loop).
-  // Entries pack to 8 bytes (key+1 in the low 32 bits — keys are
-  // < 5^13 < 2^31 — bucket in the high 32) to halve probe traffic on
-  // chromosome-scale tables that far exceed cache.
-  std::vector<uint64_t> khash;
+  // Split layout: the probe loop touches only the 8-byte key array
+  // (key+1, 0 = empty); the bucket index is read once on a hit.
+  std::vector<uint64_t> hkeys;
+  std::vector<int32_t> hbuckets;
   uint64_t hmask = 0;
 
   void build_hash() {
     size_t cap = 64;
     while (cap < uniq_keys.size() * 2) cap <<= 1;
-    khash.assign(cap, 0);
+    hkeys.assign(cap, 0);
+    hbuckets.assign(cap, -1);
     hmask = cap - 1;
     for (size_t b = 0; b < uniq_keys.size(); ++b) {
       uint64_t slot = ((uint64_t)uniq_keys[b] * 0x9E3779B97F4A7C15ull) & hmask;
-      while (khash[slot] != 0) slot = (slot + 1) & hmask;
-      khash[slot] = (uint64_t)(uniq_keys[b] + 1) | ((uint64_t)b << 32);
+      while (hkeys[slot] != 0) slot = (slot + 1) & hmask;
+      hkeys[slot] = (uint64_t)uniq_keys[b] + 1;
+      hbuckets[slot] = (int32_t)b;
     }
   }
   // bucket for key, or -1
   inline int64_t find_bucket(int64_t key) const {
     uint64_t slot = ((uint64_t)key * 0x9E3779B97F4A7C15ull) & hmask;
-    uint32_t want = (uint32_t)(key + 1);
+    uint64_t want = (uint64_t)key + 1;
     while (true) {
-      uint64_t e = khash[slot];
+      uint64_t e = hkeys[slot];
       if (e == 0) return -1;
-      if ((uint32_t)e == want) return (int64_t)(e >> 32);
+      if (e == want) return hbuckets[slot];
       slot = (slot + 1) & hmask;
     }
   }
@@ -134,13 +136,20 @@ void* thermite_seed_index_new(const uint8_t* text, int64_t n, int k) {
       if (inv_count == 0) kv.emplace_back(key, i);
     }
   }
-  // LSD radix sort by key (keys < 5^13 < 2^31): ~8x faster than
-  // std::sort on chromosome-scale tables, and positions stay in
-  // ascending order per bucket because the sort is stable
+  // LSD radix sort by key: ~8x faster than std::sort on
+  // chromosome-scale tables, and positions stay in ascending order
+  // per bucket because the sort is stable.  The pass count follows the
+  // key width (k=20 keys reach 5^20 < 2^47 — a fixed 32-bit radix
+  // would leave equal-low-word keys interleaved and silently split
+  // posting buckets).
   {
+    int64_t max_key = 1;
+    for (int t = 0; t < k; ++t) max_key *= 5;
+    int key_bits = 0;
+    while ((max_key >> key_bits) != 0) ++key_bits;
     std::vector<std::pair<int64_t, int64_t>> tmp(kv.size());
     std::vector<int64_t> count(256);
-    for (int shift = 0; shift < 32; shift += 8) {
+    for (int shift = 0; shift < key_bits; shift += 8) {
       std::fill(count.begin(), count.end(), 0);
       for (const auto& p : kv) count[(p.first >> shift) & 255]++;
       int64_t sum = 0;
@@ -204,7 +213,7 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
       keys[q] = key;
       // hide the (likely) cache miss of this anchor's hash probe
       __builtin_prefetch(
-          &idx->khash[((uint64_t)key * 0x9E3779B97F4A7C15ull) & idx->hmask]);
+          &idx->hkeys[((uint64_t)key * 0x9E3779B97F4A7C15ull) & idx->hmask]);
     }
   }
   for (int64_t q = 0; q < n_anchor; ++q) {

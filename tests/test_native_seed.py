@@ -58,3 +58,37 @@ def test_matches_numpy_chrm():
         if rng.random() < 0.5:
             r = revcomp(r)
         assert nat.all_smems(r) == ref.all_smems(r)
+
+
+def test_wide_key_radix_buckets():
+    """k=20 base-5 keys exceed 32 bits; two distinct keys equal modulo
+    2^32 interleaved between repeats of one key must not split its
+    posting bucket (regression: the radix sort originally covered only
+    32 bits, so equal-low-word keys stayed interleaved and the second
+    occurrence landed in a shadowed duplicate bucket)."""
+    import numpy as np
+
+    from thermite_tpu.seed.native import NativeSmemEngine
+    from thermite_tpu.seed.smem import SmemEngine
+
+    def kmer_of(key):  # base-5 -> ACGTN string of length 20
+        s = []
+        for _ in range(20):
+            s.append("ACGTN"[key % 5])
+            key //= 5
+        return "".join(reversed(s))
+
+    key1 = (3 * 5**19) + 12345  # > 2^32
+    key2 = key1 + (1 << 32)
+    assert key2 < 5**20
+    a, b = kmer_of(key1), kmer_of(key2)
+    text = (a + "C" * 25 + b + "C" * 25 + a).encode()
+    arr = np.frombuffer(text, np.uint8)
+    native = NativeSmemEngine(arr, 20)
+    ref = SmemEngine(arr, 20)
+    read = a.encode()
+    got = native.all_smems(read)
+    want = ref.all_smems(read)
+    assert got == want
+    # the repeated 20-mer must be found at BOTH text positions
+    assert len({m.ref_idx for m in got}) >= 2

@@ -19,7 +19,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-MAX_ANCHOR_K = 13
+MAX_ANCHOR_K = 20  # 5^20 < 2^63: base-5 keys stay in int64
 
 # byte -> base-5 code; 255 = invalid
 _CODE = np.full(256, 255, dtype=np.uint8)
