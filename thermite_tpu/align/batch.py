@@ -596,6 +596,7 @@ class BatchAligner:
             ref = refs[refid]
             read = st.reads[ri]
             if fallback[s]:
+                self.stats.stream_fallbacks += 1
                 results[ri].append(
                     self._finalize_selected_fallback(st, s, sel[s])
                 )
@@ -1003,6 +1004,7 @@ class BatchAligner:
                 if aln is None:
                     # unterminated walk flagged by device: recompute on
                     # host (not expected in practice)
+                    self.stats.stream_fallbacks += 1
                     from ..ops.swg_ref import SwgExtend
 
                     x, y = self._problem_bytes(st, meta_sub[k])

@@ -102,14 +102,20 @@ def main(argv=None) -> int:
         _enable_compile_cache()
 
     if args.cmd == "merge":
-        from .parallel.multihost import merge_shards
+        from .parallel.multihost import merge_shards, sniff_shard_format
 
         out = args.output
-        fmt = (
-            "bam" if out.endswith(".bam")
-            else "sam" if out.endswith(".sam")
-            else "paf"
-        )
+        if out.endswith(".bam"):
+            fmt = "bam"
+        elif out.endswith(".sam"):
+            fmt = "sam"
+        elif out.endswith(".paf"):
+            fmt = "paf"
+        else:
+            # unrecognized extension: sniff the first shard's magic
+            # instead of silently defaulting (a BAM merged as PAF would
+            # be a garbled concatenation)
+            fmt = sniff_shard_format(args.shards[0])
         merge_shards(args.shards, out, fmt)
         return 0
 

@@ -227,6 +227,9 @@ def bam_header_len(data: bytes) -> int:
     """Byte length of the uncompressed BAM header (magic..refs).
     Raises struct.error on a truncated buffer (callers may retry with
     more bytes) and AssertionError on a non-BAM stream."""
+    if len(data) < 4:
+        # truncated, not provably non-BAM: let callers retry/report
+        raise struct.error("truncated BAM stream (< 4 bytes)")
     assert data[:4] == b"BAM\x01", "not a BAM stream"
     (l_text,) = struct.unpack("<i", data[4:8])
     off = 8 + l_text

@@ -517,6 +517,13 @@ def make_stream_traceback_gather_kernel(
 ):
     """jit fn (ref_words, ref_lw, reads, meta) -> (N, 4 + SMAX/16) int32."""
     XW = xwidth(XMAX, W)
+    # same precondition as the other gather front-ends: windows wider
+    # than the text zero-padding would let reversed gathers index
+    # before the padded region (reads >~380 bp once band is added)
+    assert XMAX <= _WPAD and YMAX <= _WPAD, (
+        f"window ({XMAX}, {YMAX}) exceeds the text padding {_WPAD}; "
+        "long-read support needs a wider _WPAD"
+    )
     inner = make_stream_traceback_kernel(BBLK, XMAX, YMAX, W, interpret, SMAX)
 
     def call(ref_words, ref_lw, reads, meta):

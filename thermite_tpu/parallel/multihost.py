@@ -50,6 +50,24 @@ def _read_bam_header(f) -> Tuple[bytes, int]:
             buf += more
 
 
+def sniff_shard_format(path: str) -> str:
+    """Detect a shard's format from its leading bytes: BGZF/gzip magic
+    -> bam, an '@' header line -> sam, otherwise tab-separated -> paf."""
+    with open(path, "rb") as f:
+        head = f.read(4096)
+    if head[:2] == b"\x1f\x8b":
+        return "bam"
+    if head[:1] == b"@":
+        return "sam"
+    first = head.split(b"\n", 1)[0]
+    if first.count(b"\t") >= 11:  # PAF has >= 12 tab-separated fields
+        return "paf"
+    raise ValueError(
+        f"cannot infer merge format from shard {path!r}; name the "
+        "output with a .bam/.sam/.paf extension"
+    )
+
+
 def merge_shards(shard_paths: List[str], out_path: str, fmt: str) -> None:
     """Merge per-host output shards (in host order) into one file.
 
@@ -60,7 +78,10 @@ def merge_shards(shard_paths: List[str], out_path: str, fmt: str) -> None:
             w = BgzfWriter(fh)
             for i, p in enumerate(shard_paths):
                 with gzip.open(p, "rb") as f:
-                    buf, off = _read_bam_header(f)
+                    try:
+                        buf, off = _read_bam_header(f)
+                    except (struct.error, AssertionError) as e:
+                        raise ValueError(f"bad BAM shard {p!r}: {e}") from e
                     if i == 0:
                         w.write(buf[:off])
                     w.write(buf[off:])

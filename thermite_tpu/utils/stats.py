@@ -26,6 +26,10 @@ class PipelineStats:
     tasks: int = 0
     winners: int = 0
     dp_cells: int = 0  # padded batch cells submitted to the DP kernels
+    stream_fallbacks: int = 0  # device-flagged unterminated walks
+    #                           (host recompute; a mass fallback is a
+    #                           silent performance cliff — see MAXIT in
+    #                           ops/swg_pallas.py)
     stage_s: Dict[str, float] = field(default_factory=lambda: defaultdict(float))
     _t0: float = field(default_factory=time.time)
 
@@ -39,6 +43,16 @@ class PipelineStats:
 
     def wall_s(self) -> float:
         return time.time() - self._t0
+
+    def reset(self) -> None:
+        """Zero all counters/timers and restart the clock.  Call after a
+        warmup batch so the report reflects steady-state only — kernel
+        compiles otherwise sync into whichever stage first touches the
+        device output and masquerade as run time."""
+        self.reads = self.chunks = self.problems = self.tasks = 0
+        self.winners = self.dp_cells = self.stream_fallbacks = 0
+        self.stage_s.clear()
+        self._t0 = time.time()
 
     def report(self) -> str:
         wall = max(self.wall_s(), 1e-9)
@@ -54,6 +68,10 @@ class PipelineStats:
             f"  DP cells submitted\t{self.dp_cells}",
             f"  effective DP throughput\t{self.dp_cells / wall / 1e9:.2f} GCUPS",
         ]
+        if self.stream_fallbacks:
+            lines.append(
+                f"  stream-walk host fallbacks\t{self.stream_fallbacks}"
+            )
         for name, s in sorted(self.stage_s.items()):
             lines.append(f"  stage {name}\t{s:.3f} s ({100 * s / wall:.0f}%)")
         return "\n".join(lines)
