@@ -182,6 +182,43 @@ int64_t thermite_seed_index_size(void* h) {
   return static_cast<SeedIndex*>(h)->positions.size();
 }
 
+// ---- table persistence: export the posting arrays / rebuild from them
+// (the radix-sort build costs ~42 s at chromosome scale; the index
+// artifact stores these arrays so aligner construction is array copies
+// + the linear hash build only) ----
+
+int64_t thermite_seed_index_n_keys(void* h) {
+  return (int64_t)static_cast<SeedIndex*>(h)->uniq_keys.size();
+}
+
+void thermite_seed_index_export(void* h, int64_t* keys, int64_t* offsets,
+                                int64_t* positions) {
+  auto* idx = static_cast<SeedIndex*>(h);
+  std::memcpy(keys, idx->uniq_keys.data(),
+              idx->uniq_keys.size() * sizeof(int64_t));
+  std::memcpy(offsets, idx->offsets.data(),
+              idx->offsets.size() * sizeof(int64_t));
+  std::memcpy(positions, idx->positions.data(),
+              idx->positions.size() * sizeof(int64_t));
+}
+
+void* thermite_seed_index_new_from_arrays(const uint8_t* text, int64_t n,
+                                          int k, const int64_t* keys,
+                                          int64_t m, const int64_t* offsets,
+                                          const int64_t* positions,
+                                          int64_t total) {
+  if (k < 1 || k > kMaxAnchorK) return nullptr;
+  auto* idx = new SeedIndex();
+  idx->text = text;
+  idx->n = n;
+  idx->k = k;
+  idx->uniq_keys.assign(keys, keys + m);
+  idx->offsets.assign(offsets, offsets + m + 1);
+  idx->positions.assign(positions, positions + total);
+  idx->build_hash();
+  return idx;
+}
+
 // SMEM search for one read.  Returns the number of mems written, or
 // -(required capacity) if out buffers are too small.
 // Output arrays: (qpos, tpos, len) sorted by (-len, qpos, tpos).

@@ -92,3 +92,35 @@ def test_wide_key_radix_buckets():
     assert got == want
     # the repeated 20-mer must be found at BOTH text positions
     assert len({m.ref_idx for m in got}) >= 2
+
+
+def test_persisted_seed_table_roundtrip(tmp_path):
+    """The artifact carries the posting table; a seeder restored from it
+    is output-identical to a fresh build (and a k mismatch rebuilds)."""
+    import numpy as np
+
+    from thermite_tpu.index.build import Index
+    from thermite_tpu.seed.native import make_seeder
+
+    from fixtures import write_fixture
+
+    ref, gtf, _ = write_fixture(tmp_path)
+    idx = Index.create_from_files(ref, gtf)
+    p = str(tmp_path / "t.npz")
+    idx.save(p)
+    idx2 = Index.load(p)
+    assert idx2.seed_table is not None
+    assert idx2.seed_table[0] == 20  # default anchor k
+
+    # table-restored seeder == fresh seeder at the persisted k
+    fresh = make_seeder(idx.seq_arr, 20)
+    restored = make_seeder(idx2.seq_arr, 20, table=idx2.seed_table)
+    read = idx.seq[2:60]
+    assert restored.all_smems(read) == fresh.all_smems(read)
+
+    # k mismatch: the persisted table is ignored, not misused
+    k3_fresh = make_seeder(idx.seq_arr, 3)
+    k3_restored = make_seeder(idx2.seq_arr, 3, table=idx2.seed_table)
+    read = idx.seq[2:20]
+    got = k3_restored.all_smems(read)
+    assert got == k3_fresh.all_smems(read) and len(got) > 0

@@ -157,7 +157,10 @@ class BatchAligner:
         self.opts = opts
         from ..seed.native import make_seeder
 
-        self.seeder = make_seeder(index.seq_arr, opts.min_seed_len)
+        self.seeder = make_seeder(
+            index.seq_arr, opts.min_seed_len,
+            table=getattr(index, "seed_table", None),
+        )
         if backend is None:
             backend = "xla" if jax.default_backend() == "cpu" else "pallas"
         self.backend = backend

@@ -55,7 +55,10 @@ class OracleAligner:
         self.opts = opts
         from ..seed.native import make_seeder
 
-        self.seeder = make_seeder(index.seq_arr, opts.min_seed_len)
+        self.seeder = make_seeder(
+            index.seq_arr, opts.min_seed_len,
+            table=getattr(index, "seed_table", None),
+        )
 
     def align_read(self, read: bytes) -> List[GenomeAlignment]:
         return align_read(self.index, read, self.opts, self.seeder)

@@ -49,6 +49,24 @@ class Index:
         self._ref_ends = np.array([r.end_idx for r in refs], dtype=np.int64)
         # numpy uint8 view of the text for vectorized seeding/slicing
         self.seq_arr = np.frombuffer(seq, dtype=np.uint8)
+        # persisted k-mer posting table (k, uniq_keys, offsets,
+        # positions) — the .tai-equivalent one-artifact contract
+        # (reference src/main.rs:43,67 ships the whole FM index in the
+        # .tai file; here the radix-sorted anchor table is the costly
+        # part, ~42 s at chromosome scale, so it rides the artifact too)
+        self.seed_table = None
+
+    def build_seed_table(self, min_seed_len: Optional[int] = None):
+        """Build (and cache) the anchor posting table for
+        ``min_seed_len`` (default: the CLI default, k=20)."""
+        from ..constants import DEFAULT_MIN_SEED_LEN
+        from ..seed.native import make_seeder
+
+        if min_seed_len is None:
+            min_seed_len = DEFAULT_MIN_SEED_LEN
+        seeder = make_seeder(self.seq_arr, min_seed_len)
+        self.seed_table = seeder.export_table()
+        return self.seed_table
 
     # -- construction -------------------------------------------------
 
@@ -244,7 +262,15 @@ class Index:
         tx_seq_lens = np.array([len(t.seq) for t in self.txome.txs], dtype=np.int64)
         ett = self.txome.exon_to_tx
         gi = self.txome.gene_intervals
-        np.savez_compressed(
+        if self.seed_table is None:
+            self.build_seed_table()
+        sk, skeys, soff, spos = self.seed_table
+        meta["seed_k"] = int(sk)
+        # positions fit int32 for any <2 GiB text: halve disk + IO
+        spos_disk = spos.astype(np.int32) if len(self.seq) < (1 << 31) else spos
+        # uncompressed savez: zlib on a chromosome-scale posting table
+        # costs minutes on one core and slows every load; disk is cheap
+        np.savez(
             path,
             meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
             text=self.seq_arr,
@@ -253,6 +279,9 @@ class Index:
             tx_seq_lens=tx_seq_lens,
             exon_to_tx=np.stack([ett.starts, ett.ends, ett.data]) if len(ett) else np.zeros((3, 0), np.int64),
             gene_intervals=np.stack([gi.starts, gi.ends, gi.data]) if len(gi) else np.zeros((3, 0), np.int64),
+            seed_keys=skeys,
+            seed_offsets=soff,
+            seed_positions=spos_disk,
         )
 
     @classmethod
@@ -305,4 +334,12 @@ class Index:
             exon_to_tx=IntervalTable(ett[0], ett[1], ett[2]),
             gene_intervals=IntervalTable(gi[0], gi[1], gi[2]),
         )
-        return cls(refs, seq, txome)
+        idx = cls(refs, seq, txome)
+        if "seed_keys" in z.files and "seed_k" in meta:
+            idx.seed_table = (
+                int(meta["seed_k"]),
+                z["seed_keys"],
+                z["seed_offsets"],
+                z["seed_positions"].astype(np.int64, copy=False),
+            )
+        return idx

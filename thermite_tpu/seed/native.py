@@ -48,6 +48,15 @@ def _try_load():
     lib.thermite_seed_index_free.argtypes = [ctypes.c_void_p]
     lib.thermite_seed_index_size.restype = ctypes.c_int64
     lib.thermite_seed_index_size.argtypes = [ctypes.c_void_p]
+    _i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.thermite_seed_index_n_keys.restype = ctypes.c_int64
+    lib.thermite_seed_index_n_keys.argtypes = [ctypes.c_void_p]
+    lib.thermite_seed_index_export.argtypes = [ctypes.c_void_p, _i64p, _i64p, _i64p]
+    lib.thermite_seed_index_new_from_arrays.restype = ctypes.c_void_p
+    lib.thermite_seed_index_new_from_arrays.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+        _i64p, ctypes.c_int64, _i64p, _i64p, ctypes.c_int64,
+    ]
     lib.thermite_smems.restype = ctypes.c_int64
     lib.thermite_smems.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
@@ -65,7 +74,7 @@ def available() -> bool:
 class NativeSmemEngine:
     """Drop-in replacement for ``SmemEngine`` backed by C++."""
 
-    def __init__(self, seq_arr: np.ndarray, min_seed_len: int):
+    def __init__(self, seq_arr: np.ndarray, min_seed_len: int, table=None):
         lib = _try_load()
         if lib is None:
             raise RuntimeError("native seeding library unavailable")
@@ -74,13 +83,43 @@ class NativeSmemEngine:
         self.k = min(MAX_ANCHOR_K, min_seed_len)
         # keep the text alive: the index borrows the pointer
         self._text = np.ascontiguousarray(seq_arr, dtype=np.uint8).tobytes()
-        self._h = lib.thermite_seed_index_new(
-            self._text, len(self._text), self.k
-        )
+        if table is not None and table[0] == self.k:
+            # persisted posting arrays: skip the radix-sort build (~42 s
+            # at chromosome scale), pay only array copies + hash build
+            _, keys, offsets, positions = table
+            keys = np.ascontiguousarray(keys, np.int64)
+            offsets = np.ascontiguousarray(offsets, np.int64)
+            positions = np.ascontiguousarray(positions, np.int64)
+            p = ctypes.POINTER(ctypes.c_int64)
+            self._h = lib.thermite_seed_index_new_from_arrays(
+                self._text, len(self._text), self.k,
+                keys.ctypes.data_as(p), len(keys),
+                offsets.ctypes.data_as(p),
+                positions.ctypes.data_as(p), len(positions),
+            )
+        else:
+            self._h = lib.thermite_seed_index_new(
+                self._text, len(self._text), self.k
+            )
         if not self._h:
             raise RuntimeError("native seed index construction failed")
         self._cap = 4096
         self._alloc()
+
+    def export_table(self):
+        """-> (k, uniq_keys, offsets, positions) int64 arrays (copies)."""
+        lib = self._lib
+        m = lib.thermite_seed_index_n_keys(self._h)
+        total = lib.thermite_seed_index_size(self._h)
+        keys = np.empty(m, np.int64)
+        offsets = np.empty(m + 1, np.int64)
+        positions = np.empty(total, np.int64)
+        p = ctypes.POINTER(ctypes.c_int64)
+        lib.thermite_seed_index_export(
+            self._h, keys.ctypes.data_as(p), offsets.ctypes.data_as(p),
+            positions.ctypes.data_as(p),
+        )
+        return self.k, keys, offsets, positions
 
     def _alloc(self):
         self._q = (ctypes.c_int64 * self._cap)()
@@ -109,10 +148,23 @@ class NativeSmemEngine:
         ]
 
 
-def make_seeder(seq_arr: np.ndarray, min_seed_len: int):
-    """Native engine when available, numpy fallback otherwise."""
+def make_seeder(seq_arr: np.ndarray, min_seed_len: int, table=None):
+    """Native engine when available, numpy fallback otherwise.
+
+    ``table`` is an optional persisted posting table
+    (k, uniq_keys, offsets, positions); it is used only when its k
+    matches the anchor k for ``min_seed_len`` (else rebuilt)."""
     if available():
-        return NativeSmemEngine(seq_arr, min_seed_len)
+        return NativeSmemEngine(seq_arr, min_seed_len, table=table)
+    from .kmer import KmerTable
     from .smem import SmemEngine
 
-    return SmemEngine(seq_arr, min_seed_len)
+    k = min(MAX_ANCHOR_K, min_seed_len)
+    kt = None
+    if table is not None and table[0] == k:
+        kt = KmerTable(
+            k=k, uniq_keys=np.asarray(table[1], np.int64),
+            offsets=np.asarray(table[2], np.int64),
+            positions=np.asarray(table[3], np.int64),
+        )
+    return SmemEngine(seq_arr, min_seed_len, table=kt)

@@ -48,6 +48,11 @@ class SmemEngine:
         self.k = min(MAX_ANCHOR_K, min_seed_len)
         self.table = table if table is not None else KmerTable.build(seq_arr, self.k)
 
+    def export_table(self):
+        """-> (k, uniq_keys, offsets, positions) — the persistable form."""
+        t = self.table
+        return self.k, t.uniq_keys, t.offsets, t.positions
+
     def all_smems(self, read: bytes) -> List[Mem]:
         """All SMEMs of `read` (uppercase) vs the text, len >= min_seed_len."""
         q = np.frombuffer(read, dtype=np.uint8)
