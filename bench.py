@@ -1,35 +1,50 @@
 """Headline benchmark: end-to-end alignment throughput on real TPU.
 
-Workload: 90 bp synthetic reads drawn from GRCh38 chrM (with errors and
-both strands) aligned with the reference benchmark configuration
-(`-k20 -s0 --intron-mode`, reference data/Makefile:39).  The pbmc10k
-500k-read FASTQs the reference benchmarks against are git-LFS-elided
-upstream, so reads are synthesised deterministically from the same
-chromosome.
+Two workloads, both 90 bp reads with substitution errors on both
+strands, aligned with the reference benchmark configuration
+(`-k20 -s0 --intron-mode`, reference data/Makefile:39):
 
-Baseline: the reference publishes no throughput numbers (BASELINE.md),
-so ``vs_baseline`` is the speedup over this repo's own single-core CPU
-oracle (exact-semantics sequential implementation with the native C++
-seeder) measured in the same run on the same machine.
+* **syn45** (headline): a 45 Mbp synthetic spliced chromosome standing
+  in for GRCh38 chr21 (46.7 Mbp; the chr21/pbmc10k blobs are
+  git-LFS-elided upstream).  The index artifact (incl. the seed
+  posting table) is cached under data/out/ across runs.
+* **chrM**: the real GRCh38 chrM (16.5 kb), the reference's small
+  regression dataset.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Methodology (round-2 hygiene): kernel compiles happen in a warmup
+batch, stats are reset, and the reported value is the **median** of
+steady-state trials (the machine is a shared 1-core host with ±20%
+noise; best-of-N overstates).  ``vs_baseline`` is the speedup over
+this repo's own single-core CPU oracle (exact-semantics sequential
+implementation, native C++ seeder) on the SAME headline workload in
+the same run — the reference publishes no absolute throughput
+(BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}
+(extra keys carry the secondary metrics: chrM reads/s, effective
+GCUPS, oracle baselines).
 """
 
 import json
+import os
+import statistics
 import sys
 import time
 
 import numpy as np
 
+OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "out")
+SYN_BP = 45_000_000
 
-def make_reads(chrM: bytes, n: int, seed: int = 3):
+
+def make_reads(chrom: bytes, n: int, seed: int = 3):
     from thermite_tpu.io.fastx import revcomp
 
     rng = np.random.default_rng(seed)
     reads = []
     for _ in range(n):
-        p = int(rng.integers(0, len(chrM) - 91))
-        r = bytearray(chrM[p : p + 90])
+        p = int(rng.integers(0, len(chrom) - 91))
+        r = bytearray(chrom[p : p + 90])
         for _ in range(int(rng.integers(0, 4))):
             r[int(rng.integers(0, 90))] = b"ACGT"[int(rng.integers(0, 4))]
         r = bytes(r)
@@ -39,60 +54,120 @@ def make_reads(chrM: bytes, n: int, seed: int = 3):
     return reads
 
 
+def _oracle_rps(idx, opts, reads, passes=2):
+    """Single-core oracle reads/s, best of ``passes`` (a noisy-host
+    slow pass would inflate the TPU speedup; best keeps it conservative)."""
+    from thermite_tpu.align.driver import OracleAligner
+
+    oracle = OracleAligner(idx, opts)
+    best = 0.0
+    for _ in range(passes):
+        t0 = time.time()
+        for r in reads:
+            oracle.align_read(r)
+        best = max(best, len(reads) / (time.time() - t0))
+    return best
+
+
+def _steady_state(batch, make_trial_reads, n_trials):
+    """Median steady-state reads/s over trials + effective GCUPS
+    (DP cells submitted during the timed trials / timed wall)."""
+    rps = []
+    wall = 0.0
+    batch.stats.reset()
+    out = None
+    for t in range(n_trials):
+        reads = make_trial_reads(t)
+        t0 = time.time()
+        out = batch.align_batch(reads)
+        dt = time.time() - t0
+        wall += dt
+        rps.append(len(reads) / dt)
+    assert out is not None and sum(1 for o in out if o) > len(out) * 0.9, (
+        "mapping rate sanity"
+    )
+    gcups = batch.stats.dp_cells / wall / 1e9
+    return statistics.median(rps), max(rps), gcups
+
+
+def _syn45_index():
+    """Build-or-load the cached 45 Mbp synthetic index (the artifact
+    carries the seed table, so cached loads skip the ~40 s build)."""
+    from thermite_tpu.index.build import Index
+    from thermite_tpu.testing.synth import write_synth_genome
+
+    art = os.path.join(OUT_DIR, f"bench_syn{SYN_BP // 1_000_000}.npz")
+    if os.path.exists(art):
+        t0 = time.time()
+        idx = Index.load(art)
+        print(f"syn45 index loaded in {time.time() - t0:.1f} s", file=sys.stderr)
+        return idx
+    os.makedirs(OUT_DIR, exist_ok=True)
+    t0 = time.time()
+    fasta, gtf = write_synth_genome(
+        OUT_DIR, SYN_BP, seed=1234, basename=f"bench_syn{SYN_BP // 1_000_000}"
+    )
+    idx = Index.create_from_files(fasta, gtf)
+    idx.save(art)
+    print(f"syn45 index built+saved in {time.time() - t0:.1f} s", file=sys.stderr)
+    return idx
+
+
 def main():
     from thermite_tpu.align.batch import BatchAligner
-    from thermite_tpu.align.driver import AlignOpts, OracleAligner
+    from thermite_tpu.align.driver import AlignOpts
+    from thermite_tpu.cli import _enable_compile_cache
     from thermite_tpu.index.build import Index
 
+    _enable_compile_cache()
+    opts = AlignOpts(
+        min_seed_len=20, min_aln_score_percent=0.0, min_aln_score=30,
+        intron_mode=True,
+    )
+    N = 16384
+
+    # ---- headline: 45 Mbp synthetic chromosome (chr21 stand-in) ----
+    syn = _syn45_index()
+    syn_chrom = syn.seq[syn.refs[0].start_idx : syn.refs[0].end_idx - 1]
+    syn_oracle = _oracle_rps(syn, opts, make_reads(syn_chrom, 192, seed=11))
+
+    syn_batch = BatchAligner(syn, opts)
+    syn_batch.align_batch(make_reads(syn_chrom, N, seed=12))  # compile warmup
+    syn_rps, syn_best, syn_gcups = _steady_state(
+        syn_batch, lambda t: make_reads(syn_chrom, N, seed=20 + t), n_trials=5
+    )
+    print(syn_batch.stats.report(), file=sys.stderr)
+    print(f"syn45 oracle baseline: {syn_oracle:.1f} reads/s", file=sys.stderr)
+
+    # ---- secondary: GRCh38 chrM ----
     idx = Index.create_from_files(
         "/root/reference/data/GRCh38-2020-A-chrM.fasta",
         "/root/reference/data/GRCh38-2020-A-chrM.gtf",
     )
     chrM = idx.seq[idx.refs[0].start_idx : idx.refs[0].end_idx - 1]
-    opts = AlignOpts(
-        min_seed_len=20, min_aln_score_percent=0.0, min_aln_score=30, intron_mode=True
-    )
-
-    # CPU oracle baseline (single core): best of two passes — the
-    # shared host is noisy and a slow oracle pass would inflate the
-    # speedup ratio; taking its best run keeps vs_baseline conservative
-    oracle = OracleAligner(idx, opts)
-    oreads = make_reads(chrM, 256, seed=11)
-    oracle_rps = 0.0
-    for _ in range(2):
-        t0 = time.time()
-        for r in oreads:
-            oracle.align_read(r)
-        oracle_rps = max(oracle_rps, len(oreads) / (time.time() - t0))
-
-    # TPU batched pipeline
+    chrM_oracle = _oracle_rps(idx, opts, make_reads(chrM, 256, seed=11))
     batch = BatchAligner(idx, opts)
-    warm = make_reads(chrM, 16384, seed=12)
-    batch.align_batch(warm)  # compile warmup
-
-    best = 0.0
-    for trial in range(10):
-        reads = make_reads(chrM, 16384, seed=20 + trial)
-        t0 = time.time()
-        out = batch.align_batch(reads)
-        dt = time.time() - t0
-        best = max(best, len(reads) / dt)
-    assert sum(1 for o in out if o) > len(reads) * 0.9, "mapping rate sanity"
-
-    # secondary observability on stderr (stdout stays one JSON line)
-    print(batch.stats.report(), file=sys.stderr)
-    print(
-        f"oracle baseline: {oracle_rps:.1f} reads/s (single core)",
-        file=sys.stderr,
+    batch.align_batch(make_reads(chrM, N, seed=12))  # compile warmup
+    chrM_rps, chrM_best, chrM_gcups = _steady_state(
+        batch, lambda t: make_reads(chrM, N, seed=20 + t), n_trials=5
     )
+    print(batch.stats.report(), file=sys.stderr)
+    print(f"chrM oracle baseline: {chrM_oracle:.1f} reads/s", file=sys.stderr)
 
     print(
         json.dumps(
             {
-                "metric": "e2e_align_reads_per_s_chrM_90bp",
-                "value": round(best, 1),
+                "metric": "e2e_align_reads_per_s_syn45Mbp_90bp",
+                "value": round(syn_rps, 1),
                 "unit": "reads/s",
-                "vs_baseline": round(best / oracle_rps, 2),
+                "vs_baseline": round(syn_rps / syn_oracle, 2),
+                "syn45_best_reads_per_s": round(syn_best, 1),
+                "syn45_gcups_effective": round(syn_gcups, 2),
+                "syn45_oracle_reads_per_s": round(syn_oracle, 1),
+                "chrM_median_reads_per_s": round(chrM_rps, 1),
+                "chrM_best_reads_per_s": round(chrM_best, 1),
+                "chrM_gcups_effective": round(chrM_gcups, 2),
+                "chrM_vs_oracle": round(chrM_rps / chrM_oracle, 2),
             }
         )
     )

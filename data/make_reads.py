@@ -21,7 +21,9 @@ from thermite_tpu.io.fastx import parse_fastx, revcomp  # noqa: E402
 def main():
     ref_path, n, out_path = sys.argv[1], int(sys.argv[2]), sys.argv[3]
     seed = int(sys.argv[4]) if len(sys.argv) > 4 else 7
-    chrom = next(iter(parse_fastx(ref_path))).seq.upper()
+    rec = next(iter(parse_fastx(ref_path)))
+    chrom = rec.seq.upper()
+    cname = rec.id.split(b" ")[0].decode()
     rng = np.random.default_rng(seed)
     with open(out_path, "w") as f:
         for i in range(n):
@@ -32,9 +34,15 @@ def main():
                     "ACGT"[int(rng.integers(0, 4))]
                 )
             r = bytes(r)
+            strand = "+"
             if rng.random() < 0.5:
                 r = revcomp(r)
-            f.write(f"@synth{i}\n{r.decode()}\n+\n{'I' * 90}\n")
+                strand = "-"
+            # the name encodes the TRUE origin (0-based half-open) so
+            # the metrics harness --truth mode has a non-circular
+            # referee (role of the reference's Cell Ranger BAM)
+            name = f"synth{i}:{cname}:{p}:{p + 90}:{strand}"
+            f.write(f"@{name}\n{r.decode()}\n+\n{'I' * 90}\n")
 
 
 if __name__ == "__main__":

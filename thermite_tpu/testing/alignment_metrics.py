@@ -117,6 +117,90 @@ def compare(path1: str, path2: str) -> Metrics:
     return m
 
 
+@dataclass
+class TruthMetrics:
+    """Accuracy vs the read generator's ground truth (non-circular: the
+    synthetic read names encode each read's true origin —
+    ``...:{chrom}:{start}:{end}:{strand}``, 0-based half-open — so this
+    referee is independent of any aligner).  Fills the role of the
+    reference's Cell Ranger comparison BAM
+    (reference lib/testing/comparison_metrics.txt), whose blobs are
+    git-LFS-elided upstream."""
+
+    n_reads: int = 0
+    n_aligned: int = 0
+    n_true_chrom: int = 0
+    n_true_overlap: int = 0
+    n_true_identical: int = 0
+    n_primary_true_overlap: int = 0
+    n_primary_true_identical: int = 0
+
+
+def _parse_truth(qname: str):
+    """-> (chrom, start, end, is_reverse) from a truth-encoded name."""
+    parts = qname.split(":")
+    if len(parts) < 5:
+        raise SystemExit(
+            f"read name {qname!r} does not encode ground truth "
+            "(expected ...:chrom:start:end:strand)"
+        )
+    chrom, start, end, strand = parts[-4], parts[-3], parts[-2], parts[-1]
+    return chrom, int(start), int(end), strand == "-"
+
+
+def truth_compare(path: str) -> TruthMetrics:
+    rows = _name_sorted(path)
+    m = TruthMetrics()
+    i = 0
+    while i < len(rows):
+        group = [rows[i]]
+        i += 1
+        while (
+            not group[-1].is_unmapped
+            and group[-1].tags.get("HI") != group[-1].tags.get("NH")
+        ):
+            group.append(rows[i])
+            i += 1
+        chrom, start, end, rev = _parse_truth(group[0].qname)
+        m.n_reads += 1
+        aligned = [r for r in group if not r.is_unmapped]
+        m.n_aligned += bool(aligned)
+
+        def on_chrom(r):
+            return r.rname == chrom and r.is_reverse == rev
+
+        def overlaps(r):
+            return on_chrom(r) and r.reference_end > start and r.pos < end
+
+        def identical(r):
+            return on_chrom(r) and r.pos == start and r.reference_end == end
+
+        m.n_true_chrom += any(r.rname == chrom for r in aligned)
+        m.n_true_overlap += any(overlaps(r) for r in aligned)
+        m.n_true_identical += any(identical(r) for r in aligned)
+        primary = [r for r in aligned if not r.is_secondary]
+        if primary:
+            m.n_primary_true_overlap += overlaps(primary[0])
+            m.n_primary_true_identical += identical(primary[0])
+    return m
+
+
+def truth_to_markdown(m: TruthMetrics) -> str:
+    def frac(a, nd=3):
+        return round(a / m.n_reads, nd) if m.n_reads else 0.0
+
+    return f"""
+|metric|fraction|
+|------|--------|
+|aligned reads | {frac(m.n_aligned)}|
+|aligned to true chromosome | {frac(m.n_true_chrom)}|
+|any alignment overlaps truth | {frac(m.n_true_overlap)}|
+|any alignment identical to truth | {frac(m.n_true_identical)}|
+|primary overlaps truth | {frac(m.n_primary_true_overlap)}|
+|primary identical to truth | {frac(m.n_primary_true_identical)}|
+    """
+
+
 def to_markdown(m: Metrics) -> str:
     def frac(a, b, nd=3):
         return round(a / b, nd) if b else 0.0
@@ -137,9 +221,22 @@ def to_markdown(m: Metrics) -> str:
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="Alignment parity metrics")
-    p.add_argument("in1", help="comparison BAM (e.g. Cell Ranger)")
-    p.add_argument("in2", help="thermite-tpu BAM")
+    p.add_argument("in1", help="comparison BAM (e.g. Cell Ranger), or the"
+                   " single BAM to score with --truth")
+    p.add_argument("in2", nargs="?", help="thermite-tpu BAM")
+    p.add_argument(
+        "--truth", action="store_true",
+        help="score in1 against ground truth encoded in its read names"
+        " (...:chrom:start:end:strand) instead of a comparison BAM",
+    )
     args = p.parse_args(argv)
+    if args.truth:
+        m = truth_compare(args.in1)
+        print(f"file: {args.in1} (vs encoded ground truth)")
+        print(truth_to_markdown(m))
+        return 0
+    if args.in2 is None:
+        p.error("in2 is required without --truth")
     m = compare(args.in1, args.in2)
     print(f"file1: {args.in1}, file2: {args.in2}")
     print(to_markdown(m))
