@@ -59,8 +59,30 @@ struct SeedIndex {
   std::vector<uint64_t> hkeys;
   std::vector<int32_t> hbuckets;
   uint64_t hmask = 0;
+  // genome-scale tables (>kHashMaxKeys keys) skip the open-addressing
+  // hash (12 B/slot at 2x load would reach tens of GB) and use a
+  // prefix-bucket + bounded binary search instead: pfx[p] is the first
+  // bucket whose key's top kPfxBits bits are >= p (~5 probe steps).
+  static constexpr int64_t kHashMaxKeys = (int64_t)1 << 27;
+  static constexpr int kPfxBits = 26;
+  std::vector<int64_t> pfx;
+  int key_shift = 0;
 
   void build_hash() {
+    if ((int64_t)uniq_keys.size() > kHashMaxKeys) {
+      int key_bits = 1;
+      int64_t max_key = 1;
+      for (int t = 0; t < k; ++t) max_key *= 5;
+      while ((max_key >> key_bits) != 0) ++key_bits;
+      key_shift = key_bits > kPfxBits ? key_bits - kPfxBits : 0;
+      int64_t nb = ((int64_t)1 << (key_bits - key_shift));
+      pfx.assign(nb + 1, 0);
+      // counts then exclusive scan
+      for (int64_t b = 0; b < (int64_t)uniq_keys.size(); ++b)
+        pfx[(uniq_keys[b] >> key_shift) + 1]++;
+      for (int64_t p = 0; p < nb; ++p) pfx[p + 1] += pfx[p];
+      return;
+    }
     size_t cap = 64;
     while (cap < uniq_keys.size() * 2) cap <<= 1;
     hkeys.assign(cap, 0);
@@ -75,6 +97,15 @@ struct SeedIndex {
   }
   // bucket for key, or -1
   inline int64_t find_bucket(int64_t key) const {
+    if (!pfx.empty()) {
+      int64_t p = key >> key_shift;
+      int64_t lo = pfx[p], hi = pfx[p + 1];
+      while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (uniq_keys[mid] < key) lo = mid + 1; else hi = mid;
+      }
+      return (lo < pfx[p + 1] && uniq_keys[lo] == key) ? lo : -1;
+    }
     uint64_t slot = ((uint64_t)key * 0x9E3779B97F4A7C15ull) & hmask;
     uint64_t want = (uint64_t)key + 1;
     while (true) {
@@ -104,15 +135,23 @@ int64_t pack_key(const uint8_t* s, int k, bool* valid) {
 
 extern "C" {
 
-void* thermite_seed_index_new(const uint8_t* text, int64_t n, int k) {
-  if (k < 1 || k > kMaxAnchorK) return nullptr;
+// stride > 1 indexes only text positions === 0 (mod stride): a maximal
+// match of length >= k + stride - 1 covers k-window starts at `stride`
+// consecutive text offsets, so at least one is sampled and maximal
+// extension from it reconstructs the full match.  Matches shorter than
+// k + stride - 1 may be missed — the documented whole-genome tradeoff
+// (cf. STAR's sparse suffix array); the oracle shares the same table,
+// so oracle/batch parity is unaffected.
+void* thermite_seed_index_new_stride(const uint8_t* text, int64_t n, int k,
+                                     int64_t stride) {
+  if (k < 1 || k > kMaxAnchorK || stride < 1) return nullptr;
   auto* idx = new SeedIndex();
   idx->text = text;
   idx->n = n;
   idx->k = k;
 
   std::vector<std::pair<int64_t, int64_t>> kv;
-  kv.reserve(n > k ? n - k + 1 : 0);
+  kv.reserve(n > k ? (n - k) / stride + 1 : 0);
   if (n >= k) {
     // rolling key with invalid-run tracking
     int64_t key = 0;
@@ -133,7 +172,7 @@ void* thermite_seed_index_new(const uint8_t* text, int64_t n, int k) {
       key = key * 5 + (c_in == 255 ? 0 : c_in);
       inv_count -= (c_out == 255);
       inv_count += (c_in == 255);
-      if (inv_count == 0) kv.emplace_back(key, i);
+      if (inv_count == 0 && i % stride == 0) kv.emplace_back(key, i);
     }
   }
   // LSD radix sort by key: ~8x faster than std::sort on
@@ -174,6 +213,10 @@ void* thermite_seed_index_new(const uint8_t* text, int64_t n, int k) {
   idx->offsets.push_back((int64_t)kv.size());
   idx->build_hash();
   return idx;
+}
+
+void* thermite_seed_index_new(const uint8_t* text, int64_t n, int k) {
+  return thermite_seed_index_new_stride(text, n, k, 1);
 }
 
 void thermite_seed_index_free(void* h) { delete static_cast<SeedIndex*>(h); }
@@ -427,7 +470,7 @@ enum { A_EXONIC = 0, A_INTRONIC = 1, A_INTERGENIC = 2 };
 struct Chunk {
   int64_t n_reads = 0;  // consumed
   std::vector<int64_t> read_len, read_minscore;
-  std::vector<int32_t> meta;         // (P, 8)
+  std::vector<int32_t> meta;         // (P, 9) — swg_pallas.META_COLS
   std::vector<int64_t> tasks;        // (T, T_NCOL)
   std::vector<int64_t> read_task_off;  // (n_reads+1,)
   std::vector<int64_t> selected;     // (S, S_NCOL)
@@ -437,15 +480,24 @@ struct Chunk {
   std::vector<int64_t> tx_runs, tx_off_runs;  // EXONIC tx_aln ops
   std::vector<int64_t> tx_meta;               // (S, 5) ys, ye, xs, xe, txlen
   std::vector<uint8_t> fallback;              // per-selected host-redo flag
-  int64_t n_problems() const { return (int64_t)meta.size() / 8; }
+  int64_t n_problems() const { return (int64_t)meta.size() / 9; }
   int64_t n_tasks() const { return (int64_t)tasks.size() / T_NCOL; }
 };
 
+// zero-byte padding the nibble-packed device text carries at both ends
+// (MUST match thermite_tpu.ops.swg_pallas._WPAD)
+constexpr int64_t kWpad = 512;
+
 int64_t add_problem(Chunk* ch, int64_t yb, int64_t yd, int64_t yl, int64_t xb,
                     int64_t xd, int64_t xl, int64_t band, int64_t xdrop) {
-  int32_t row[8] = {(int32_t)yb, (int32_t)yd, (int32_t)yl, (int32_t)xb,
-                    (int32_t)xd, (int32_t)xl, (int32_t)band, (int32_t)xdrop};
-  ch->meta.insert(ch->meta.end(), row, row + 8);
+  // the y anchor is split into (word, sub) of the nibble-packed text so
+  // every device-side quantity stays int32 for texts up to ~17 Gbp
+  int64_t lo = yb + kWpad;
+  int32_t row[9] = {(int32_t)(lo >> 3), (int32_t)(lo & 7),
+                    (int32_t)yd,   (int32_t)yl,   (int32_t)xb,
+                    (int32_t)xd,   (int32_t)xl,   (int32_t)band,
+                    (int32_t)xdrop};
+  ch->meta.insert(ch->meta.end(), row, row + 9);
   return ch->n_problems() - 1;
 }
 
@@ -554,10 +606,10 @@ void* thermite_engine_new(
     const int64_t* gi_end, const int64_t* gi_data, const int64_t* gi_maxend,
     double pct, int64_t min_score, int64_t mm_range, int64_t intron_mode,
     int64_t match_score) {
-  // the pipeline encodes problems as int32 gather offsets; a reference
-  // text >= 2 GiB needs the (unimplemented) int64 offset path — fail
-  // loudly instead of silently truncating (callers surface the error)
-  if (ref_text_len > (((int64_t)1 << 31) - 1)) return nullptr;
+  // problems encode the y anchor as (nibble word, sub-offset) int32
+  // pairs: word indices fit int32 for texts up to 2^34 bytes (~17 Gbp
+  // incl. revcomp — any earthly genome); beyond that, fail loudly
+  if (ref_text_len > (((int64_t)1 << 34) - 4 * kWpad)) return nullptr;
   auto* E = new Engine();
   if (seeds_handle) {
     E->seeds = static_cast<SeedIndex*>(seeds_handle);
@@ -968,7 +1020,7 @@ extern "C" {
 // tb_out: (n_rows, 4 + pw) int32 stream-traceback output rows indexed
 // BY PROBLEM ID (the single-pass pipeline runs the stream kernel on
 // every nontrivial problem; trivial problems have all-zero rows).
-// tb_meta: (n_rows, 8) int32 problem meta (for xlen).
+// tb_meta: (n_rows, 9) int32 problem meta (for xlen).
 // Returns 0 on success, -(s+1) if the finalized span/score of selected
 // s disagrees with arbitration (a bug), and fills per-selected outputs
 // readable via getters.  Rows whose stream was flagged get
@@ -995,9 +1047,9 @@ int64_t thermite_chunk_finalize(void* eh, void* chh, const int32_t* tb_out,
     if (lrow >= n_rows || rrow >= n_rows) return -1000000 - s;
     int64_t ls, li, lj, rs2, ri2, rj2;
     bool okl = decode_stream(tb_out + lrow * (4 + pw), pw,
-                             tb_meta[lrow * 8 + 5], &left.runs, &ls, &li, &lj);
+                             tb_meta[lrow * 9 + 6], &left.runs, &ls, &li, &lj);
     bool okr = decode_stream(tb_out + rrow * (4 + pw), pw,
-                             tb_meta[rrow * 8 + 5], &right.runs, &rs2, &ri2,
+                             tb_meta[rrow * 9 + 6], &right.runs, &rs2, &ri2,
                              &rj2);
     if (!okl || !okr) {
       ch.fallback[s] = 1;

@@ -124,3 +124,35 @@ def test_persisted_seed_table_roundtrip(tmp_path):
     read = idx.seq[2:20]
     got = k3_restored.all_smems(read)
     assert got == k3_fresh.all_smems(read) and len(got) > 0
+
+
+def test_strided_table_parity_and_recall():
+    """stride > 1 (whole-genome sampling): C++ and numpy engines agree
+    at the same stride, and every maximal match of length
+    >= k + stride - 1 is still found (the sampling guarantee)."""
+    import numpy as np
+
+    from thermite_tpu.seed.native import NativeSmemEngine
+    from thermite_tpu.seed.smem import SmemEngine
+
+    rng = np.random.default_rng(42)
+    arr = rng.choice(np.frombuffer(b"ACGT", np.uint8), 6000)
+    text = arr.tobytes()
+    k, stride = 20, 4
+    native = NativeSmemEngine(arr, k, stride=stride)
+    ref = SmemEngine(arr, k, stride=stride)
+    full = SmemEngine(arr, k)  # stride-1 referee
+
+    for start in range(100, 2000, 137):
+        for rlen in (k + stride - 1, 30, 60):
+            read = text[start : start + rlen]
+            got = native.all_smems(read)
+            assert got == ref.all_smems(read)
+            # guaranteed recall: matches of length >= k + stride - 1
+            want = {
+                (m.query_idx, m.ref_idx, m.len)
+                for m in full.all_smems(read)
+                if m.len >= k + stride - 1
+            }
+            have = {(m.query_idx, m.ref_idx, m.len) for m in got}
+            assert want <= have, (start, rlen)

@@ -54,14 +54,16 @@ def test_dp_gather_align_step_matches_unsharded():
     ref_text = rng.integers(65, 69, 2048).astype(np.uint8)
     B, RPAD = 16, 32
     reads = np.zeros((B, RPAD), np.uint8)
-    meta = np.zeros((2 * B, 8), np.int32)
+    meta = np.zeros((2 * B, 9), np.int32)
+    from thermite_tpu.ops.swg_pallas import meta_row
+
     for i in range(B):
         p = int(rng.integers(4, len(ref_text) - RPAD - 4))
         r = ref_text[p : p + RPAD].copy()
         r[int(rng.integers(0, RPAD))] = 65 + int(rng.integers(0, 4))
         reads[i] = r
-        meta[2 * i] = (p + 4, 1, 40, i * RPAD + 4, 1, RPAD - 4, 8, 8)
-        meta[2 * i + 1] = (p + 3, -1, 12, i * RPAD + 3, -1, 4, 8, 8)
+        meta[2 * i] = meta_row(p + 4, 1, 40, i * RPAD + 4, 1, RPAD - 4, 8, 8)
+        meta[2 * i + 1] = meta_row(p + 3, -1, 12, i * RPAD + 3, -1, 4, 8, 8)
 
     mesh = make_mesh(8)
     step = dp_gather_align_step(mesh, XMAX=32, YMAX=64, W=128)

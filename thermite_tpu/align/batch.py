@@ -73,26 +73,33 @@ def _pow2_bucket(n: int, lo: int) -> int:
 class _Problems:
     """Offset-encoded extension problems (SoA).
 
-    No window bytes are materialised on host: a problem is 8 int32s
+    No window bytes are materialised on host: a problem is 9 int32s
     (``swg_pallas.META_COLS`` layout) indexing the device-resident
-    reference text and padded read block; the x/y windows are gathered
-    on-device (HBM bandwidth) instead of shipped over the host↔device
-    link (~40 MB/s tunnel here).
+    nibble-packed reference text and padded read block; the x/y windows
+    are gathered on-device (HBM bandwidth) instead of shipped over the
+    host↔device link (~40 MB/s tunnel here).  The y anchor is split
+    into (word, sub-offset) on the host so every device quantity stays
+    int32 up to ~17 Gbp texts (whole genome without 64-bit JAX).
     """
 
     __slots__ = ("rows", "_meta")
 
     def __init__(self):
-        self.rows: List[Tuple[int, int, int, int, int, int, int, int]] = []
+        self.rows: List[Tuple[int, ...]] = []
         self._meta: Optional[np.ndarray] = None
 
     def add(self, y_base, y_dir, ylen, x_base, x_dir, xlen, band, x_drop) -> int:
-        self.rows.append((y_base, y_dir, ylen, x_base, x_dir, xlen, band, x_drop))
+        from ..ops.swg_pallas import _WPAD
+
+        lo = y_base + _WPAD
+        self.rows.append(
+            (lo >> 3, lo & 7, y_dir, ylen, x_base, x_dir, xlen, band, x_drop)
+        )
         return len(self.rows) - 1
 
     def meta(self) -> np.ndarray:
         if self._meta is None or len(self._meta) != len(self.rows):
-            self._meta = np.asarray(self.rows, np.int32).reshape(len(self.rows), 8)
+            self._meta = np.asarray(self.rows, np.int32).reshape(len(self.rows), 9)
         return self._meta
 
     def __len__(self):
@@ -187,6 +194,21 @@ class BatchAligner:
             [index.seq_arr] + [np.frombuffer(tx.seq, np.uint8) for tx in txs]
         )
         self._ref_text_dev = None  # device copy, uploaded once on first use
+        if self.backend == "pallas":
+            # the nibble-packed device text has 4-bit codes for ACGTN$
+            # only; any other byte would lose its identity (the
+            # reference's byte compare would let e.g. R match R).  Real
+            # genomes are ACGTN — fail loudly on anything else.
+            counts = np.bincount(self._ref_text_host, minlength=256)
+            counts[list(b"ACGTN$") + [0]] = 0
+            if counts.sum():
+                bad = [chr(b) for b in np.flatnonzero(counts)[:5]]
+                raise NotImplementedError(
+                    "reference text contains non-ACGTN$ bytes "
+                    f"({bad}...): the TPU nibble-packed path cannot "
+                    "represent them; sanitize the FASTA or use the "
+                    "xla backend"
+                )
 
         # native (C++) build/arbitrate engine; Python stages below remain
         # the fallback and parity referee
@@ -216,13 +238,16 @@ class BatchAligner:
         return b
 
     def _ref_text(self):
-        """Device-resident packed-word reference text: ((4, Lw) int32, Lw)."""
-        if self._ref_text_dev is None:
-            from ..ops.swg_pallas import pack_text_words, packed_lw
+        """Device-resident nibble-packed reference text: ((Lw,) int32, Lw).
 
-            ref_u8 = jax.device_put(self._ref_text_host)
-            words = jax.jit(lambda a: pack_text_words(a)[0])(ref_u8)
-            lw = packed_lw(len(self._ref_text_host))
+        Packed on the host (L/2 bytes uploaded once — a 6.2 Gbp fwd+rc
+        whole-genome text is 3.1 GB in HBM where the round-1
+        byte-shifted-copies layout needed 25 GB)."""
+        if self._ref_text_dev is None:
+            from ..ops.swg_pallas import nib_lw, pack_text_nib_host
+
+            words = jax.device_put(pack_text_nib_host(self._ref_text_host))
+            lw = nib_lw(len(self._ref_text_host))
             self._ref_text_dev = (words, np.int32(lw))
         return self._ref_text_dev
 
@@ -659,7 +684,7 @@ class BatchAligner:
         for pid in (task.left_pid, task.right_pid):
             m = st.meta_all[pid]
             x, y = self._problem_bytes(st, m)
-            band, xd = int(m[6]), int(m[7])
+            band, xd = int(m[7]), int(m[8])
             ops_by_pid[pid] = SwgExtend(band).extend(x, y, band, xd)
         ref = self.index.refs[refid]
         read = st.reads[ri]
@@ -817,9 +842,9 @@ class BatchAligner:
     def _shapes(self, meta_all):
         """Sticky shape buckets (XMAX/YMAX/W only grow, so kernel
         recompiles are bounded across batches)."""
-        xmax = int(meta_all[:, 5].max(initial=1))
-        ymax = int(meta_all[:, 2].max(initial=1))
-        bmax = int(meta_all[:, 6].max(initial=1))
+        xmax = int(meta_all[:, 6].max(initial=1))
+        ymax = int(meta_all[:, 3].max(initial=1))
+        bmax = int(meta_all[:, 7].max(initial=1))
         XMAX = max(_round_up(xmax, 32), 32, getattr(self, "_XMAX", 0))
         YMAX = max(_round_up(ymax, 32), 32, getattr(self, "_YMAX", 0))
         W = max(_round_up(2 * bmax + 1, 128), 128, getattr(self, "_W", 0))
@@ -843,16 +868,19 @@ class BatchAligner:
     def _pad_meta(meta, N):
         """Pad to N rows; padding rows are empty problems (band 1)."""
         out = np.zeros((N, meta.shape[1]), np.int32)
-        out[:, 1] = 1  # y_dir
-        out[:, 4] = 1  # x_dir
-        out[:, 6] = 1  # band
-        out[:, 7] = 1  # x_drop
+        out[:, 2] = 1  # y_dir
+        out[:, 5] = 1  # x_dir
+        out[:, 7] = 1  # band
+        out[:, 8] = 1  # x_drop
         out[: len(meta)] = meta
         return out
 
     def _problem_bytes(self, st, meta_row) -> Tuple[bytes, bytes]:
         """Host reconstruction of a problem's x/y windows (fallback path)."""
-        yb, yd, yl, xb, xd, xl = (int(v) for v in meta_row[:6])
+        from ..ops.swg_pallas import _WPAD
+
+        yw, ys, yd, yl, xb, xd, xl = (int(v) for v in meta_row[:7])
+        yb = 8 * yw + ys - _WPAD
         y = self._ref_text_host[yb + yd * np.arange(yl)].tobytes()
         x = st.reads_host.reshape(-1)[xb + xd * np.arange(xl)].tobytes()
         return x, y
@@ -865,7 +893,7 @@ class BatchAligner:
             # trivial problems (empty query or reference flank) have a
             # known result (score 0, max cell (0,0)) — roughly half of
             # all problems on short-read workloads; keep them off-device
-            nontriv = (meta_all[:, 5] > 0) & (meta_all[:, 2] > 0)
+            nontriv = (meta_all[:, 6] > 0) & (meta_all[:, 3] > 0)
             st.fwd_idx = np.flatnonzero(nontriv)
             sub = meta_all[st.fwd_idx]
 
@@ -888,7 +916,7 @@ class BatchAligner:
                 meta = self._pad_meta(sub, nb)
                 self.stats.dp_cells += len(meta) * YMAX * W
                 smax = _round_up(
-                    int((sub[:, 5] + sub[:, 2]).max(initial=1)) + 2, 128
+                    int((sub[:, 6] + sub[:, 3]).max(initial=1)) + 2, 128
                 )
                 smax = max(smax, getattr(self, "_SMAX", 0))
                 self._SMAX = smax
@@ -955,7 +983,7 @@ class BatchAligner:
 
             # keep trivial (empty-flank) winners off-device: their stream
             # row is all zeros (score 0, max cell (0,0), no steps)
-            nontriv = (meta_sub[:, 5] > 0) & (meta_sub[:, 2] > 0)
+            nontriv = (meta_sub[:, 6] > 0) & (meta_sub[:, 3] > 0)
             st.tb_idx = np.flatnonzero(nontriv)
             sub = meta_sub[st.tb_idx]
 
@@ -969,7 +997,7 @@ class BatchAligner:
             # tight batch bound on walk steps (sticky; shrinks the ops
             # buffer and the packed d2h payload vs XMAX+YMAX)
             smax = _round_up(
-                int((meta_sub[:, 5] + meta_sub[:, 2]).max(initial=1)) + 2, 128
+                int((meta_sub[:, 6] + meta_sub[:, 3]).max(initial=1)) + 2, 128
             )
             smax = max(smax, getattr(self, "_SMAX", 0))
             self._SMAX = smax
@@ -1001,7 +1029,7 @@ class BatchAligner:
             st.tb_raw = None
             out = np.zeros((n, sub_out.shape[1]), np.int32)
             out[st.tb_idx] = sub_out
-            alns = decode_stream_batch(out, meta_sub[:, 5], meta_sub[:, 2])
+            alns = decode_stream_batch(out, meta_sub[:, 6], meta_sub[:, 3])
             for k, pid in enumerate(pid_list):
                 aln = alns[k]
                 if aln is None:
@@ -1011,7 +1039,7 @@ class BatchAligner:
                     from ..ops.swg_ref import SwgExtend
 
                     x, y = self._problem_bytes(st, meta_sub[k])
-                    band, xd = int(meta_sub[k, 6]), int(meta_sub[k, 7])
+                    band, xd = int(meta_sub[k, 7]), int(meta_sub[k, 8])
                     aln = SwgExtend(band).extend(x, y, band, xd)
                 ops_by_pid[pid] = aln
             return ops_by_pid
@@ -1021,8 +1049,8 @@ class BatchAligner:
         (score, mi, mj, dirs), meta = st.tb_raw
         st.tb_raw = None
         alns = traceback_batch(
-            np.asarray(dirs), meta[:, 6], np.asarray(mi), np.asarray(mj),
-            meta[:, 5], meta[:, 2], np.asarray(score),
+            np.asarray(dirs), meta[:, 7], np.asarray(mi), np.asarray(mj),
+            meta[:, 6], meta[:, 3], np.asarray(score),
         )
         for k, pid in enumerate(pid_list):
             ops_by_pid[pid] = alns[k]

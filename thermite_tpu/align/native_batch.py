@@ -163,10 +163,10 @@ class NativeBatchEngine:
             MATCH_SCORE,
         )
         if not self._h:
-            if len(ref_text) >= (1 << 31):
+            if len(ref_text) >= (1 << 34):
                 raise NotImplementedError(
-                    "reference text >= 2 GiB needs the int64 offset path "
-                    "(problems are encoded as int32 gather offsets)"
+                    "reference text >= 16 GiB: nibble-word indices no "
+                    "longer fit int32 (see swg_pallas META_COLS notes)"
                 )
             raise RuntimeError("native engine init failed")
         self._tx_off_arr = tx_off
@@ -195,8 +195,8 @@ class NativeBatchEngine:
         n_consumed = lib.thermite_chunk_n_reads(ch)
         P = lib.thermite_chunk_n_problems(ch)
         T = lib.thermite_chunk_n_tasks(ch)
-        meta = np.ctypeslib.as_array(lib.thermite_chunk_meta(ch), (P, 8)).copy() \
-            if P else np.zeros((0, 8), np.int32)
+        meta = np.ctypeslib.as_array(lib.thermite_chunk_meta(ch), (P, 9)).copy() \
+            if P else np.zeros((0, 9), np.int32)
         tasks = np.ctypeslib.as_array(lib.thermite_chunk_tasks(ch), (T, 10)).copy() \
             if T else np.zeros((0, 10), np.int64)
         return ch, int(n_consumed), meta, tasks

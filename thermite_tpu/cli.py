@@ -64,6 +64,13 @@ def main(argv=None) -> int:
     pi.add_argument("reference", help="reference FASTA")
     pi.add_argument("annotations", help="GTF annotations")
     pi.add_argument("-o", "--output", default="-", dest="index")
+    pi.add_argument(
+        "--seed-stride", type=int, default=None,
+        help="sample every Nth text position in the seed table "
+        "(default: 1 below 512 Mbp of concatenated text, 4 above — "
+        "the whole-genome memory tradeoff; matches shorter than "
+        "k+stride-1 may be missed)",
+    )
 
     pa = sub.add_parser("align", help="Align reads to an indexed reference")
     pa.add_argument("index")
@@ -126,6 +133,10 @@ def main(argv=None) -> int:
         out = args.index
         if out == "-":
             raise SystemExit("index output to stdout not supported; pass -o FILE")
+        stride = args.seed_stride
+        if stride is None:
+            stride = 1 if len(index.seq) < (512 << 20) else 4
+        index.build_seed_table(stride=stride)
         index.save(out)  # Index.save normalizes to the .npz artifact name
         return 0
 

@@ -56,15 +56,21 @@ class Index:
         # part, ~42 s at chromosome scale, so it rides the artifact too)
         self.seed_table = None
 
-    def build_seed_table(self, min_seed_len: Optional[int] = None):
+    def build_seed_table(self, min_seed_len: Optional[int] = None,
+                         stride: int = 1):
         """Build (and cache) the anchor posting table for
-        ``min_seed_len`` (default: the CLI default, k=20)."""
+        ``min_seed_len`` (default: the CLI default, k=20).
+
+        ``stride`` > 1 samples text positions (whole-genome tables:
+        1/stride the memory/build time; matches shorter than
+        k + stride - 1 may be missed — cf. STAR's sparse suffix array).
+        """
         from ..constants import DEFAULT_MIN_SEED_LEN
         from ..seed.native import make_seeder
 
         if min_seed_len is None:
             min_seed_len = DEFAULT_MIN_SEED_LEN
-        seeder = make_seeder(self.seq_arr, min_seed_len)
+        seeder = make_seeder(self.seq_arr, min_seed_len, stride=stride)
         self.seed_table = seeder.export_table()
         return self.seed_table
 

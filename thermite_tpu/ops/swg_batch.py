@@ -199,7 +199,7 @@ def swg_gather_call(XMAX: int, YMAX: int, W: int, unroll: int = 4):
 
     def call(ref_text, reads, meta):
         x, y = _gather_windows(ref_text, reads, meta, XMAX, YMAX, shifted_x=False)
-        return inner(x, meta[:, 5], y, meta[:, 2], meta[:, 6], meta[:, 7])
+        return inner(x, meta[:, 6], y, meta[:, 3], meta[:, 7], meta[:, 8])
 
     return call
 

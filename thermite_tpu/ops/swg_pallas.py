@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -554,25 +555,111 @@ def get_stream_traceback_gather_kernel(BBLK, XMAX, YMAX, W, interpret=False, SMA
 # round-trip), so shipping materialised (N, XW)+(N, YMAX) window bytes
 # dominates end-to-end time.  Instead the reference text (concatenated
 # genome + all transcript spliced sequences) and the read batch live in
-# HBM, and each extension problem is described by 8 int32s:
+# HBM, and each extension problem is described by 9 int32s:
 #
-#   meta columns: [y_base, y_dir, ylen, x_base, x_dir, xlen, band, x_drop]
+#   meta columns: [y_word, y_sub, y_dir, ylen, x_base, x_dir, xlen,
+#                  band, x_drop]
 #
-#   y[i] = ref_text[y_base + y_dir * i]   for i < ylen   (dir -1 ==
-#   reversed left-extension window), x likewise from the padded read
-#   block.  The windows are built on-device with XLA gathers (HBM
-#   bandwidth, not tunnel bandwidth) inside the same jit as the Pallas
-#   kernel.  This is the SURVEY §7 "index resident in HBM + vectorized
-#   gather" design; it cuts per-batch h2d from ~10 MB to ~1-2 MB.
+# The y anchor is pre-split into (word, sub) of the nibble-packed text:
+# anchor byte = 8*y_word + y_sub = text position + _WPAD.  Splitting on
+# the host keeps every device-side quantity int32 for texts up to
+# ~17 Gbp (word indices < 2^31) — whole-genome scale without enabling
+# 64-bit JAX.  The window in forward text order is
+#   [anchor, anchor+ylen)            for y_dir = +1
+#   [anchor-(ylen-1), anchor] read reversed  for y_dir = -1,
+# x likewise (byte offsets; the read block is always < 2 GiB).  Windows
+# are built on-device with XLA gathers (HBM bandwidth, not tunnel
+# bandwidth) inside the same jit as the Pallas kernel — the SURVEY §7
+# "index resident in HBM + vectorized gather" design.
 # ---------------------------------------------------------------------------
 
-META_COLS = 8  # y_base, y_dir, ylen, x_base, x_dir, xlen, band, x_drop
+META_COLS = 9  # y_word, y_sub, y_dir, ylen, x_base, x_dir, xlen, band, x_drop
 
-# Window gathers fetch int32 *words* from 4 byte-shifted copies of the
-# text (4x fewer gathered elements than a byte gather; XLA gather cost
-# is per element).  _WPAD zero bytes pad both ends so reversed windows
-# near position 0 and word straddles never index out of range.
+# The resident reference text is nibble-packed: 8 bases per int32 word,
+# 4-bit codes (below).  One copy, L/2 bytes — a 6.2 Gbp fwd+rc
+# whole-genome text fits v5e HBM at 3.1 GB where the older
+# 4-byte-shifted-copies layout needed 25 GB.  Word straddles are
+# resolved on-device with a per-problem funnel shift (2 gathered words
+# cover 16 bases vs 4 for the byte layout).  _WPAD zero BYTES pad both
+# ends so reversed windows near position 0 never index out of range.
 _WPAD = 512
+
+# 4-bit text codes: 0 = padding, A/C/G/T/N/$ = 1..6, anything else = 7.
+# Read bytes map through _read_codes (A..N = 1..5, other = 15), so a
+# non-ACGTN read byte never matches any text code — same outcome as the
+# reference's byte compare on a clean ACGTN$ text.  Texts containing
+# other bytes must use the byte-path XLA backend (BatchAligner guards).
+_NIB_LUT = np.full(256, 7, np.uint8)
+_NIB_LUT[0] = 0
+for _i, _b in enumerate(b"ACGTN$"):
+    _NIB_LUT[_b] = _i + 1
+
+
+def nib_lw(L: int) -> int:
+    """Word count of the nibble-packed text for L bytes."""
+    return (_WPAD + L + _WPAD + 7) // 8
+
+
+def pack_text_nib_host(text_u8: "np.ndarray") -> "np.ndarray":
+    """Host-side nibble pack: (L,) uint8 ASCII -> (nib_lw(L),) int32.
+
+    Word w holds codes of text_padded[8w .. 8w+7], 4 bits each,
+    little-endian (code i at bits 4i..4i+3), where
+    text_padded = [0]*_WPAD + text + [0]*pad.  Packing on the host
+    (numpy, ~8 strided passes) keeps the one-time upload at L/2 bytes.
+    """
+    L = int(text_u8.shape[0])
+    Lw = nib_lw(L)
+    padded = np.zeros(Lw * 8, np.uint8)
+    padded[_WPAD : _WPAD + L] = text_u8
+    codes = _NIB_LUT[padded]
+    w = np.zeros(Lw, np.uint32)
+    for i in range(8):
+        w |= codes[i::8].astype(np.uint32) << np.uint32(4 * i)
+    return w.view(np.int32)
+
+
+def meta_row(y_base, y_dir, ylen, x_base, x_dir, xlen, band, x_drop):
+    """Build one META_COLS row from a byte-coordinate y anchor (test /
+    dry-run helper; the batch builders inline this)."""
+    lo = y_base + _WPAD
+    return (lo >> 3, lo & 7, y_dir, ylen, x_base, x_dir, xlen, band, x_drop)
+
+
+def _gather_span_nib(words_flat, lw, w0, sub, dirp, SPAN):
+    """(N,1) word/sub anchor + dir -> (N, SPAN) uint8 text codes.
+
+    For dir=+1 the anchor is the window start; for dir=-1 it is the
+    window END in forward order and the output is reversed (y[i] =
+    text[anchor - i]), matching the old byte-path semantics.
+    """
+    q = jnp.where(dirp == 1, sub, sub - (SPAN - 1))
+    adj = jnp.floor_divide(q, 8)  # floor: q may be negative
+    ws = w0 + adj
+    s = q - 8 * adj  # 0..7
+    K = SPAN // 8
+    k = jnp.arange(K + 1, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(ws + k, 0, lw - 1)
+    words = jnp.take(words_flat, idx).astype(jnp.uint32)  # (N, K+1)
+    sh = (4 * s).astype(jnp.uint32)
+    lo = words[:, :K] >> sh
+    hi_sh = ((32 - 4 * s) % 32).astype(jnp.uint32)
+    hi = jnp.where(s == 0, jnp.uint32(0), words[:, 1:] << hi_sh)
+    w = lo | hi  # (N, K): 8 window codes per word
+    nib_sh = (4 * jnp.arange(8, dtype=jnp.uint32))[None, None, :]
+    b = ((w[:, :, None] >> nib_sh) & 0xF).astype(jnp.uint8)
+    b = b.reshape(b.shape[0], SPAN)
+    return jnp.where(dirp == 1, b, jnp.flip(b, axis=1))
+
+
+def _read_codes(win):
+    """ASCII read bytes -> 4-bit-comparable codes (A..N = 1..5, pad
+    0 -> 0, anything else 15: never equals a text code)."""
+    b = win.astype(jnp.int32)
+    c = jnp.where(b == 0, 0, 15)
+    for val, code in ((65, 1), (67, 2), (71, 3), (84, 4), (78, 5)):
+        c = jnp.where(b == val, code, c)
+    return c.astype(jnp.uint8)
 
 
 def packed_lw(L: int) -> int:
@@ -620,44 +707,50 @@ def _gather_span_packed(words_flat, lw, base, dirp, SPAN):
 
 
 def _gather_windows_packed(
-    ref_words, ref_lw, reads, meta, XMAX, XW, YMAX, shifted_x: bool
+    ref_nib, ref_lw, reads, meta, XMAX, XW, YMAX, shifted_x: bool
 ):
-    """Packed-word variant of _gather_windows (pallas path)."""
+    """Device window builder (pallas path): x from the byte-word-packed
+    read block mapped to 4-bit codes, y from the nibble-packed resident
+    text.  Both sides come out as comparable 4-bit codes."""
     rw, rlw = pack_text_words(reads.reshape(-1))
     xb = _gather_span_packed(
-        rw.reshape(-1), rlw, meta[:, 3:4], meta[:, 4:5], XMAX
+        rw.reshape(-1), rlw, meta[:, 4:5], meta[:, 5:6], XMAX
     )
     ix = jnp.arange(XMAX, dtype=jnp.int32)[None, :]
-    win = jnp.where(ix < meta[:, 5:6], xb, 0).astype(jnp.uint8)
+    win = jnp.where(ix < meta[:, 6:7], _read_codes(xb), 0).astype(jnp.uint8)
     if shifted_x:
         x = jnp.pad(win, ((0, 0), (1, XW - XMAX - 1)))
     else:
         x = win
-    yb = _gather_span_packed(
-        ref_words.reshape(-1), ref_lw, meta[:, 0:1], meta[:, 1:2], YMAX
+    yb = _gather_span_nib(
+        ref_nib.reshape(-1), ref_lw, meta[:, 0:1], meta[:, 1:2],
+        meta[:, 2:3], YMAX,
     )
     iy = jnp.arange(YMAX, dtype=jnp.int32)[None, :]
-    y = jnp.where(iy < meta[:, 2:3], yb, 0).astype(jnp.uint8)
+    y = jnp.where(iy < meta[:, 3:4], yb, 0).astype(jnp.uint8)
     return x, y
 
 
 def _gather_windows(ref_text, reads, meta, XW, YMAX, shifted_x: bool):
-    """Build (N, XW) x and (N, YMAX) y windows on device from offsets."""
+    """ASCII-byte window builder (XLA/CPU test backend): y byte base is
+    reconstructed from the (word, sub) anchor — int32 arithmetic, so
+    this path is for sub-2-GiB texts (tests / dry-runs) only."""
     G = ref_text.shape[0]
     R = reads.size
     reads_flat = reads.reshape(-1)
 
     ix = jnp.arange(XW, dtype=jnp.int32)[None, :]
     off = ix - 1 if shifted_x else ix
-    xi = meta[:, 3:4] + meta[:, 4:5] * off
-    xv = (off >= 0) & (off < meta[:, 5:6])
+    xi = meta[:, 4:5] + meta[:, 5:6] * off
+    xv = (off >= 0) & (off < meta[:, 6:7])
     x = jnp.where(xv, jnp.take(reads_flat, jnp.clip(xi, 0, R - 1)), 0).astype(
         jnp.uint8
     )
 
+    ybase = 8 * meta[:, 0:1] + meta[:, 1:2] - _WPAD
     iy = jnp.arange(YMAX, dtype=jnp.int32)[None, :]
-    yi = meta[:, 0:1] + meta[:, 1:2] * iy
-    yv = iy < meta[:, 2:3]
+    yi = ybase + meta[:, 2:3] * iy
+    yv = iy < meta[:, 3:4]
     y = jnp.where(yv, jnp.take(ref_text, jnp.clip(yi, 0, G - 1)), 0).astype(
         jnp.uint8
     )
@@ -666,7 +759,7 @@ def _gather_windows(ref_text, reads, meta, XW, YMAX, shifted_x: bool):
 
 def _params_from_meta(meta):
     return jnp.concatenate(
-        [meta[:, 5:6], meta[:, 2:3], meta[:, 6:7], meta[:, 7:8]], axis=1
+        [meta[:, 6:7], meta[:, 3:4], meta[:, 7:8], meta[:, 8:9]], axis=1
     )
 
 

@@ -80,7 +80,7 @@ def dp_gather_align_step(mesh: Mesh, XMAX: int, YMAX: int, W: int, unroll: int =
     dry-runs it on an N-device mesh to validate the layout compiles and
     executes.
 
-    step(ref_text (G,) u8, reads (B, RPAD) u8, meta (N, 8) i32,
+    step(ref_text (G,) u8, reads (B, RPAD) u8, meta (N, 9) i32,
          min_score) -> (score, max_i, max_j sharded; n_pass replicated)
     """
     from ..ops.swg_batch import swg_gather_call

@@ -65,10 +65,19 @@ class KmerTable:
     positions: np.ndarray  # int64 (total,) text positions, ascending per bucket
 
     @classmethod
-    def build(cls, seq_arr: np.ndarray, k: int) -> "KmerTable":
-        assert 1 <= k <= MAX_ANCHOR_K
+    def build(cls, seq_arr: np.ndarray, k: int, stride: int = 1) -> "KmerTable":
+        """``stride`` > 1 samples text positions === 0 (mod stride):
+        maximal matches of length >= k + stride - 1 are still always
+        found (their k-window starts cover ``stride`` consecutive text
+        offsets); shorter ones may be missed — the whole-genome memory
+        tradeoff, shared by the C++ builder."""
+        assert 1 <= k <= MAX_ANCHOR_K and stride >= 1
         codes = encode_base5(seq_arr)
         keys, valid = rolling_keys(codes, k)
+        if stride > 1:
+            samp = np.zeros(len(valid), bool)
+            samp[::stride] = True
+            valid = valid & samp
         pos = np.nonzero(valid)[0]
         keys = keys[pos]
         order = np.argsort(keys, kind="stable")  # stable => positions ascending

@@ -45,6 +45,10 @@ def _try_load():
     lib.thermite_seed_index_new.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
     ]
+    lib.thermite_seed_index_new_stride.restype = ctypes.c_void_p
+    lib.thermite_seed_index_new_stride.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int64,
+    ]
     lib.thermite_seed_index_free.argtypes = [ctypes.c_void_p]
     lib.thermite_seed_index_size.restype = ctypes.c_int64
     lib.thermite_seed_index_size.argtypes = [ctypes.c_void_p]
@@ -74,7 +78,8 @@ def available() -> bool:
 class NativeSmemEngine:
     """Drop-in replacement for ``SmemEngine`` backed by C++."""
 
-    def __init__(self, seq_arr: np.ndarray, min_seed_len: int, table=None):
+    def __init__(self, seq_arr: np.ndarray, min_seed_len: int, table=None,
+                 stride: int = 1):
         lib = _try_load()
         if lib is None:
             raise RuntimeError("native seeding library unavailable")
@@ -98,8 +103,8 @@ class NativeSmemEngine:
                 positions.ctypes.data_as(p), len(positions),
             )
         else:
-            self._h = lib.thermite_seed_index_new(
-                self._text, len(self._text), self.k
+            self._h = lib.thermite_seed_index_new_stride(
+                self._text, len(self._text), self.k, stride
             )
         if not self._h:
             raise RuntimeError("native seed index construction failed")
@@ -148,14 +153,18 @@ class NativeSmemEngine:
         ]
 
 
-def make_seeder(seq_arr: np.ndarray, min_seed_len: int, table=None):
+def make_seeder(seq_arr: np.ndarray, min_seed_len: int, table=None,
+                stride: int = 1):
     """Native engine when available, numpy fallback otherwise.
 
     ``table`` is an optional persisted posting table
     (k, uniq_keys, offsets, positions); it is used only when its k
-    matches the anchor k for ``min_seed_len`` (else rebuilt)."""
+    matches the anchor k for ``min_seed_len`` (else rebuilt with
+    ``stride``: >1 samples text positions — whole-genome tables; see
+    thermite_seed_index_new_stride in csrc)."""
     if available():
-        return NativeSmemEngine(seq_arr, min_seed_len, table=table)
+        return NativeSmemEngine(seq_arr, min_seed_len, table=table,
+                                stride=stride)
     from .kmer import KmerTable
     from .smem import SmemEngine
 
@@ -167,4 +176,4 @@ def make_seeder(seq_arr: np.ndarray, min_seed_len: int, table=None):
             offsets=np.asarray(table[2], np.int64),
             positions=np.asarray(table[3], np.int64),
         )
-    return SmemEngine(seq_arr, min_seed_len, table=kt)
+    return SmemEngine(seq_arr, min_seed_len, table=kt, stride=stride)

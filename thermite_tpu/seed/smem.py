@@ -42,11 +42,14 @@ from .kmer import KmerTable, MAX_ANCHOR_K, encode_base5, rolling_keys
 class SmemEngine:
     """Host SMEM seeder over a concatenated genome text."""
 
-    def __init__(self, seq_arr: np.ndarray, min_seed_len: int, table: Optional[KmerTable] = None):
+    def __init__(self, seq_arr: np.ndarray, min_seed_len: int,
+                 table: Optional[KmerTable] = None, stride: int = 1):
         self.seq_arr = seq_arr
         self.min_seed_len = min_seed_len
         self.k = min(MAX_ANCHOR_K, min_seed_len)
-        self.table = table if table is not None else KmerTable.build(seq_arr, self.k)
+        self.table = table if table is not None else KmerTable.build(
+            seq_arr, self.k, stride
+        )
 
     def export_table(self):
         """-> (k, uniq_keys, offsets, positions) — the persistable form."""
