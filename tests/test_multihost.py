@@ -64,3 +64,34 @@ def test_merged_shards_equal_single_run(paths, fmt, ext):
         assert gzip.open(merged, "rb").read() == gzip.open(single, "rb").read()
     else:
         assert merged.read_bytes() == single.read_bytes()
+
+
+def test_cli_host_rank_shards_merge_identical(tmp_path):
+    """The CLI host-rank surface (--num-hosts/--host-id): two simulated
+    hosts align their blocks of one FASTQ, `merge` combines the shards,
+    and the result is byte-identical to a single-host run."""
+    import subprocess
+    import sys
+
+    from fixtures import write_fixture
+
+    ref, gtf, fq = write_fixture(tmp_path)
+
+    def cli(*args):
+        subprocess.run(
+            [sys.executable, "-m", "thermite_tpu.cli", *args],
+            check=True, capture_output=True,
+        )
+
+    idx = str(tmp_path / "i.npz")
+    cli("index", ref, gtf, "-o", idx)
+    single = str(tmp_path / "single.sam")
+    cli("align", idx, fq, "-a", "-k3", "-s0", "--min-aln-score=0",
+        "-o", single, "--engine", "batch")
+    out = str(tmp_path / "sharded.sam")
+    for h in ("0", "1"):
+        cli("align", idx, fq, "-a", "-k3", "-s0", "--min-aln-score=0",
+            "-o", out, "--engine", "batch",
+            "--num-hosts", "2", "--host-id", h)
+    cli("merge", "-o", out, out + ".shard000", out + ".shard001")
+    assert open(out).read() == open(single).read()

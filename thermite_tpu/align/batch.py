@@ -159,7 +159,19 @@ class BatchAligner:
         backend: Optional[str] = None,
         use_native: Optional[bool] = None,
         interpret: bool = False,
+        mesh=None,
     ):
+        # mesh: a jax.sharding.Mesh with a "data" axis — the production
+        # multi-chip mode: the resident text and read block replicate
+        # into every chip's HBM, extension problems shard on rows, and
+        # each chip runs the single-pass gather+DP+traceback kernel on
+        # its shard (parallel/mesh.py sharded_stream_kernel).  Output
+        # rows come back in input order, so every host stage downstream
+        # is unchanged — byte-identical results by test.
+        self.mesh = mesh
+        # batch rows pad to a multiple of BBLK * n_devices under a mesh
+        # (shard_map splits rows evenly)
+        self._nsh = 1 if mesh is None else int(np.prod(mesh.devices.shape))
         self.index = index
         self.opts = opts
         from ..seed.native import make_seeder
@@ -246,10 +258,20 @@ class BatchAligner:
         if self._ref_text_dev is None:
             from ..ops.swg_pallas import nib_lw, pack_text_nib_host
 
-            words = jax.device_put(pack_text_nib_host(self._ref_text_host))
+            words = jax.device_put(
+                pack_text_nib_host(self._ref_text_host), self._sharding_repl()
+            )
             lw = nib_lw(len(self._ref_text_host))
             self._ref_text_dev = (words, np.int32(lw))
         return self._ref_text_dev
+
+    def _sharding_repl(self):
+        """Replicated placement under a mesh; default device otherwise."""
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return NamedSharding(self.mesh, PartitionSpec())
 
     # ------------------------------------------------------------------
     # The batch is processed in chunks through a 3-stage software
@@ -410,7 +432,8 @@ class BatchAligner:
             reads_pad[ri, : len(r)] = np.frombuffer(r, np.uint8)
         st.reads_host = reads_pad
         st.reads_dev = (
-            jax.device_put(reads_pad) if self.backend == "pallas" else reads_pad
+            jax.device_put(reads_pad, self._sharding_repl())
+            if self.backend == "pallas" else reads_pad
         )
         st.meta_all = st.problems.meta()
         return st, pos
@@ -468,7 +491,8 @@ class BatchAligner:
             upload = np.zeros((rows, RPAD), np.uint8)
             upload[: len(reads_pad)] = reads_pad
         st.reads_dev = (
-            jax.device_put(upload) if self.backend == "pallas" else upload
+            jax.device_put(upload, self._sharding_repl())
+            if self.backend == "pallas" else upload
         )
         return st, start + consumed
 
@@ -885,6 +909,39 @@ class BatchAligner:
         x = st.reads_host.reshape(-1)[xb + xd * np.arange(xl)].tobytes()
         return x, y
 
+    _MESH_KERN_CACHE: Dict = {}
+
+    def _stream_kernel(self, BBLK, XMAX, YMAX, W, smax):
+        """Single-pass stream kernel, sharded over the mesh when set."""
+        if self.mesh is None:
+            from ..ops.swg_pallas import get_stream_traceback_gather_kernel
+
+            return get_stream_traceback_gather_kernel(
+                BBLK, XMAX, YMAX, W, self.interpret, SMAX=smax
+            )
+        from ..parallel.mesh import sharded_stream_kernel
+
+        key = ("stream", self.mesh, BBLK, XMAX, YMAX, W, self.interpret, smax)
+        if key not in self._MESH_KERN_CACHE:
+            self._MESH_KERN_CACHE[key] = sharded_stream_kernel(
+                self.mesh, BBLK, XMAX, YMAX, W, self.interpret, SMAX=smax
+            )
+        return self._MESH_KERN_CACHE[key]
+
+    def _xla_gather_kernel(self, XMAX, YMAX, W):
+        if self.mesh is None:
+            from ..ops.swg_batch import get_swg_gather_kernel
+
+            return get_swg_gather_kernel(XMAX, YMAX, W)
+        from ..parallel.mesh import sharded_swg_gather_kernel
+
+        key = ("xla", self.mesh, XMAX, YMAX, W)
+        if key not in self._MESH_KERN_CACHE:
+            self._MESH_KERN_CACHE[key] = sharded_swg_gather_kernel(
+                self.mesh, XMAX, YMAX, W
+            )
+        return self._MESH_KERN_CACHE[key]
+
     def _dispatch_forward(self, st: "_ChunkState") -> None:
         meta_all = st.meta_all
         n = len(meta_all)
@@ -903,13 +960,9 @@ class BatchAligner:
                 # gets scores AND finalize gets op streams from ONE
                 # device round trip (losers' walks are cheap; the extra
                 # packed payload is a few hundred KB per chunk)
-                from ..ops.swg_pallas import (
-                    get_stream_traceback_gather_kernel,
-                )
-
                 BBLK = self._tb_bblk(YMAX, W)
                 nb = max(
-                    _pow2_bucket(max(len(sub), 1), BBLK),
+                    _pow2_bucket(max(len(sub), 1), BBLK * self._nsh),
                     getattr(self, "_NFWD1", 0),
                 )
                 self._NFWD1 = nb
@@ -920,9 +973,7 @@ class BatchAligner:
                 )
                 smax = max(smax, getattr(self, "_SMAX", 0))
                 self._SMAX = smax
-                kern = get_stream_traceback_gather_kernel(
-                    BBLK, XMAX, YMAX, W, self.interpret, SMAX=smax
-                )
+                kern = self._stream_kernel(BBLK, XMAX, YMAX, W, smax)
                 words, lw = self._ref_text()
                 st.fwd_raw = kern(words, lw, st.reads_dev, meta)
                 return
@@ -943,10 +994,10 @@ class BatchAligner:
             st.fwd_raw = kern(words, lw, st.reads_dev, meta)
             return
 
-        from ..ops.swg_batch import get_swg_gather_kernel
-
-        meta = self._pad_meta(meta_all, _pow2_bucket(max(n, 1), 64))
-        kern = get_swg_gather_kernel(XMAX, YMAX, W)
+        meta = self._pad_meta(
+            meta_all, _pow2_bucket(max(n, 1), 64 * self._nsh)
+        )
+        kern = self._xla_gather_kernel(XMAX, YMAX, W)
         score, mi, mj, _dirs = kern(self._ref_text_host, st.reads_host, meta)
         st.fwd_raw = (score, mi, mj)
 
@@ -979,8 +1030,6 @@ class BatchAligner:
         XMAX, YMAX, W = self._shapes(st.meta_all)
 
         if self.backend == "pallas":
-            from ..ops.swg_pallas import get_stream_traceback_gather_kernel
-
             # keep trivial (empty-flank) winners off-device: their stream
             # row is all zeros (score 0, max cell (0,0), no steps)
             nontriv = (meta_sub[:, 6] > 0) & (meta_sub[:, 3] > 0)
@@ -989,7 +1038,8 @@ class BatchAligner:
 
             BBLK = self._tb_bblk(YMAX, W)
             nb = max(
-                _pow2_bucket(max(len(sub), 1), BBLK), getattr(self, "_NTB", 0)
+                _pow2_bucket(max(len(sub), 1), BBLK * self._nsh),
+                getattr(self, "_NTB", 0),
             )
             self._NTB = nb
             meta = self._pad_meta(sub, nb)
@@ -1001,17 +1051,13 @@ class BatchAligner:
             )
             smax = max(smax, getattr(self, "_SMAX", 0))
             self._SMAX = smax
-            kern = get_stream_traceback_gather_kernel(
-                BBLK, XMAX, YMAX, W, self.interpret, SMAX=smax
-            )
+            kern = self._stream_kernel(BBLK, XMAX, YMAX, W, smax)
             words, lw = self._ref_text()
             st.tb_raw = kern(words, lw, st.reads_dev, meta)
             return
 
-        from ..ops.swg_batch import get_swg_gather_kernel
-
-        meta = self._pad_meta(meta_sub, _pow2_bucket(n, 64))
-        kern = get_swg_gather_kernel(XMAX, YMAX, W)
+        meta = self._pad_meta(meta_sub, _pow2_bucket(n, 64 * self._nsh))
+        kern = self._xla_gather_kernel(XMAX, YMAX, W)
         st.tb_raw = (kern(self._ref_text_host, st.reads_host, meta), meta)
 
     def _traceback_results(self, st: "_ChunkState"):

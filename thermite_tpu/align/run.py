@@ -22,6 +22,10 @@ FORMAT_SAM = "sam"
 FORMAT_BAM = "bam"
 
 
+def _count_records(query_paths) -> int:
+    return sum(1 for p in query_paths for _ in parse_fastx(p))
+
+
 def align_reads_from_file(
     index: Index,
     query_paths: Iterable[str],
@@ -32,7 +36,14 @@ def align_reads_from_file(
     batch_size: int = 16384,
     verbose: bool = False,
     profile_dir: Optional[str] = None,
+    shard=None,
+    mesh=None,
 ) -> None:
+    """``shard=(host_id, num_hosts)`` makes this host align only its
+    contiguous block of the input reads (parallel.multihost.shard_bounds
+    — block sharding is order-preserving, so merging shard outputs in
+    host order restores input order).  ``mesh`` is passed through to
+    ``BatchAligner`` for local multi-chip data parallelism."""
     if profile_dir:
         import jax
 
@@ -40,8 +51,24 @@ def align_reads_from_file(
             align_reads_from_file(
                 index, query_paths, output_path, output_fmt, opts,
                 engine=engine, batch_size=batch_size, verbose=verbose,
+                shard=shard, mesh=mesh,
             )
         return
+    lo, hi = 0, None
+    if shard is not None:
+        from ..parallel.multihost import shard_bounds
+
+        host_id, num_hosts = shard
+        n = _count_records(query_paths)
+        lo, hi = shard_bounds(n, num_hosts, host_id)
+
+    def records():
+        i = 0
+        for path in query_paths:
+            for rec in parse_fastx(path):
+                if i >= lo and (hi is None or i < hi):
+                    yield rec
+                i += 1
     binary = output_fmt == FORMAT_BAM
     if output_path == "-":
         fh = sys.stdout.buffer if binary else sys.stdout
@@ -63,26 +90,24 @@ def align_reads_from_file(
             aligner = OracleAligner(index, opts)
 
             def aligned_records():
-                for path in query_paths:
-                    for rec in parse_fastx(path):
-                        yield rec, aligner.align_read(rec.seq)
+                for rec in records():
+                    yield rec, aligner.align_read(rec.seq)
 
             results = aligned_records()
         elif engine == "batch":
             from .batch import BatchAligner
 
-            batcher = BatchAligner(index, opts)
+            batcher = BatchAligner(index, opts, mesh=mesh)
 
             def batched_records():
-                for path in query_paths:
-                    buf = []
-                    for rec in parse_fastx(path):
-                        buf.append(rec)
-                        if len(buf) >= batch_size:
-                            yield from zip(buf, batcher.align_batch([r.seq for r in buf]))
-                            buf = []
-                    if buf:
+                buf = []
+                for rec in records():
+                    buf.append(rec)
+                    if len(buf) >= batch_size:
                         yield from zip(buf, batcher.align_batch([r.seq for r in buf]))
+                        buf = []
+                if buf:
+                    yield from zip(buf, batcher.align_batch([r.seq for r in buf]))
 
             results = batched_records()
         else:

@@ -95,6 +95,30 @@ def main(argv=None) -> int:
         "--profile", default=None, metavar="DIR",
         help="write a jax.profiler (XProf) trace of the run to DIR",
     )
+    # multi-chip / multi-host data parallelism (SURVEY §7 M5): reads
+    # shard across hosts in contiguous blocks (order-preserving; merge
+    # shards with `thermite merge`), and each host spreads its
+    # extension problems over a local device mesh
+    pa.add_argument(
+        "--mesh", type=int, default=0, metavar="N",
+        help="data-parallel mesh over N local devices (0 = single "
+        "device; -1 = all local devices)",
+    )
+    pa.add_argument(
+        "--num-hosts", type=int, default=1,
+        help="total aligner hosts; this host aligns its contiguous "
+        "block of the input reads and writes OUTPUT.shardNNN",
+    )
+    pa.add_argument(
+        "--host-id", type=int, default=None,
+        help="this host's rank in [0, num-hosts)",
+    )
+    pa.add_argument(
+        "--coordinator", default=None, metavar="HOST:PORT",
+        help="jax.distributed coordinator address (multi-host pod "
+        "slices; optional — shard mode also runs fully independent "
+        "processes, the reference's embarrassingly-parallel contract)",
+    )
 
     pm = sub.add_parser(
         "merge",
@@ -149,6 +173,35 @@ def main(argv=None) -> int:
     else:
         fmt = FORMAT_PAF
 
+    shard = None
+    output = args.output
+    if args.num_hosts > 1:
+        host_id = args.host_id
+        if host_id is None:
+            raise SystemExit("--num-hosts requires --host-id")
+        if not 0 <= host_id < args.num_hosts:
+            raise SystemExit("--host-id must be in [0, num-hosts)")
+        if args.coordinator:
+            import jax
+
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_hosts,
+                process_id=host_id,
+            )
+        shard = (host_id, args.num_hosts)
+        if output != "-":
+            output = f"{output}.shard{host_id:03d}"
+
+    mesh = None
+    if args.mesh:
+        from .parallel.mesh import make_mesh
+
+        import jax
+
+        n = len(jax.local_devices()) if args.mesh < 0 else args.mesh
+        mesh = make_mesh(n)
+
     index = Index.load(args.index)
     opts = AlignOpts(
         min_seed_len=args.min_seed_len,
@@ -160,13 +213,15 @@ def main(argv=None) -> int:
     align_reads_from_file(
         index,
         args.queries,
-        args.output,
+        output,
         fmt,
         opts,
         engine=args.engine,
         batch_size=args.batch_size,
         verbose=args.verbose,
         profile_dir=args.profile,
+        shard=shard,
+        mesh=mesh,
     )
     return 0
 

@@ -512,11 +512,15 @@ def make_stream_traceback_kernel(
     return jax.jit(call)
 
 
-def make_stream_traceback_gather_kernel(
+def make_stream_traceback_gather_call(
     BBLK: int, XMAX: int, YMAX: int, W: int, interpret: bool = False,
     SMAX: int = 0,
 ):
-    """jit fn (ref_words, ref_lw, reads, meta) -> (N, 4 + SMAX/16) int32."""
+    """UNJITTED fn (ref_words, ref_lw, reads, meta) -> (N, 4 + SMAX/16)
+    int32 — the production single-pass gather+forward+traceback step.
+    Callers jit it directly (single device) or wrap it in shard_map
+    (``parallel.mesh.sharded_stream_kernel``: meta sharded along
+    ``data``, text/reads replicated)."""
     XW = xwidth(XMAX, W)
     # same precondition as the other gather front-ends: windows wider
     # than the text zero-padding would let reversed gathers index
@@ -533,7 +537,17 @@ def make_stream_traceback_gather_kernel(
         )
         return inner(x, y, _params_from_meta(meta))
 
-    return jax.jit(call)
+    return call
+
+
+def make_stream_traceback_gather_kernel(
+    BBLK: int, XMAX: int, YMAX: int, W: int, interpret: bool = False,
+    SMAX: int = 0,
+):
+    """jit fn (ref_words, ref_lw, reads, meta) -> (N, 4 + SMAX/16) int32."""
+    return jax.jit(
+        make_stream_traceback_gather_call(BBLK, XMAX, YMAX, W, interpret, SMAX)
+    )
 
 
 _STB_CACHE = {}

@@ -70,6 +70,55 @@ def dp_align_step(mesh: Mesh, W: int):
     return sharded_forward_scores(mesh, W)
 
 
+def sharded_stream_kernel(
+    mesh: Mesh, BBLK: int, XMAX: int, YMAX: int, W: int,
+    interpret: bool = False, SMAX: int = 0,
+):
+    """The PRODUCTION single-pass kernel (gather + forward + vectorized
+    stream traceback, ops/swg_pallas.py) sharded along ``data``:
+    reference text and read block replicated per chip, problem meta
+    sharded on rows, per-chip local gather + DP + walk, outputs row-
+    sharded.  This is the kernel ``BatchAligner(mesh=...)`` dispatches —
+    the TPU equivalent of the reference's clone-across-threads
+    concurrency (reference src/wrapper.rs:20-27).
+
+    Row count must divide by BBLK x mesh size (callers pad)."""
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.swg_pallas import make_stream_traceback_gather_call
+
+    call = make_stream_traceback_gather_call(
+        BBLK, XMAX, YMAX, W, interpret, SMAX
+    )
+    f = shard_map(
+        call,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("data")),
+        out_specs=P("data"),
+        check_rep=False,
+    )
+    return jax.jit(f)
+
+
+def sharded_swg_gather_kernel(mesh: Mesh, XMAX: int, YMAX: int, W: int):
+    """The XLA (CPU-test) gather+forward kernel sharded along ``data``
+    — same layout as ``sharded_stream_kernel`` for the two-pass
+    backend, so the full batch pipeline runs under a mesh in tests."""
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.swg_batch import swg_gather_call
+
+    call = swg_gather_call(XMAX, YMAX, W)
+    f = shard_map(
+        call,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data")),
+        out_specs=(P("data"), P("data"), P("data"), P("data")),
+        check_rep=False,
+    )
+    return jax.jit(f)
+
+
 def dp_gather_align_step(mesh: Mesh, XMAX: int, YMAX: int, W: int, unroll: int = 2):
     """The production multi-chip layout: the reference text and the read
     block are REPLICATED in every chip's HBM, extension problems (8-int32
