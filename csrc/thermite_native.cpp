@@ -48,10 +48,25 @@ struct SeedIndex {
   const uint8_t* text;  // borrowed; owner is the Python Index
   int64_t n;
   int k;
-  // bucketed posting list sorted by key; positions ascending per bucket
-  std::vector<int64_t> uniq_keys;
-  std::vector<int64_t> offsets;
-  std::vector<int64_t> positions;
+  // bucketed posting list sorted by key; positions ascending per
+  // bucket.  The search path reads through the view pointers; the
+  // vectors own storage only when the table was built in-process.
+  // Tables restored from a persisted artifact BORROW the caller's
+  // arrays (a genome-scale table is ~37 GB — a second copy OOMs the
+  // host), so the Python side must keep them alive.
+  std::vector<int64_t> uniq_keys_v, offsets_v, positions_v;
+  const int64_t* uniq_keys = nullptr;
+  const int64_t* offsets = nullptr;
+  const int64_t* positions = nullptr;
+  int64_t n_keys = 0, n_pos = 0;
+
+  void adopt_vectors() {
+    uniq_keys = uniq_keys_v.data();
+    offsets = offsets_v.data();
+    positions = positions_v.data();
+    n_keys = (int64_t)uniq_keys_v.size();
+    n_pos = (int64_t)positions_v.size();
+  }
   // open-addressing key -> bucket hash (2 probes typical vs ~14 for
   // the binary search; seeding is the host pipeline's hottest loop).
   // Split layout: the probe loop touches only the 8-byte key array
@@ -69,7 +84,7 @@ struct SeedIndex {
   int key_shift = 0;
 
   void build_hash() {
-    if ((int64_t)uniq_keys.size() > kHashMaxKeys) {
+    if (n_keys > kHashMaxKeys) {
       int key_bits = 1;
       int64_t max_key = 1;
       for (int t = 0; t < k; ++t) max_key *= 5;
@@ -78,17 +93,17 @@ struct SeedIndex {
       int64_t nb = ((int64_t)1 << (key_bits - key_shift));
       pfx.assign(nb + 1, 0);
       // counts then exclusive scan
-      for (int64_t b = 0; b < (int64_t)uniq_keys.size(); ++b)
+      for (int64_t b = 0; b < n_keys; ++b)
         pfx[(uniq_keys[b] >> key_shift) + 1]++;
       for (int64_t p = 0; p < nb; ++p) pfx[p + 1] += pfx[p];
       return;
     }
     size_t cap = 64;
-    while (cap < uniq_keys.size() * 2) cap <<= 1;
+    while ((int64_t)cap < n_keys * 2) cap <<= 1;
     hkeys.assign(cap, 0);
     hbuckets.assign(cap, -1);
     hmask = cap - 1;
-    for (size_t b = 0; b < uniq_keys.size(); ++b) {
+    for (int64_t b = 0; b < n_keys; ++b) {
       uint64_t slot = ((uint64_t)uniq_keys[b] * 0x9E3779B97F4A7C15ull) & hmask;
       while (hkeys[slot] != 0) slot = (slot + 1) & hmask;
       hkeys[slot] = (uint64_t)uniq_keys[b] + 1;
@@ -201,16 +216,17 @@ void* thermite_seed_index_new_stride(const uint8_t* text, int64_t n, int k,
       kv.swap(tmp);
     }
   }
-  idx->positions.resize(kv.size());
-  for (size_t i = 0; i < kv.size(); ++i) idx->positions[i] = kv[i].second;
+  idx->positions_v.resize(kv.size());
+  for (size_t i = 0; i < kv.size(); ++i) idx->positions_v[i] = kv[i].second;
   // bucket boundaries
   for (size_t i = 0; i < kv.size(); ++i) {
     if (i == 0 || kv[i].first != kv[i - 1].first) {
-      idx->uniq_keys.push_back(kv[i].first);
-      idx->offsets.push_back((int64_t)i);
+      idx->uniq_keys_v.push_back(kv[i].first);
+      idx->offsets_v.push_back((int64_t)i);
     }
   }
-  idx->offsets.push_back((int64_t)kv.size());
+  idx->offsets_v.push_back((int64_t)kv.size());
+  idx->adopt_vectors();
   idx->build_hash();
   return idx;
 }
@@ -222,7 +238,7 @@ void* thermite_seed_index_new(const uint8_t* text, int64_t n, int k) {
 void thermite_seed_index_free(void* h) { delete static_cast<SeedIndex*>(h); }
 
 int64_t thermite_seed_index_size(void* h) {
-  return static_cast<SeedIndex*>(h)->positions.size();
+  return static_cast<SeedIndex*>(h)->n_pos;
 }
 
 // ---- table persistence: export the posting arrays / rebuild from them
@@ -231,18 +247,15 @@ int64_t thermite_seed_index_size(void* h) {
 // + the linear hash build only) ----
 
 int64_t thermite_seed_index_n_keys(void* h) {
-  return (int64_t)static_cast<SeedIndex*>(h)->uniq_keys.size();
+  return static_cast<SeedIndex*>(h)->n_keys;
 }
 
 void thermite_seed_index_export(void* h, int64_t* keys, int64_t* offsets,
                                 int64_t* positions) {
   auto* idx = static_cast<SeedIndex*>(h);
-  std::memcpy(keys, idx->uniq_keys.data(),
-              idx->uniq_keys.size() * sizeof(int64_t));
-  std::memcpy(offsets, idx->offsets.data(),
-              idx->offsets.size() * sizeof(int64_t));
-  std::memcpy(positions, idx->positions.data(),
-              idx->positions.size() * sizeof(int64_t));
+  std::memcpy(keys, idx->uniq_keys, idx->n_keys * sizeof(int64_t));
+  std::memcpy(offsets, idx->offsets, (idx->n_keys + 1) * sizeof(int64_t));
+  std::memcpy(positions, idx->positions, idx->n_pos * sizeof(int64_t));
 }
 
 void* thermite_seed_index_new_from_arrays(const uint8_t* text, int64_t n,
@@ -255,9 +268,12 @@ void* thermite_seed_index_new_from_arrays(const uint8_t* text, int64_t n,
   idx->text = text;
   idx->n = n;
   idx->k = k;
-  idx->uniq_keys.assign(keys, keys + m);
-  idx->offsets.assign(offsets, offsets + m + 1);
-  idx->positions.assign(positions, positions + total);
+  // borrow: the caller keeps the arrays alive for the handle's life
+  idx->uniq_keys = keys;
+  idx->offsets = offsets;
+  idx->positions = positions;
+  idx->n_keys = m;
+  idx->n_pos = total;
   idx->build_hash();
   return idx;
 }

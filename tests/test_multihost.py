@@ -70,6 +70,7 @@ def test_cli_host_rank_shards_merge_identical(tmp_path):
     """The CLI host-rank surface (--num-hosts/--host-id): two simulated
     hosts align their blocks of one FASTQ, `merge` combines the shards,
     and the result is byte-identical to a single-host run."""
+    import os
     import subprocess
     import sys
 
@@ -78,16 +79,28 @@ def test_cli_host_rank_shards_merge_identical(tmp_path):
     ref, gtf, fq = write_fixture(tmp_path)
 
     def cli(*args):
+        # force the CPU backend in the child: the deployment's
+        # sitecustomize pins JAX_PLATFORMS=axon (real TPU), which would
+        # drag remote kernel compiles into this unit test
         subprocess.run(
             [sys.executable, "-m", "thermite_tpu.cli", *args],
             check=True, capture_output=True,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
         )
+
+    # reference run in-process (shares the session's jit cache; the
+    # subprocess surface under test is the shard flags + merge)
+    from thermite_tpu.align.driver import AlignOpts
+    from thermite_tpu.align.run import FORMAT_SAM, align_reads_from_file
+    from thermite_tpu.index.build import Index
 
     idx = str(tmp_path / "i.npz")
     cli("index", ref, gtf, "-o", idx)
     single = str(tmp_path / "single.sam")
-    cli("align", idx, fq, "-a", "-k3", "-s0", "--min-aln-score=0",
-        "-o", single, "--engine", "batch")
+    opts = AlignOpts(min_seed_len=3, min_aln_score_percent=0.0, min_aln_score=0)
+    align_reads_from_file(
+        Index.load(idx), [fq], single, FORMAT_SAM, opts, engine="batch"
+    )
     out = str(tmp_path / "sharded.sam")
     for h in ("0", "1"):
         cli("align", idx, fq, "-a", "-k3", "-s0", "--min-aln-score=0",

@@ -1,0 +1,80 @@
+"""Lane-packed stream kernel == general stream kernel (interpret mode).
+
+The packed kernel serves two problems per 128-lane row (band <= 31);
+its packed+unscrambled output rows must be bit-identical to the
+general kernel's for the same meta rows — scores, max cells, step
+counts, and the packed 2-bit op streams.
+"""
+
+import numpy as np
+import pytest
+
+from thermite_tpu.ops.swg_pallas import (
+    get_stream_traceback_gather_kernel,
+    meta_row,
+    nib_lw,
+    pack_text_nib_host,
+)
+from thermite_tpu.ops.swg_pallas_packed import (
+    get_packed_stream_gather_kernel,
+)
+
+
+def _mk_problems(rng, text, reads_flat, RPAD, n, XMAX, YMAX):
+    rows = []
+    for _ in range(n):
+        band = int(rng.integers(1, 32))
+        xd = int(rng.integers(1, 40))
+        xlen = int(rng.integers(1, XMAX + 1))
+        ylen = int(rng.integers(1, YMAX + 1))
+        ri = int(rng.integers(0, len(reads_flat) // RPAD))
+        q = int(rng.integers(0, RPAD - 1))
+        xdir = 1 if rng.random() < 0.5 else -1
+        if xdir == 1:
+            xlen = min(xlen, RPAD - q)
+        else:
+            xlen = min(xlen, q + 1)
+        p = int(rng.integers(0, len(text)))
+        ydir = 1 if rng.random() < 0.5 else -1
+        ylen = min(ylen, len(text) - p if ydir == 1 else p + 1)
+        ylen = max(ylen, 1)
+        rows.append(
+            meta_row(p, ydir, ylen, ri * RPAD + q, xdir, xlen, band, xd)
+        )
+    return np.asarray(rows, np.int32)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_packed_matches_general(seed):
+    rng = np.random.default_rng(seed)
+    text = rng.choice(np.frombuffer(b"ACGT", np.uint8), 5000)
+    words = pack_text_nib_host(text)
+    lw = np.int32(nib_lw(len(text)))
+    RPAD, NR = 64, 32
+    reads = np.zeros((NR, RPAD), np.uint8)
+    for i in range(NR):
+        p = int(rng.integers(0, len(text) - RPAD))
+        r = text[p : p + RPAD].copy()
+        for _ in range(int(rng.integers(0, 5))):
+            r[int(rng.integers(0, RPAD))] = ord("ACGT"[int(rng.integers(0, 4))])
+        reads[i] = r
+
+    BBLK = 8
+    XMAX, YMAX, SMAX = 64, 96, 256
+    N = 2 * BBLK * 2  # two blocks
+    meta = _mk_problems(rng, text, reads.reshape(-1), RPAD, N, XMAX, YMAX)
+
+    general = get_stream_traceback_gather_kernel(
+        BBLK, XMAX, YMAX, 128, interpret=True, SMAX=SMAX
+    )
+    packed = get_packed_stream_gather_kernel(
+        BBLK, XMAX, YMAX, SMAX, interpret=True
+    )
+    a = np.asarray(general(words, lw, reads, meta))
+    b = np.asarray(packed(words, lw, reads, meta))
+    neq = np.nonzero((a != b).any(axis=1))[0]
+    assert len(neq) == 0, (
+        f"{len(neq)} rows differ; first row {neq[:3]}: "
+        f"meta={meta[neq[0]]} general={a[neq[0], :4]} packed={b[neq[0], :4]}"
+    )
+    assert (a[:, 0] != 0).any()  # some nonzero scores were compared

@@ -911,22 +911,53 @@ class BatchAligner:
 
     _MESH_KERN_CACHE: Dict = {}
 
-    def _stream_kernel(self, BBLK, XMAX, YMAX, W, smax):
-        """Single-pass stream kernel, sharded over the mesh when set."""
+    def _stream_kernel(self, BBLK, XMAX, YMAX, W, smax, packed=False):
+        """Single-pass stream kernel, sharded over the mesh when set.
+
+        ``packed=True`` selects the lane-packed variant (two problems
+        per 128-lane row; ops/swg_pallas_packed.py) — ~2x the forward
+        arithmetic density whenever every band fits 63 lanes."""
         if self.mesh is None:
+            if packed:
+                from ..ops.swg_pallas_packed import (
+                    get_packed_stream_gather_kernel,
+                )
+
+                return get_packed_stream_gather_kernel(
+                    BBLK, XMAX, YMAX, smax, self.interpret
+                )
             from ..ops.swg_pallas import get_stream_traceback_gather_kernel
 
             return get_stream_traceback_gather_kernel(
                 BBLK, XMAX, YMAX, W, self.interpret, SMAX=smax
             )
-        from ..parallel.mesh import sharded_stream_kernel
+        from ..parallel.mesh import (
+            sharded_packed_stream_kernel,
+            sharded_stream_kernel,
+        )
 
-        key = ("stream", self.mesh, BBLK, XMAX, YMAX, W, self.interpret, smax)
+        key = ("stream", self.mesh, BBLK, XMAX, YMAX, W, self.interpret,
+               smax, packed)
         if key not in self._MESH_KERN_CACHE:
-            self._MESH_KERN_CACHE[key] = sharded_stream_kernel(
-                self.mesh, BBLK, XMAX, YMAX, W, self.interpret, SMAX=smax
-            )
+            if packed:
+                self._MESH_KERN_CACHE[key] = sharded_packed_stream_kernel(
+                    self.mesh, BBLK, XMAX, YMAX, smax, self.interpret
+                )
+            else:
+                self._MESH_KERN_CACHE[key] = sharded_stream_kernel(
+                    self.mesh, BBLK, XMAX, YMAX, W, self.interpret, SMAX=smax
+                )
         return self._MESH_KERN_CACHE[key]
+
+    def _packed_eligible(self, bmax: int) -> bool:
+        """Sticky lane-packing decision: once any batch exceeds the
+        packable band, stay on the general kernel (stable shapes beat
+        flip-flopping recompiles)."""
+        from ..ops.swg_pallas_packed import PACK_BAND_MAX
+
+        if bmax > PACK_BAND_MAX:
+            self._no_pack = True
+        return not getattr(self, "_no_pack", False)
 
     def _xla_gather_kernel(self, XMAX, YMAX, W):
         if self.mesh is None:
@@ -961,19 +992,25 @@ class BatchAligner:
                 # device round trip (losers' walks are cheap; the extra
                 # packed payload is a few hundred KB per chunk)
                 BBLK = self._tb_bblk(YMAX, W)
+                packed = self._packed_eligible(
+                    int(sub[:, 7].max(initial=1))
+                )
+                per_row = 2 * BBLK if packed else BBLK
                 nb = max(
-                    _pow2_bucket(max(len(sub), 1), BBLK * self._nsh),
+                    _pow2_bucket(max(len(sub), 1), per_row * self._nsh),
                     getattr(self, "_NFWD1", 0),
                 )
                 self._NFWD1 = nb
                 meta = self._pad_meta(sub, nb)
-                self.stats.dp_cells += len(meta) * YMAX * W
+                self.stats.dp_cells += len(meta) * YMAX * (
+                    W // 2 if packed else W
+                )
                 smax = _round_up(
                     int((sub[:, 6] + sub[:, 3]).max(initial=1)) + 2, 128
                 )
                 smax = max(smax, getattr(self, "_SMAX", 0))
                 self._SMAX = smax
-                kern = self._stream_kernel(BBLK, XMAX, YMAX, W, smax)
+                kern = self._stream_kernel(BBLK, XMAX, YMAX, W, smax, packed)
                 words, lw = self._ref_text()
                 st.fwd_raw = kern(words, lw, st.reads_dev, meta)
                 return
@@ -1037,13 +1074,17 @@ class BatchAligner:
             sub = meta_sub[st.tb_idx]
 
             BBLK = self._tb_bblk(YMAX, W)
+            packed = self._packed_eligible(int(sub[:, 7].max(initial=1)))
+            per_row = 2 * BBLK if packed else BBLK
             nb = max(
-                _pow2_bucket(max(len(sub), 1), BBLK * self._nsh),
+                _pow2_bucket(max(len(sub), 1), per_row * self._nsh),
                 getattr(self, "_NTB", 0),
             )
             self._NTB = nb
             meta = self._pad_meta(sub, nb)
-            self.stats.dp_cells += len(meta) * YMAX * W
+            self.stats.dp_cells += len(meta) * YMAX * (
+                W // 2 if packed else W
+            )
             # tight batch bound on walk steps (sticky; shrinks the ops
             # buffer and the packed d2h payload vs XMAX+YMAX)
             smax = _round_up(
@@ -1051,7 +1092,7 @@ class BatchAligner:
             )
             smax = max(smax, getattr(self, "_SMAX", 0))
             self._SMAX = smax
-            kern = self._stream_kernel(BBLK, XMAX, YMAX, W, smax)
+            kern = self._stream_kernel(BBLK, XMAX, YMAX, W, smax, packed)
             words, lw = self._ref_text()
             st.tb_raw = kern(words, lw, st.reads_dev, meta)
             return

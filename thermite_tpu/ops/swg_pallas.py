@@ -626,10 +626,11 @@ def pack_text_nib_host(text_u8: "np.ndarray") -> "np.ndarray":
     Lw = nib_lw(L)
     padded = np.zeros(Lw * 8, np.uint8)
     padded[_WPAD : _WPAD + L] = text_u8
-    codes = _NIB_LUT[padded]
     w = np.zeros(Lw, np.uint32)
     for i in range(8):
-        w |= codes[i::8].astype(np.uint32) << np.uint32(4 * i)
+        # per-slice LUT keeps the transient at Lw elements, not 8*Lw
+        # (a whole-genome text would otherwise cost an extra ~6 GB)
+        w |= _NIB_LUT[padded[i::8]].astype(np.uint32) << np.uint32(4 * i)
     return w.view(np.int32)
 
 

@@ -100,6 +100,28 @@ def sharded_stream_kernel(
     return jax.jit(f)
 
 
+def sharded_packed_stream_kernel(
+    mesh: Mesh, BBLK: int, XMAX: int, YMAX: int, SMAX: int,
+    interpret: bool = False,
+):
+    """Lane-packed stream kernel (ops/swg_pallas_packed.py) sharded
+    along ``data`` — same layout contract as ``sharded_stream_kernel``;
+    per-shard row counts must divide 2*BBLK (callers pad)."""
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.swg_pallas_packed import make_packed_stream_gather_kernel
+
+    _, call = make_packed_stream_gather_kernel(BBLK, XMAX, YMAX, SMAX, interpret)
+    f = shard_map(
+        call,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("data")),
+        out_specs=P("data"),
+        check_rep=False,
+    )
+    return jax.jit(f)
+
+
 def sharded_swg_gather_kernel(mesh: Mesh, XMAX: int, YMAX: int, W: int):
     """The XLA (CPU-test) gather+forward kernel sharded along ``data``
     — same layout as ``sharded_stream_kernel`` for the two-pass

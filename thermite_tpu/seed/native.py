@@ -86,25 +86,31 @@ class NativeSmemEngine:
         self._lib = lib
         self.min_seed_len = min_seed_len
         self.k = min(MAX_ANCHOR_K, min_seed_len)
-        # keep the text alive: the index borrows the pointer
-        self._text = np.ascontiguousarray(seq_arr, dtype=np.uint8).tobytes()
+        # keep the text alive: the C++ index BORROWS the buffer (no
+        # tobytes() copy — a whole-genome text is ~6 GB)
+        self._text_arr = np.ascontiguousarray(seq_arr, dtype=np.uint8)
+        text_p = self._text_arr.ctypes.data_as(ctypes.c_char_p)
+        n = len(self._text_arr)
         if table is not None and table[0] == self.k:
             # persisted posting arrays: skip the radix-sort build (~42 s
-            # at chromosome scale), pay only array copies + hash build
+            # at chromosome scale).  The C++ side BORROWS these arrays
+            # (a genome-scale table is ~37 GB; a copy would OOM), so
+            # they must stay referenced here for the handle's lifetime.
             _, keys, offsets, positions = table
             keys = np.ascontiguousarray(keys, np.int64)
             offsets = np.ascontiguousarray(offsets, np.int64)
             positions = np.ascontiguousarray(positions, np.int64)
+            self._table_keep = (keys, offsets, positions)
             p = ctypes.POINTER(ctypes.c_int64)
             self._h = lib.thermite_seed_index_new_from_arrays(
-                self._text, len(self._text), self.k,
+                text_p, n, self.k,
                 keys.ctypes.data_as(p), len(keys),
                 offsets.ctypes.data_as(p),
                 positions.ctypes.data_as(p), len(positions),
             )
         else:
             self._h = lib.thermite_seed_index_new_stride(
-                self._text, len(self._text), self.k, stride
+                text_p, n, self.k, stride
             )
         if not self._h:
             raise RuntimeError("native seed index construction failed")

@@ -46,6 +46,10 @@ def main():
     n = int(args[0]) if args else 3000
     seed = int(args[1]) if len(args) > 1 else 777
     long_reads = "--long" in sys.argv
+    pct = 0.0
+    for a in sys.argv[1:]:
+        if a.startswith("--pct="):
+            pct = float(a.split("=", 1)[1])
 
     idx = Index.create_from_files(
         "/root/reference/data/GRCh38-2020-A-chrM.fasta",
@@ -65,7 +69,7 @@ def main():
     ]
 
     opts = AlignOpts(
-        min_seed_len=20, min_aln_score_percent=0.0, min_aln_score=30,
+        min_seed_len=20, min_aln_score_percent=pct, min_aln_score=30,
         intron_mode=True,
     )
     batch = BatchAligner(idx, opts)
