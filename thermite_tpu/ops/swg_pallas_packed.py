@@ -64,7 +64,7 @@ def _round_up(v, m):
 
 
 def make_packed_stream_call(BBLK: int, XSRC: int, YMAX: int, SMAX: int,
-                            interpret: bool = False):
+                            interpret: bool = False, walk: bool = True):
     """UNJITTED (xs0, xsA, xsB, ybA, ybB, params) -> (meta2, ops2).
 
     xs0     (N2, 128) int32 — initial x windows ([0, x[0..62]] per seg)
@@ -98,7 +98,9 @@ def make_packed_stream_call(BBLK: int, XSRC: int, YMAX: int, SMAX: int,
 
         xlen2, ylen2, band2, xd2 = pair(0), pair(1), pair(2), pair(3)
         xlen = seg_bcast(xlen2)
+        ylen = seg_bcast(ylen2)
         band = seg_bcast(band2)
+        x_drop = seg_bcast(xd2)
 
         b2 = 2 * band
         ladder = t2 * e + o
@@ -113,29 +115,34 @@ def make_packed_stream_call(BBLK: int, XSRC: int, YMAX: int, SMAX: int,
         dirs_ref[0, :, :] = jnp.where(t2 <= b2, DIR_INS, DIR_MATCH)
 
         z2 = jnp.zeros((BBLK, 2), jnp.int32)
+        zW = jnp.zeros((BBLK, W), jnp.int32)
         tz = t2 == 0
         tlast = t2 == SEG - 1
         te = t2 * e
 
-        def seg_reduce_max(v, init):  # (BBLK, W) -> (BBLK, 2)
+        def seg_allmax(v, init):
+            # (BBLK, W) -> per-segment max broadcast to every lane of
+            # the segment: masked reductions + a lane-space select (no
+            # narrow intermediates survive into vector-op shapes)
             a = jnp.max(jnp.where(gB, init, v), axis=1, keepdims=True)
             b = jnp.max(jnp.where(gB, v, init), axis=1, keepdims=True)
-            return jnp.concatenate([a, b], axis=1)
+            return jnp.where(gB, b, a)
 
-        def seg_reduce_min(v, init):
+        def seg_allmin(v, init):
             a = jnp.min(jnp.where(gB, init, v), axis=1, keepdims=True)
             b = jnp.min(jnp.where(gB, v, init), axis=1, keepdims=True)
-            return jnp.concatenate([a, b], axis=1)
+            return jnp.where(gB, b, a)
 
         def body(j, carry):
+            # all per-problem tracking state lives in LANE space
+            # (uniform within each 64-lane segment): narrow (BBLK, 2)
+            # vector ops pad to full tiles anyway, and the per-column
+            # lane<->pair concatenates were pure overhead
             D, C, xs, xsA, xsB, ybA, ybB, ms, mi, mj, s1, s2 = carry
-            in_p1_2 = j <= band2  # (BBLK, 2)
-            sh2 = ~in_p1_2
-            active2 = (j <= ylen2) & (s1 == 0) & (in_p1_2 | (s2 == 0))
-            in_p1 = seg_bcast(in_p1_2.astype(jnp.int32)) > 0
+            in_p1 = j <= band
             sh = ~in_p1
-            active = seg_bcast(active2.astype(jnp.int32)) > 0
-            row0_2 = jnp.maximum(j - band2, 0)
+            active = (j <= ylen) & (s1 == 0) & (in_p1 | (s2 == 0))
+            sh2 = j > band2  # (BBLK, 2) only steers the suffix rolls
             row0 = jnp.maximum(j - band, 0)
             computed = (t2 <= b2) & (t2 <= xlen - row0)
 
@@ -194,26 +201,33 @@ def make_packed_stream_call(BBLK: int, XSRC: int, YMAX: int, SMAX: int,
             dirs_ref[pl.ds(j, 1), :, :] = jnp.where(mask, dir_new, DIR_MATCH)[None]
 
             D_for_max = jnp.where(mask, D_new, MIN)
-            band_max = seg_reduce_max(D_for_max, MIN)  # (BBLK, 2)
-            bml = seg_bcast(band_max)
-            tt = jnp.where(D_for_max == bml, t2, SEG)
-            col_arg = seg_reduce_min(tt, jnp.int32(SEG))  # (BBLK, 2)
-
-            improved = active2 & (band_max > ms)
+            band_max = seg_allmax(D_for_max, MIN)  # lane space
+            tt = jnp.where(D_for_max == band_max, t2, SEG)
+            col_arg = seg_allmin(tt, jnp.int32(SEG))
+            improved = active & (band_max > ms)
             ms = jnp.where(improved, band_max, ms)
-            mi = jnp.where(improved, row0_2 + col_arg, mi)
+            mi = jnp.where(improved, row0 + col_arg, mi)
             mj = jnp.where(improved, jnp.broadcast_to(j, mj.shape), mj)
 
-            dropped = band_max < ms - xd2
-            s1 = jnp.maximum(s1, (in_p1_2 & active2 & dropped).astype(jnp.int32))
-            s2 = jnp.maximum(s2, ((~in_p1_2) & active2 & dropped).astype(jnp.int32))
+            dropped = band_max < ms - x_drop
+            s1 = jnp.maximum(s1, (in_p1 & active & dropped).astype(jnp.int32))
+            s2 = jnp.maximum(s2, ((~in_p1) & active & dropped).astype(jnp.int32))
             return (D, C, xs, xsA, xsB, ybA, ybB, ms, mi, mj, s1, s2)
 
         carry = jax.lax.fori_loop(
             1, YMAX + 1, body,
-            (D, C, xs, xsA, xsB, ybA, ybB, z2, z2, z2, z2, z2),
+            (D, C, xs, xsA, xsB, ybA, ybB, zW, zW, zW, zW, zW),
         )
-        ms, mi, mj = carry[7], carry[8], carry[9]
+        msL, miL, mjL = carry[7], carry[8], carry[9]
+
+        def to_pair(v):  # lane-space per-segment scalar -> (BBLK, 2)
+            a = jnp.max(jnp.where(gB, jnp.int32(-(1 << 30)), v), axis=1,
+                        keepdims=True)
+            b = jnp.max(jnp.where(gB, v, jnp.int32(-(1 << 30))), axis=1,
+                        keepdims=True)
+            return jnp.concatenate([a, b], axis=1)
+
+        ms, mi, mj = to_pair(msL), to_pair(miL), to_pair(mjL)
         band2v = pair(2)
 
         # ---- vectorized walk over both segments ----
@@ -264,11 +278,14 @@ def make_packed_stream_call(BBLK: int, XSRC: int, YMAX: int, SMAX: int,
             jj = jnp.where(stepped_any, jj, jj - 1)
             return (jj, i, j, c, it + 1)
 
-        jj, i, j, c, it = jax.lax.while_loop(
-            cond, step, (jj0, mi, mj, z2, jnp.int32(0))
-        )
-        bad = (i > 0) | (j > 0) | (c > SMAX)
-        ns = jnp.where(bad, -1, c)
+        if walk:
+            jj, i, j, c, it = jax.lax.while_loop(
+                cond, step, (jj0, mi, mj, z2, jnp.int32(0))
+            )
+            bad = (i > 0) | (j > 0) | (c > SMAX)
+            ns = jnp.where(bad, -1, c)
+        else:  # diagnostic forward-only mode (perf decomposition)
+            ns = z2
         meta_ref[:, :] = jnp.concatenate(
             [ms[:, 0:1], mi[:, 0:1], mj[:, 0:1], ns[:, 0:1],
              ms[:, 1:2], mi[:, 1:2], mj[:, 1:2], ns[:, 1:2]], axis=1
@@ -304,7 +321,8 @@ def make_packed_stream_call(BBLK: int, XSRC: int, YMAX: int, SMAX: int,
 
 
 def make_packed_stream_gather_kernel(
-    BBLK: int, XMAX: int, YMAX: int, SMAX: int, interpret: bool = False
+    BBLK: int, XMAX: int, YMAX: int, SMAX: int, interpret: bool = False,
+    walk: bool = True,
 ):
     """jit fn (ref_nib, ref_lw, reads, meta) -> (N, 4 + SMAX/16) int32.
 
@@ -314,7 +332,7 @@ def make_packed_stream_gather_kernel(
     rows segment B; the output is unscrambled back to meta row order.
     """
     XSRC = _round_up(max(XMAX - SEG + 2, 1), 128)
-    inner = make_packed_stream_call(BBLK, XSRC, YMAX, SMAX, interpret)
+    inner = make_packed_stream_call(BBLK, XSRC, YMAX, SMAX, interpret, walk)
 
     def call(ref_nib, ref_lw, reads, meta):
         N = meta.shape[0]
