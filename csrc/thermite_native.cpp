@@ -23,6 +23,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <cstdio>
 #include <vector>
 
 namespace {
@@ -462,6 +463,11 @@ struct Engine {
   // opts
   double pct;
   int64_t min_score, mm_range, intron_mode, match_score;
+  // output string tables (thermite_engine_set_strings); one blob copy
+  std::vector<uint8_t> str_blob;
+  std::vector<int64_t> ref_name_off, gene_id_off, gene_name_off, tx_id_off;
+  std::vector<int64_t> tx_gene;
+  std::vector<int32_t> bam_ref;
 
   int64_t ref_of(int64_t idx) const {  // idx_to_ref binary search
     return std::upper_bound(ref_end.begin(), ref_end.end(), idx) -
@@ -496,6 +502,7 @@ struct Chunk {
   std::vector<int64_t> tx_runs, tx_off_runs;  // EXONIC tx_aln ops
   std::vector<int64_t> tx_meta;               // (S, 5) ys, ye, xs, xe, txlen
   std::vector<uint8_t> fallback;              // per-selected host-redo flag
+  std::vector<uint8_t> emit;                  // serialized SAM/BAM records
   int64_t n_problems() const { return (int64_t)meta.size() / 9; }
   int64_t n_tasks() const { return (int64_t)tasks.size() / T_NCOL; }
 };
@@ -1143,6 +1150,379 @@ int64_t thermite_chunk_n_winners(void* ch) {
 }
 const int64_t* thermite_chunk_winners(void* ch) {
   return static_cast<Chunk*>(ch)->winner_pids.data();
+}
+
+}  // extern "C"
+
+// ==========================================================================
+// Record emission (role of reference src/aln_writer.rs:118-358): SAM
+// text lines or binary BAM record blobs straight from the finalize
+// runs — the Python writers (io/sam.py, io/bam.py) remain the parity
+// referees and byte-identical by test.
+// ==========================================================================
+
+namespace {
+
+const char kRunCigar[6] = {'M', 'M', 'D', 'I', 'S', 'N'};
+// 4-bit BAM base codes, index = position in "=ACMGRSVTWYHKDBN"
+struct BamSeqTable {
+  uint8_t code[256];
+  BamSeqTable() {
+    const char* a = "=ACMGRSVTWYHKDBN";
+    std::memset(code, 15, sizeof(code));
+    for (int i = 0; i < 16; ++i) code[(uint8_t)a[i]] = (uint8_t)i;
+  }
+};
+const BamSeqTable kBamSeq;
+struct CompTable {
+  uint8_t c[256];
+  CompTable() {
+    for (int i = 0; i < 256; ++i) c[i] = (uint8_t)i;
+    c['A'] = 'T'; c['T'] = 'A'; c['C'] = 'G'; c['G'] = 'C';
+    c['a'] = 't'; c['t'] = 'a'; c['c'] = 'g'; c['g'] = 'c';
+    c['N'] = 'N'; c['n'] = 'n';
+  }
+};
+const CompTable kComp;
+
+inline void put_str(std::vector<uint8_t>& o, const char* s) {
+  while (*s) o.push_back((uint8_t)*s++);
+}
+inline void put_bytes(std::vector<uint8_t>& o, const uint8_t* p, int64_t n) {
+  o.insert(o.end(), p, p + n);
+}
+inline void put_int(std::vector<uint8_t>& o, int64_t v) {
+  char buf[24];
+  int n = snprintf(buf, sizeof(buf), "%lld", (long long)v);
+  o.insert(o.end(), buf, buf + n);
+}
+inline void put_i32le(std::vector<uint8_t>& o, int32_t v) {
+  o.insert(o.end(), (uint8_t*)&v, (uint8_t*)&v + 4);  // little-endian host
+}
+inline void put_u32le(std::vector<uint8_t>& o, uint32_t v) {
+  o.insert(o.end(), (uint8_t*)&v, (uint8_t*)&v + 4);
+}
+inline void put_u16le(std::vector<uint8_t>& o, uint16_t v) {
+  o.insert(o.end(), (uint8_t*)&v, (uint8_t*)&v + 2);
+}
+
+// CIGAR from RLE runs ((op<<32)|len, op 0..5 = M/Subst/D/I/SC/N):
+// Subst maps to M; adjacent M/I/D merge (io/sam.py cigar_from_runs)
+void cigar_merge(const int64_t* runs, int64_t n,
+                 std::vector<std::pair<char, int64_t>>* out) {
+  out->clear();
+  for (int64_t i = 0; i < n; ++i) {
+    char ch = kRunCigar[runs[i] >> 32];
+    int64_t len = runs[i] & 0xFFFFFFFF;
+    if (!out->empty() && out->back().first == ch &&
+        (ch == 'M' || ch == 'I' || ch == 'D'))
+      out->back().second += len;
+    else
+      out->emplace_back(ch, len);
+  }
+}
+
+int mapq_of(int64_t n) {  // reference src/aln_writer.rs:326-340
+  if (n <= 1) return 255;
+  if (n >= 5) return 0;
+  static const int q[5] = {0, 0, 3, 2, 1};
+  return q[n];
+}
+
+int reg2bin(int64_t beg, int64_t end) {  // BAM spec
+  --end;
+  if (beg >> 14 == end >> 14) return (int)(((1 << 15) - 1) / 7 + (beg >> 14));
+  if (beg >> 17 == end >> 17) return (int)(((1 << 12) - 1) / 7 + (beg >> 17));
+  if (beg >> 20 == end >> 20) return (int)(((1 << 9) - 1) / 7 + (beg >> 20));
+  if (beg >> 23 == end >> 23) return (int)(((1 << 6) - 1) / 7 + (beg >> 23));
+  if (beg >> 26 == end >> 26) return (int)(((1 << 3) - 1) / 7 + (beg >> 26));
+  return 0;
+}
+
+struct StrRef { const uint8_t* p; int64_t n; };
+
+inline StrRef blob_str(const Engine& E, const std::vector<int64_t>& off,
+                       int64_t i) {
+  return {E.str_blob.data() + off[i], off[i + 1] - off[i]};
+}
+
+// one SAM text line (with trailing newline)
+void emit_sam_record(const Engine& E, std::vector<uint8_t>& o,
+                     const uint8_t* name, int64_t name_len,
+                     const uint8_t* seq, int64_t seq_len,
+                     const uint8_t* qual, int64_t qual_len,
+                     bool mapped, bool fwd_strand, bool primary,
+                     int64_t refid, int64_t pos1, int mapq,
+                     const std::vector<std::pair<char, int64_t>>& cig,
+                     int64_t score, int64_t nh, int64_t hi, int64_t nmm,
+                     int type, int64_t tx, int64_t tx_ys,
+                     const std::vector<std::pair<char, int64_t>>& tx_cig,
+                     int64_t gene) {
+  // name truncated at first space
+  int64_t nl = 0;
+  while (nl < name_len && name[nl] != ' ') ++nl;
+  put_bytes(o, name, nl);
+  o.push_back('\t');
+  int flag = mapped ? ((fwd_strand ? 0 : 16) | (primary ? 0 : 256)) : 4;
+  put_int(o, flag);
+  o.push_back('\t');
+  if (mapped) {
+    StrRef rn = blob_str(E, E.ref_name_off, refid);
+    put_bytes(o, rn.p, rn.n);
+  } else {
+    o.push_back('*');
+  }
+  o.push_back('\t');
+  put_int(o, mapped ? pos1 : 0);
+  o.push_back('\t');
+  put_int(o, mapq);
+  o.push_back('\t');
+  if (mapped) {
+    for (auto& c : cig) { put_int(o, c.second); o.push_back(c.first); }
+  } else {
+    o.push_back('*');
+  }
+  put_str(o, "\t*\t0\t0\t");
+  if (seq_len == 0) {
+    o.push_back('*');
+  } else if (!mapped || fwd_strand) {
+    put_bytes(o, seq, seq_len);
+  } else {
+    for (int64_t i = seq_len - 1; i >= 0; --i) o.push_back(kComp.c[seq[i]]);
+  }
+  o.push_back('\t');
+  if (qual_len == 0) {
+    o.push_back('*');
+  } else if (!mapped || fwd_strand) {
+    put_bytes(o, qual, qual_len);
+  } else {
+    for (int64_t i = qual_len - 1; i >= 0; --i) o.push_back(qual[i]);
+  }
+  if (mapped) {
+    put_str(o, "\tAS:i:"); put_int(o, score);
+    put_str(o, "\tNH:i:"); put_int(o, nh);
+    put_str(o, "\tHI:i:"); put_int(o, hi);
+    put_str(o, "\tnM:i:"); put_int(o, nmm);
+    if (type == A_EXONIC) {
+      put_str(o, "\tTX:Z:");
+      StrRef ti = blob_str(E, E.tx_id_off, tx);
+      put_bytes(o, ti.p, ti.n);
+      put_str(o, ",+"); put_int(o, tx_ys); o.push_back(',');
+      for (auto& c : tx_cig) { put_int(o, c.second); o.push_back(c.first); }
+      gene = E.tx_gene[tx];
+    }
+    if (type == A_EXONIC || type == A_INTRONIC) {
+      put_str(o, "\tGX:Z:");
+      StrRef gi = blob_str(E, E.gene_id_off, gene);
+      put_bytes(o, gi.p, gi.n);
+      put_str(o, "\tGN:Z:");
+      StrRef gn = blob_str(E, E.gene_name_off, gene);
+      put_bytes(o, gn.p, gn.n);
+    }
+    put_str(o, "\tRE:A:");
+    o.push_back(type == A_EXONIC ? 'E' : type == A_INTRONIC ? 'N' : 'I');
+  }
+  o.push_back('\n');
+}
+
+// one binary BAM record (length-prefixed blob, io/bam.py encode_bam_record)
+void emit_bam_record(const Engine& E, std::vector<uint8_t>& o,
+                     const uint8_t* name, int64_t name_len,
+                     const uint8_t* seq, int64_t seq_len,
+                     const uint8_t* qual, int64_t qual_len,
+                     bool mapped, bool fwd_strand, bool primary,
+                     int64_t refid, int64_t pos1, int mapq,
+                     const std::vector<std::pair<char, int64_t>>& cig,
+                     int64_t score, int64_t nh, int64_t hi, int64_t nmm,
+                     int type, int64_t tx, int64_t tx_ys,
+                     const std::vector<std::pair<char, int64_t>>& tx_cig,
+                     int64_t gene) {
+  int64_t nl = 0;
+  while (nl < name_len && name[nl] != ' ') ++nl;
+  int64_t pos0 = mapped ? pos1 - 1 : -1;
+  int64_t ref_span = 0;
+  for (auto& c : cig)
+    if (c.first == 'M' || c.first == 'D' || c.first == 'N')
+      ref_span += c.second;
+  int bin = mapped ? reg2bin(pos0, pos0 + ref_span) : reg2bin(-1, 0);
+  size_t start = o.size();
+  put_i32le(o, 0);  // placeholder block_size
+  put_i32le(o, mapped ? E.bam_ref[refid] : -1);
+  put_i32le(o, (int32_t)pos0);
+  o.push_back((uint8_t)(nl + 1));
+  o.push_back((uint8_t)mapq);
+  put_u16le(o, (uint16_t)bin);
+  put_u16le(o, (uint16_t)(mapped ? cig.size() : 0));
+  int flag = mapped ? ((fwd_strand ? 0 : 16) | (primary ? 0 : 256)) : 4;
+  put_u16le(o, (uint16_t)flag);
+  put_i32le(o, (int32_t)seq_len);
+  put_i32le(o, -1);               // next_refID
+  put_i32le(o, -1);               // next_pos (pnext 0 -> -1)
+  put_i32le(o, 0);                // tlen
+  put_bytes(o, name, nl);
+  o.push_back(0);
+  if (mapped)
+    for (auto& c : cig)
+      put_u32le(o, (uint32_t)((c.second << 4) |
+                              (c.first == 'M'   ? 0
+                               : c.first == 'I' ? 1
+                               : c.first == 'D' ? 2
+                               : c.first == 'N' ? 3
+                                                : 4)));
+  if (seq_len) {
+    // nibble-pack (reverse-complemented on '-' strand)
+    uint8_t cur = 0;
+    int half = 0;
+    for (int64_t i = 0; i < seq_len; ++i) {
+      uint8_t b = (!mapped || fwd_strand) ? seq[i]
+                                          : kComp.c[seq[seq_len - 1 - i]];
+      uint8_t code = kBamSeq.code[b];
+      if (half == 0) { cur = (uint8_t)(code << 4); half = 1; }
+      else { o.push_back((uint8_t)(cur | code)); half = 0; }
+    }
+    if (half) o.push_back(cur);
+    if (qual_len) {
+      for (int64_t i = 0; i < seq_len; ++i) {
+        uint8_t q = (!mapped || fwd_strand) ? qual[i] : qual[qual_len - 1 - i];
+        int v = (int)q - 33;
+        o.push_back((uint8_t)(v < 0 ? 0 : v > 93 ? 93 : v));
+      }
+    } else {
+      for (int64_t i = 0; i < seq_len; ++i) o.push_back(0xff);
+    }
+  }
+  if (mapped) {
+    auto tag_i = [&](const char* t, int64_t v) {
+      put_str(o, t); o.push_back('i'); put_i32le(o, (int32_t)v);
+    };
+    tag_i("AS", score);
+    tag_i("NH", nh);
+    tag_i("HI", hi);
+    tag_i("nM", nmm);
+    if (type == A_EXONIC) {
+      put_str(o, "TX"); o.push_back('Z');
+      StrRef ti = blob_str(E, E.tx_id_off, tx);
+      put_bytes(o, ti.p, ti.n);
+      put_str(o, ",+");
+      put_int(o, tx_ys);
+      o.push_back(',');
+      for (auto& c : tx_cig) { put_int(o, c.second); o.push_back(c.first); }
+      o.push_back(0);
+      gene = E.tx_gene[tx];
+    }
+    if (type == A_EXONIC || type == A_INTRONIC) {
+      put_str(o, "GX"); o.push_back('Z');
+      StrRef gi = blob_str(E, E.gene_id_off, gene);
+      put_bytes(o, gi.p, gi.n);
+      o.push_back(0);
+      put_str(o, "GN"); o.push_back('Z');
+      StrRef gn = blob_str(E, E.gene_name_off, gene);
+      put_bytes(o, gn.p, gn.n);
+      o.push_back(0);
+    }
+    put_str(o, "RE"); o.push_back('A');
+    o.push_back(type == A_EXONIC ? 'E' : type == A_INTRONIC ? 'N' : 'I');
+  }
+  int32_t blk = (int32_t)(o.size() - start - 4);
+  std::memcpy(o.data() + start, &blk, 4);
+}
+
+}  // namespace
+
+extern "C" {
+
+void thermite_engine_set_strings(
+    void* eh, const uint8_t* blob, int64_t blob_len,
+    const int64_t* ref_name_off, int64_t n_refs,
+    const int64_t* gene_id_off, const int64_t* gene_name_off, int64_t n_genes,
+    const int64_t* tx_id_off, const int64_t* tx_gene, int64_t n_txs,
+    const int32_t* bam_ref) {
+  auto& E = *static_cast<Engine*>(eh);
+  E.str_blob.assign(blob, blob + blob_len);
+  E.ref_name_off.assign(ref_name_off, ref_name_off + n_refs + 1);
+  E.gene_id_off.assign(gene_id_off, gene_id_off + n_genes + 1);
+  E.gene_name_off.assign(gene_name_off, gene_name_off + n_genes + 1);
+  E.tx_id_off.assign(tx_id_off, tx_id_off + n_txs + 1);
+  E.tx_gene.assign(tx_gene, tx_gene + n_txs);
+  E.bam_ref.assign(bam_ref, bam_ref + n_refs);
+}
+
+// Emit all records of a finalized chunk in read order (fmt 0 = SAM
+// text, 1 = BAM record blobs).  Returns the byte length (buffer via
+// thermite_chunk_emit_buf), or -1 if any selected needed the host
+// fallback (caller uses the Python object path for the whole chunk).
+int64_t thermite_chunk_emit(void* eh, void* chh, int fmt,
+                            const uint8_t* names, const int64_t* name_off,
+                            const uint8_t* seqs, const int64_t* seq_off,
+                            const uint8_t* quals, const int64_t* qual_off) {
+  auto& E = *static_cast<Engine*>(eh);
+  auto& ch = *static_cast<Chunk*>(chh);
+  int64_t S = (int64_t)ch.selected.size() / S_NCOL;
+  for (int64_t s = 0; s < S; ++s)
+    if (ch.fallback[s]) return -1;
+  auto& o = ch.emit;
+  o.clear();
+  o.reserve(1 << 20);
+  std::vector<std::pair<char, int64_t>> cig, tx_cig;
+  int64_t s = 0;
+  for (int64_t r = 0; r < ch.n_reads; ++r) {
+    int64_t s0 = s;
+    while (s < S && ch.selected[s * S_NCOL + S_READ] == r) ++s;
+    int64_t nh = s - s0;
+    const uint8_t* nm = names + name_off[r];
+    int64_t nml = name_off[r + 1] - name_off[r];
+    const uint8_t* sq = seqs + seq_off[r];
+    int64_t sql = seq_off[r + 1] - seq_off[r];
+    const uint8_t* ql = quals + qual_off[r];
+    int64_t qll = qual_off[r + 1] - qual_off[r];
+    if (nh == 0) {
+      tx_cig.clear();
+      cig.clear();
+      if (fmt == 0)
+        emit_sam_record(E, o, nm, nml, sq, sql, ql, qll, false, true, true,
+                        0, 0, 255, cig, 0, 0, 0, 0, 0, -1, 0, tx_cig, -1);
+      else
+        emit_bam_record(E, o, nm, nml, sq, sql, ql, qll, false, true, true,
+                        0, 0, 255, cig, 0, 0, 0, 0, 0, -1, 0, tx_cig, -1);
+      continue;
+    }
+    int mq = mapq_of(nh);
+    for (int64_t i = 0; i < nh; ++i) {
+      int64_t si = s0 + i;
+      const int64_t* row = ch.selected.data() + si * S_NCOL;
+      const int64_t* tk = ch.tasks.data() + row[S_TASK] * T_NCOL;
+      cigar_merge(ch.fin_runs.data() + ch.fin_off[si],
+                  ch.fin_off[si + 1] - ch.fin_off[si], &cig);
+      int64_t nmm = 0;
+      for (int64_t k = ch.fin_off[si]; k < ch.fin_off[si + 1]; ++k)
+        if ((ch.fin_runs[k] >> 32) == 1) nmm += ch.fin_runs[k] & 0xFFFFFFFF;
+      int type = (int)row[S_TYPE];
+      int64_t tx = -1, tx_ys = 0;
+      tx_cig.clear();
+      if (type == A_EXONIC) {
+        tx = tk[T_TXIDX];
+        tx_ys = ch.tx_meta[si * 5 + 0];
+        cigar_merge(ch.tx_runs.data() + ch.tx_off_runs[si],
+                    ch.tx_off_runs[si + 1] - ch.tx_off_runs[si], &tx_cig);
+      }
+      bool fwd = E.ref_strand[row[S_REFID]] != 0;
+      if (fmt == 0)
+        emit_sam_record(E, o, nm, nml, sq, sql, ql, qll, true, fwd,
+                        row[S_PRIMARY] != 0, row[S_REFID], row[S_YS] + 1, mq,
+                        cig, row[S_SCORE], nh, i + 1, nmm, type, tx, tx_ys,
+                        tx_cig, row[S_GENE]);
+      else
+        emit_bam_record(E, o, nm, nml, sq, sql, ql, qll, true, fwd,
+                        row[S_PRIMARY] != 0, row[S_REFID], row[S_YS] + 1, mq,
+                        cig, row[S_SCORE], nh, i + 1, nmm, type, tx, tx_ys,
+                        tx_cig, row[S_GENE]);
+    }
+  }
+  return (int64_t)o.size();
+}
+
+const uint8_t* thermite_chunk_emit_buf(void* chh) {
+  return static_cast<Chunk*>(chh)->emit.data();
 }
 
 }  // extern "C"

@@ -289,7 +289,99 @@ class BatchAligner:
 
     def align_batch(self, reads: List[bytes]) -> List[List[GenomeAlignment]]:
         out: List[List[GenomeAlignment]] = []
+        self._pipeline(reads, lambda st, s0: out.extend(self._finalize_chunk(st)))
+        return out
+
+    def can_emit(self) -> bool:
+        """True when the C++ record emitter serves this configuration
+        (native engine + the single-pass pallas pipeline)."""
+        return self.native is not None and self.backend == "pallas"
+
+    def align_batch_emit(self, recs, fmt_bam: bool):
+        """Serialize-as-you-go batch alignment: ``recs`` is a list of
+        (name, seq, qual) byte tuples; returns the concatenated output
+        record bytes (SAM text lines or BAM record blobs, no header) in
+        input order.  Records are emitted by the C++ engine straight
+        from the finalize runs (reference src/aln_writer.rs:118-238 via
+        io/sam.py semantics); any chunk whose stream needed a host
+        fallback is serialized by the Python writers instead —
+        byte-identical either way (tests/test_emit.py)."""
+        chunks: List[bytes] = []
+
+        def fin(st, start):
+            raw = None
+            if (
+                st.native_ch is not None
+                and self.backend == "pallas"
+                and st.tb_full is not None
+            ):
+                tb_out, st.tb_full = st.tb_full, None
+                self.native.finalize(st.native_ch, tb_out, st.meta_all)
+                sl = recs[start : start + len(st.reads)]
+                raw = self.native.emit_chunk(
+                    st.native_ch, fmt_bam,
+                    [r[0] for r in sl],
+                    [r[1] for r in sl],
+                    [r[2] or b"" for r in sl],
+                )
+                if raw is not None:
+                    self.native.free_chunk(st.native_ch)
+                    st.native_ch = None
+                    chunks.append(raw)
+                    return
+                st.tb_full = tb_out  # fall back to the object path
+            results = self._finalize_chunk(st)
+            chunks.append(
+                _serialize_records(
+                    self.index, recs[start : start + len(results)], results,
+                    fmt_bam,
+                )
+            )
+
+        self._pipeline([r[1] for r in recs], fin)
+        return b"".join(chunks)
+
+    def _pin_shapes(self, reads: List[bytes]) -> None:
+        """Raise every sticky kernel-shape bucket to its batch
+        worst-case UP FRONT, so one aligner configuration compiles
+        exactly ONE stream-kernel shape set.  Without this, sticky
+        buckets grow chunk by chunk (band/window/step maxima, problem
+        and read-row buckets) and each growth recompiles the kernel —
+        which on the remote-compile TPU deployment costs minutes per
+        shape.  Small batches skip the pinning (padding a 100-problem
+        batch to the full budget would waste more than it saves)."""
+        if len(reads) * 4 < self.PROBLEM_BUDGET:
+            return
+        maxlen = max(map(len, reads), default=1)
+        ms = max(
+            int(self.opts.min_aln_score_percent * float(maxlen)),
+            self.opts.min_aln_score,
+        )
+        # per-read band = len - max(pct*len, min_score) is maximized at
+        # maxlen (the subtracted term grows at most as fast as len)
+        band = max(maxlen - ms, 1)
+        self._XMAX = max(_round_up(maxlen, 32), getattr(self, "_XMAX", 0))
+        self._YMAX = max(
+            _round_up(maxlen + band + 1, 32), getattr(self, "_YMAX", 0)
+        )
+        self._W = max(_round_up(2 * band + 1, 128), 128, getattr(self, "_W", 0))
+        self._SMAX = max(
+            _round_up(self._XMAX + self._YMAX + 2, 128),
+            getattr(self, "_SMAX", 0),
+        )
+        nb = _pow2_bucket(self.PROBLEM_BUDGET + 1024, 128)
+        for attr in ("_NFWD1", "_NFWD", "_NTB"):
+            setattr(self, attr, max(nb, getattr(self, attr, 0)))
+        self._NREADS = max(
+            _pow2_bucket(min(len(reads), self.PROBLEM_BUDGET), 256),
+            getattr(self, "_NREADS", 0),
+        )
+
+    def _pipeline(self, reads: List[bytes], finalize_fn) -> None:
+        """The 3-stage chunk loop; ``finalize_fn(st, start_read_index)``
+        consumes each chunk in input order."""
         built: List[Optional["_ChunkState"]] = []
+        starts: List[int] = []
         arb_i = 0
         fin_i = 0
         i = 0
@@ -299,8 +391,10 @@ class BatchAligner:
             _round_up(max(map(len, reads), default=1), 32),
             getattr(self, "_RPAD", 0),
         )
+        self._pin_shapes(reads)
         while i < len(reads) or not built:
             with self.stats.stage("build"):
+                starts.append(i)
                 st, i = self._build_chunk(reads, i)
             self._dispatch_forward(st)
             self.stats.chunks += 1
@@ -318,7 +412,7 @@ class BatchAligner:
                 arb_i += 1
             if arb_i - fin_i >= depth:
                 with self.stats.stage("finalize"):
-                    out.extend(self._finalize_chunk(built[fin_i]))
+                    finalize_fn(built[fin_i], starts[fin_i])
                 built[fin_i] = None
                 fin_i += 1
         while arb_i < len(built):
@@ -327,10 +421,9 @@ class BatchAligner:
             arb_i += 1
         while fin_i < len(built):
             with self.stats.stage("finalize"):
-                out.extend(self._finalize_chunk(built[fin_i]))
+                finalize_fn(built[fin_i], starts[fin_i])
             built[fin_i] = None
             fin_i += 1
-        return out
 
     # ------------------------------------------------------------------
     def _build_chunk(
@@ -1142,6 +1235,32 @@ class BatchAligner:
         for k, pid in enumerate(pid_list):
             ops_by_pid[pid] = alns[k]
         return ops_by_pid
+
+
+def _serialize_records(index, recs, results, fmt_bam: bool) -> bytes:
+    """Python-writer serialization of one chunk's records (the emit
+    fallback and parity referee)."""
+    from ..io.bam import encode_bam_record
+    from ..io.sam import aln_to_sam_record, unique_refs, unmapped_sam_record
+
+    ref_ids = {name: i for i, (name, _) in enumerate(unique_refs(index))}
+    out: List[bytes] = []
+
+    def ser(rec):
+        if fmt_bam:
+            return encode_bam_record(rec, ref_ids)
+        return (rec.to_line() + "\n").encode()
+
+    for (name, seq, qual), alns in zip(recs, results):
+        qual = qual or b""
+        if not alns:
+            out.append(ser(unmapped_sam_record(name, seq, qual)))
+            continue
+        for i, aln in enumerate(alns):
+            out.append(
+                ser(aln_to_sam_record(index, name, seq, qual, aln, len(alns), i + 1))
+            )
+    return b"".join(out)
 
 
 def _span_to_chr(index, gys, gye, xs, xe, score, read_len):

@@ -88,7 +88,29 @@ def _setup(lib):
         fn = getattr(lib, name)
         fn.restype = res
         fn.argtypes = [ctypes.c_void_p]
+    lib.thermite_engine_set_strings.argtypes = [
+        ctypes.c_void_p, _u8p, ctypes.c_int64,
+        _i64p, ctypes.c_int64,
+        _i64p, _i64p, ctypes.c_int64,
+        _i64p, _i64p, ctypes.c_int64,
+        _i32p,
+    ]
+    lib.thermite_chunk_emit.restype = ctypes.c_int64
+    lib.thermite_chunk_emit.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        _u8p, _i64p, _u8p, _i64p, _u8p, _i64p,
+    ]
+    lib.thermite_chunk_emit_buf.restype = _u8p
+    lib.thermite_chunk_emit_buf.argtypes = [ctypes.c_void_p]
     lib._batch_setup_done = True
+
+
+def _blob(parts):
+    """-> (concat uint8 blob, int64 offsets of len(parts)+1)."""
+    off = np.zeros(len(parts) + 1, np.int64)
+    for i, p in enumerate(parts):
+        off[i + 1] = off[i] + len(p)
+    return np.frombuffer(b"".join(parts), np.uint8), off
 
 
 def _arr(a, ctype):
@@ -175,6 +197,64 @@ class NativeBatchEngine:
         if getattr(self, "_h", None):
             self._lib.thermite_engine_free(self._h)
             self._h = None
+
+    def set_strings(self) -> None:
+        """Load the output string tables (ref/gene/tx names + BAM ref
+        ids) into the engine — required before emit_chunk."""
+        from ..io.sam import unique_refs
+
+        index = self.index
+        refs = index.refs
+        genes = index.txome.genes
+        txs = index.txome.txs
+        bam_id = {name: i for i, (name, _) in enumerate(unique_refs(index))}
+
+        parts: List[bytes] = []
+        offs = []
+        for group in (
+            [r.name.encode() for r in refs],
+            [g.id.encode() for g in genes],
+            [g.name.encode() for g in genes],
+            [t.id.encode() for t in txs],
+        ):
+            base = sum(len(p) for p in parts)
+            off = np.zeros(len(group) + 1, np.int64)
+            for i, p in enumerate(group):
+                off[i + 1] = off[i] + len(p)
+            offs.append(off + base)
+            parts.extend(group)
+        blob = np.frombuffer(b"".join(parts), np.uint8)
+        tx_gene = np.array([t.gene_idx for t in txs], np.int64)
+        bam_ref = np.array([bam_id[r.name] for r in refs], np.int32)
+        self._str_keep = (blob, offs, tx_gene, bam_ref)
+        self._lib.thermite_engine_set_strings(
+            self._h, _arr(blob, _u8p), len(blob),
+            _arr(offs[0], _i64p), len(refs),
+            _arr(offs[1], _i64p), _arr(offs[2], _i64p), len(genes),
+            _arr(offs[3], _i64p), _arr(tx_gene, _i64p), len(txs),
+            _arr(bam_ref, _i32p),
+        )
+        self._strings_set = True
+
+    def emit_chunk(self, ch, fmt_bam: bool, names, seqs, quals):
+        """Serialize every record of a finalized chunk in C++ (SAM text
+        or BAM record blobs) — returns bytes, or None if any selected
+        hit the stream fallback (caller uses the Python object path)."""
+        if not getattr(self, "_strings_set", False):
+            self.set_strings()
+        nb, noff = _blob(names)
+        sb, soff = _blob(seqs)
+        qb, qoff = _blob(quals)
+        n = self._lib.thermite_chunk_emit(
+            self._h, ch, 1 if fmt_bam else 0,
+            _arr(nb, _u8p), _arr(noff, _i64p),
+            _arr(sb, _u8p), _arr(soff, _i64p),
+            _arr(qb, _u8p), _arr(qoff, _i64p),
+        )
+        if n < 0:
+            return None
+        buf = self._lib.thermite_chunk_emit_buf(ch)
+        return ctypes.string_at(buf, n)
 
     def build_chunk(
         self, reads_pad: np.ndarray, read_lens: np.ndarray, n_reads: int,

@@ -99,6 +99,37 @@ def align_reads_from_file(
 
             batcher = BatchAligner(index, opts, mesh=mesh)
 
+            import os
+
+            if (
+                output_fmt in (FORMAT_SAM, FORMAT_BAM)
+                and batcher.can_emit()
+                and not os.environ.get("THERMITE_NO_EMIT")
+            ):
+                # fast path: records serialized by the C++ emitter
+                # straight from the finalize runs (byte-identical to
+                # the Python writers by test)
+                buf = []
+
+                def flush():
+                    raw = batcher.align_batch_emit(
+                        [(r.id, r.seq, r.qual) for r in buf],
+                        output_fmt == FORMAT_BAM,
+                    )
+                    writer.write_raw(raw)
+
+                for rec in records():
+                    buf.append(rec)
+                    if len(buf) >= batch_size:
+                        flush()
+                        buf = []
+                if buf:
+                    flush()
+                writer.finish()
+                if verbose:
+                    print(batcher.stats.report(), file=sys.stderr)
+                return
+
             def batched_records():
                 buf = []
                 for rec in records():

@@ -173,6 +173,10 @@ class BamWriter:
     def write(self, rec: SamRecord) -> None:
         self.bgzf.write(encode_bam_record(rec, self.ref_ids))
 
+    def write_raw(self, data: bytes) -> None:
+        """Append pre-encoded BAM record blobs (C++ emitter output)."""
+        self.bgzf.write(data)
+
     def finish(self) -> None:
         self.bgzf.finish()
 

@@ -247,5 +247,9 @@ class SamWriter:
     def write(self, rec: SamRecord) -> None:
         self.fh.write(rec.to_line() + "\n")
 
+    def write_raw(self, data: bytes) -> None:
+        """Append pre-serialized SAM text (C++ emitter output)."""
+        self.fh.write(data.decode())
+
     def finish(self) -> None:
         pass
