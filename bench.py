@@ -90,6 +90,22 @@ def _steady_state(batch, make_trial_reads, n_trials):
     return statistics.median(rps), max(rps), gcups
 
 
+def _emit_rps(batch, reads):
+    """FASTQ-records -> serialized BAM record bytes via the C++
+    emitter — the production CLI path (includes record encoding)."""
+    if not batch.can_emit():
+        return 0.0
+    recs = [(b"r%d" % i, r, b"I" * len(r)) for i, r in enumerate(reads)]
+    batch.align_batch_emit(recs[:2048], True)  # emit-path warmup
+    best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        raw = batch.align_batch_emit(recs, True)
+        best = max(best, len(recs) / (time.time() - t0))
+    assert len(raw) > len(recs) * 50
+    return best
+
+
 def _syn45_index():
     """Build-or-load the cached 45 Mbp synthetic index (the artifact
     carries the seed table, so cached loads skip the ~40 s build)."""
@@ -138,6 +154,7 @@ def main():
     )
     print(syn_batch.stats.report(), file=sys.stderr)
     print(f"syn45 oracle baseline: {syn_oracle:.1f} reads/s", file=sys.stderr)
+    syn_emit = _emit_rps(syn_batch, make_reads(syn_chrom, N, seed=33))
 
     # ---- secondary: GRCh38 chrM ----
     idx = Index.create_from_files(
@@ -153,6 +170,7 @@ def main():
     )
     print(batch.stats.report(), file=sys.stderr)
     print(f"chrM oracle baseline: {chrM_oracle:.1f} reads/s", file=sys.stderr)
+    chrM_emit = _emit_rps(batch, make_reads(chrM, N, seed=33))
 
     print(
         json.dumps(
@@ -164,10 +182,12 @@ def main():
                 "syn45_best_reads_per_s": round(syn_best, 1),
                 "syn45_gcups_effective": round(syn_gcups, 2),
                 "syn45_oracle_reads_per_s": round(syn_oracle, 1),
+                "syn45_emit_bam_reads_per_s": round(syn_emit, 1),
                 "chrM_median_reads_per_s": round(chrM_rps, 1),
                 "chrM_best_reads_per_s": round(chrM_best, 1),
                 "chrM_gcups_effective": round(chrM_gcups, 2),
                 "chrM_vs_oracle": round(chrM_rps / chrM_oracle, 2),
+                "chrM_emit_bam_reads_per_s": round(chrM_emit, 1),
             }
         )
     )
