@@ -1174,13 +1174,13 @@ struct BamSeqTable {
   }
 };
 const BamSeqTable kBamSeq;
-struct CompTable {
+struct CompTable {  // mirrors io/fastx.py _RC (IUPAC-aware)
   uint8_t c[256];
   CompTable() {
+    const char* from = "ACGTUNacgtunRYSWKMBDHVryswkmbdhv";
+    const char* to = "TGCAANtgcaanYRSWMKVHDByrswmkvhdb";
     for (int i = 0; i < 256; ++i) c[i] = (uint8_t)i;
-    c['A'] = 'T'; c['T'] = 'A'; c['C'] = 'G'; c['G'] = 'C';
-    c['a'] = 't'; c['t'] = 'a'; c['c'] = 'g'; c['g'] = 'c';
-    c['N'] = 'N'; c['n'] = 'n';
+    for (int i = 0; from[i]; ++i) c[(uint8_t)from[i]] = (uint8_t)to[i];
   }
 };
 const CompTable kComp;
@@ -1339,6 +1339,7 @@ void emit_bam_record(const Engine& E, std::vector<uint8_t>& o,
                      int64_t gene) {
   int64_t nl = 0;
   while (nl < name_len && name[nl] != ' ') ++nl;
+  if (nl > 254) nl = 254;  // BAM l_read_name is uint8 (incl. NUL)
   int64_t pos0 = mapped ? pos1 - 1 : -1;
   int64_t ref_span = 0;
   for (auto& c : cig)
