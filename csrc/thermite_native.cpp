@@ -1382,13 +1382,14 @@ void emit_bam_record(const Engine& E, std::vector<uint8_t>& o,
       else { o.push_back((uint8_t)(cur | code)); half = 0; }
     }
     if (half) o.push_back(cur);
-    if (qual_len) {
+    if (qual_len == seq_len) {
       for (int64_t i = 0; i < seq_len; ++i) {
         uint8_t q = (!mapped || fwd_strand) ? qual[i] : qual[qual_len - 1 - i];
         int v = (int)q - 33;
         o.push_back((uint8_t)(v < 0 ? 0 : v > 93 ? 93 : v));
       }
     } else {
+      // absent or length-mismatched qual: 0xff fill (io/bam.py ditto)
       for (int64_t i = 0; i < seq_len; ++i) o.push_back(0xff);
     }
   }

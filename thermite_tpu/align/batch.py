@@ -206,6 +206,14 @@ class BatchAligner:
             [index.seq_arr] + [np.frombuffer(tx.seq, np.uint8) for tx in txs]
         )
         self._ref_text_dev = None  # device copy, uploaded once on first use
+        if self.backend != "pallas" and len(self._ref_text_host) >= (1 << 31):
+            # the XLA test backend reconstructs byte offsets in int32
+            # (swg_pallas._gather_windows); only the pallas nibble path
+            # carries whole-genome texts
+            raise NotImplementedError(
+                "the xla backend is limited to <2 GiB reference text; "
+                "use the TPU (pallas) backend for whole-genome scale"
+            )
         if self.backend == "pallas":
             # the nibble-packed device text has 4-bit codes for ACGTN$
             # only; any other byte would lose its identity (the
@@ -1089,9 +1097,12 @@ class BatchAligner:
                     int(sub[:, 7].max(initial=1))
                 )
                 per_row = 2 * BBLK if packed else BBLK
-                nb = max(
-                    _pow2_bucket(max(len(sub), 1), per_row * self._nsh),
-                    getattr(self, "_NFWD1", 0),
+                nb = _round_up(
+                    max(
+                        _pow2_bucket(max(len(sub), 1), per_row * self._nsh),
+                        getattr(self, "_NFWD1", 0),
+                    ),
+                    per_row * self._nsh,
                 )
                 self._NFWD1 = nb
                 meta = self._pad_meta(sub, nb)
@@ -1125,7 +1136,8 @@ class BatchAligner:
             return
 
         meta = self._pad_meta(
-            meta_all, _pow2_bucket(max(n, 1), 64 * self._nsh)
+            meta_all,
+            _round_up(_pow2_bucket(max(n, 1), 64), 64 * self._nsh),
         )
         kern = self._xla_gather_kernel(XMAX, YMAX, W)
         score, mi, mj, _dirs = kern(self._ref_text_host, st.reads_host, meta)
@@ -1169,9 +1181,12 @@ class BatchAligner:
             BBLK = self._tb_bblk(YMAX, W)
             packed = self._packed_eligible(int(sub[:, 7].max(initial=1)))
             per_row = 2 * BBLK if packed else BBLK
-            nb = max(
-                _pow2_bucket(max(len(sub), 1), per_row * self._nsh),
-                getattr(self, "_NTB", 0),
+            nb = _round_up(
+                max(
+                    _pow2_bucket(max(len(sub), 1), per_row * self._nsh),
+                    getattr(self, "_NTB", 0),
+                ),
+                per_row * self._nsh,
             )
             self._NTB = nb
             meta = self._pad_meta(sub, nb)
@@ -1190,7 +1205,9 @@ class BatchAligner:
             st.tb_raw = kern(words, lw, st.reads_dev, meta)
             return
 
-        meta = self._pad_meta(meta_sub, _pow2_bucket(n, 64 * self._nsh))
+        meta = self._pad_meta(
+            meta_sub, _round_up(_pow2_bucket(n, 64), 64 * self._nsh)
+        )
         kern = self._xla_gather_kernel(XMAX, YMAX, W)
         st.tb_raw = (kern(self._ref_text_host, st.reads_host, meta), meta)
 

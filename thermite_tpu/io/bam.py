@@ -101,7 +101,8 @@ def _parse_cigar(cigar: str) -> List[Tuple[int, int]]:
 def encode_bam_record(rec: SamRecord, ref_ids: dict) -> bytes:
     ref_id = ref_ids.get(rec.rname, -1)
     pos = rec.pos - 1  # 0-based; unmapped (pos=0) -> -1
-    name = rec.qname.encode() + b"\x00"
+    # l_read_name is a uint8 (incl. NUL): clamp like the C++ emitter
+    name = rec.qname.encode()[:254] + b"\x00"
     cig = _parse_cigar(rec.cigar)
     seq = rec.seq if rec.seq != "*" else ""
     qual = rec.qual if rec.qual != "*" else ""
@@ -134,7 +135,7 @@ def encode_bam_record(rec: SamRecord, ref_ids: dict) -> bytes:
         if l_seq & 1:
             hexs += "0"
         body += bytes.fromhex(hexs)
-    if qual:
+    if qual and len(qual) == l_seq:
         body += qual.encode().translate(_QUAL_TBL)
     else:
         body += b"\xff" * l_seq

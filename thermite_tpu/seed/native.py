@@ -168,6 +168,25 @@ def make_seeder(seq_arr: np.ndarray, min_seed_len: int, table=None,
     matches the anchor k for ``min_seed_len`` (else rebuilt with
     ``stride``: >1 samples text positions — whole-genome tables; see
     thermite_seed_index_new_stride in csrc)."""
+    k = min(MAX_ANCHOR_K, min_seed_len)
+    if table is not None and table[0] != k:
+        import sys
+
+        if len(seq_arr) >= (512 << 20):
+            # rebuilding a genome-scale table (tens of GB, many
+            # minutes, and the persisted stride choice would be lost)
+            # must be an explicit decision, not a silent fallback
+            raise ValueError(
+                f"persisted seed table was built for anchor k="
+                f"{table[0]} but min_seed_len={min_seed_len} needs "
+                f"k={k}; re-index with matching -k (and --seed-stride) "
+                "instead of rebuilding at align time"
+            )
+        print(
+            f"warning: persisted seed table (k={table[0]}) unusable "
+            f"for min_seed_len={min_seed_len}; rebuilding",
+            file=sys.stderr,
+        )
     if available():
         return NativeSmemEngine(seq_arr, min_seed_len, table=table,
                                 stride=stride)
