@@ -20,6 +20,17 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+try:  # moved out of experimental in jax 0.8 (check_rep -> check_vma)
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, **kw):
+        return _shard_map(f, check_vma=False, **kw)
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+    def shard_map(f, **kw):
+        return _shard_map(f, check_rep=False, **kw)
+
 
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     devices = jax.devices()
@@ -83,8 +94,6 @@ def sharded_stream_kernel(
     concurrency (reference src/wrapper.rs:20-27).
 
     Row count must divide by BBLK x mesh size (callers pad)."""
-    from jax.experimental.shard_map import shard_map
-
     from ..ops.swg_pallas import make_stream_traceback_gather_call
 
     call = make_stream_traceback_gather_call(
@@ -95,7 +104,6 @@ def sharded_stream_kernel(
         mesh=mesh,
         in_specs=(P(), P(), P(), P("data")),
         out_specs=P("data"),
-        check_rep=False,
     )
     return jax.jit(f)
 
@@ -107,8 +115,6 @@ def sharded_packed_stream_kernel(
     """Lane-packed stream kernel (ops/swg_pallas_packed.py) sharded
     along ``data`` — same layout contract as ``sharded_stream_kernel``;
     per-shard row counts must divide 2*BBLK (callers pad)."""
-    from jax.experimental.shard_map import shard_map
-
     from ..ops.swg_pallas_packed import make_packed_stream_gather_kernel
 
     _, call = make_packed_stream_gather_kernel(BBLK, XMAX, YMAX, SMAX, interpret)
@@ -117,7 +123,6 @@ def sharded_packed_stream_kernel(
         mesh=mesh,
         in_specs=(P(), P(), P(), P("data")),
         out_specs=P("data"),
-        check_rep=False,
     )
     return jax.jit(f)
 
@@ -126,8 +131,6 @@ def sharded_swg_gather_kernel(mesh: Mesh, XMAX: int, YMAX: int, W: int):
     """The XLA (CPU-test) gather+forward kernel sharded along ``data``
     — same layout as ``sharded_stream_kernel`` for the two-pass
     backend, so the full batch pipeline runs under a mesh in tests."""
-    from jax.experimental.shard_map import shard_map
-
     from ..ops.swg_batch import swg_gather_call
 
     call = swg_gather_call(XMAX, YMAX, W)
@@ -136,7 +139,6 @@ def sharded_swg_gather_kernel(mesh: Mesh, XMAX: int, YMAX: int, W: int):
         mesh=mesh,
         in_specs=(P(), P(), P("data")),
         out_specs=(P("data"), P("data"), P("data"), P("data")),
-        check_rep=False,
     )
     return jax.jit(f)
 
