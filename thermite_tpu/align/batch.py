@@ -561,14 +561,21 @@ class BatchAligner:
             reads_pad, read_lens, len(reads), self.PROBLEM_BUDGET
         )
         if self.pipeline_depth is None and consumed >= 1024:
-            # first sizeable chunk builds before any device dispatch, so
-            # this timing is uncontended: expensive builds (large seed
-            # tables) lose more to poll-thread contention than pipeline
-            # overlap saves on a single-core host
+            # very expensive builds (genome-scale seed lookups,
+            # ~3 s/chunk) lose more to poll-thread contention than
+            # pipeline overlap saves on a single-core host, but
+            # chromosome-scale builds (~0.2 s/chunk) overlap profitably
+            # with the device kernel (+29% measured at 45 Mbp).  The
+            # FIRST chunk over-measures (cold caches/TLB on a freshly
+            # loaded seed table), so decide from the second sample.
             per_chunk = (time.time() - t0) * self.PROBLEM_BUDGET / max(
                 len(meta), 1
             )
-            self.pipeline_depth = 1 if per_chunk > 0.12 else 2
+            samples = getattr(self, "_build_samples", [])
+            samples.append(per_chunk)
+            self._build_samples = samples
+            if len(samples) >= 2:
+                self.pipeline_depth = 1 if samples[-1] > 1.0 else 2
         if consumed == take and start + consumed < len(all_reads):
             # budget not reached: grow the estimate for the next chunk
             self._est_chunk_reads = est * 2
