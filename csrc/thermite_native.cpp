@@ -21,9 +21,12 @@
 // Build: make -C csrc  (g++ -O3 -shared -fPIC)
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
+#include <cstdlib>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -149,6 +152,50 @@ int64_t pack_key(const uint8_t* s, int k, bool* valid) {
 
 }  // namespace
 
+namespace {
+
+// worker thread count for the table build and the chunk build
+// (THERMITE_THREADS env override; default: hardware concurrency)
+int table_threads() {
+  const char* env = std::getenv("THERMITE_THREADS");
+  if (env && *env) {
+    int n = std::atoi(env);
+    return n > 0 ? n : 1;
+  }
+  unsigned hw = std::thread::hardware_concurrency();
+  return hw > 0 ? (int)hw : 1;
+}
+
+// one rolling-key scan over window starts [lo, hi) (window start p is
+// valid iff p+k <= n, all k bytes valid, p % stride == 0); calls
+// emit(key, p) for each sampled window.
+template <typename Emit>
+void rolling_scan(const uint8_t* text, int64_t n, int k, int64_t stride,
+                  int64_t lo, int64_t hi, Emit&& emit) {
+  if (lo >= hi || lo + k > n) return;
+  int64_t pow_top = 1;
+  for (int t = 0; t < k - 1; ++t) pow_top *= 5;
+  int64_t key = 0;
+  int inv = 0;
+  for (int t = 0; t < k; ++t) {
+    uint8_t c = kCodes.code[text[lo + t]];
+    key = key * 5 + (c == 255 ? 0 : c);
+    inv += (c == 255);
+  }
+  if (inv == 0 && lo % stride == 0) emit(key, lo);
+  for (int64_t i = lo + 1; i < hi && i + k <= n; ++i) {
+    uint8_t c_out = kCodes.code[text[i - 1]];
+    uint8_t c_in = kCodes.code[text[i + k - 1]];
+    key -= (c_out == 255 ? 0 : c_out) * pow_top;
+    key = key * 5 + (c_in == 255 ? 0 : c_in);
+    inv -= (c_out == 255);
+    inv += (c_in == 255);
+    if (inv == 0 && i % stride == 0) emit(key, i);
+  }
+}
+
+}  // namespace
+
 extern "C" {
 
 // stride > 1 indexes only text positions === 0 (mod stride): a maximal
@@ -158,6 +205,16 @@ extern "C" {
 // k + stride - 1 may be missed — the documented whole-genome tradeoff
 // (cf. STAR's sparse suffix array); the oracle shares the same table,
 // so oracle/batch parity is unaffected.
+//
+// Sort strategy (replaces the round-2 global 8-bit LSD, which took
+// 69 min single-threaded at genome scale): MSD partition on the top
+// <=11 key bits (one counting scan + one scatter scan, both threaded
+// over text slices), then an independent per-top-bucket LSD radix on
+// the remaining bits with 12-bit digits — each bucket is ~L2-sized, so
+// the inner passes stream instead of thrashing, and buckets
+// parallelize across THERMITE_THREADS with no synchronization.  Final
+// order is (key asc, position asc): slice scatter preserves position
+// order, and the per-bucket LSD is stable.
 void* thermite_seed_index_new_stride(const uint8_t* text, int64_t n, int k,
                                      int64_t stride) {
   if (k < 1 || k > kMaxAnchorK || stride < 1) return nullptr;
@@ -166,57 +223,108 @@ void* thermite_seed_index_new_stride(const uint8_t* text, int64_t n, int k,
   idx->n = n;
   idx->k = k;
 
-  std::vector<std::pair<int64_t, int64_t>> kv;
-  kv.reserve(n > k ? (n - k) / stride + 1 : 0);
-  if (n >= k) {
-    // rolling key with invalid-run tracking
-    int64_t key = 0;
-    int64_t pow_top = 1;
-    for (int t = 0; t < k - 1; ++t) pow_top *= 5;
-    // init first window, counting invalid chars
-    int inv_count = 0;
-    for (int t = 0; t < k; ++t) {
-      uint8_t c = kCodes.code[idx->text[t]];
-      key = key * 5 + (c == 255 ? 0 : c);
-      inv_count += (c == 255);
-    }
-    if (inv_count == 0) kv.emplace_back(key, 0);
-    for (int64_t i = 1; i + k <= n; ++i) {
-      uint8_t c_out = kCodes.code[idx->text[i - 1]];
-      uint8_t c_in = kCodes.code[idx->text[i + k - 1]];
-      key -= (c_out == 255 ? 0 : c_out) * pow_top;
-      key = key * 5 + (c_in == 255 ? 0 : c_in);
-      inv_count -= (c_out == 255);
-      inv_count += (c_in == 255);
-      if (inv_count == 0 && i % stride == 0) kv.emplace_back(key, i);
-    }
-  }
-  // LSD radix sort by key: ~8x faster than std::sort on
-  // chromosome-scale tables, and positions stay in ascending order
-  // per bucket because the sort is stable.  The pass count follows the
-  // key width (k=20 keys reach 5^20 < 2^47 — a fixed 32-bit radix
-  // would leave equal-low-word keys interleaved and silently split
-  // posting buckets).
+  int64_t max_key = 1;
+  for (int t = 0; t < k; ++t) max_key *= 5;
+  int key_bits = 0;
+  while ((max_key >> key_bits) != 0) ++key_bits;
+  const int top_bits = key_bits < 11 ? key_bits : 11;
+  const int rem_shift = key_bits - top_bits;
+  const int64_t n_top = (int64_t)1 << top_bits;
+
+  const int nthreads =
+      (n > (int64_t)1 << 22) ? table_threads() : 1;
+  const int64_t n_starts = n >= k ? n - k + 1 : 0;
+  const int64_t slice = (n_starts + nthreads - 1) / nthreads;
+
+  // pass A: per-(slice, top-bucket) counts
+  std::vector<std::vector<int64_t>> counts(nthreads);
   {
-    int64_t max_key = 1;
-    for (int t = 0; t < k; ++t) max_key *= 5;
-    int key_bits = 0;
-    while ((max_key >> key_bits) != 0) ++key_bits;
-    std::vector<std::pair<int64_t, int64_t>> tmp(kv.size());
-    std::vector<int64_t> count(256);
-    for (int shift = 0; shift < key_bits; shift += 8) {
-      std::fill(count.begin(), count.end(), 0);
-      for (const auto& p : kv) count[(p.first >> shift) & 255]++;
-      int64_t sum = 0;
-      for (int i = 0; i < 256; ++i) {
-        int64_t c = count[i];
-        count[i] = sum;
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nthreads; ++t) {
+      pool.emplace_back([&, t]() {
+        auto& c = counts[t];
+        c.assign(n_top, 0);
+        int64_t lo = t * slice, hi = std::min(n_starts, lo + slice);
+        rolling_scan(text, n, k, stride, lo, hi,
+                     [&](int64_t key, int64_t) { c[key >> rem_shift]++; });
+      });
+    }
+    for (auto& th : pool) th.join();
+  }
+  // exclusive scan in (bucket-major, slice-minor) order -> write bases
+  std::vector<int64_t> bucket_off(n_top + 1, 0);
+  {
+    int64_t sum = 0;
+    for (int64_t b = 0; b < n_top; ++b) {
+      bucket_off[b] = sum;
+      for (int t = 0; t < nthreads; ++t) {
+        int64_t c = counts[t][b];
+        counts[t][b] = sum;  // becomes this slice's write cursor
         sum += c;
       }
-      for (const auto& p : kv) tmp[count[(p.first >> shift) & 255]++] = p;
-      kv.swap(tmp);
     }
+    bucket_off[n_top] = sum;
   }
+  const int64_t total = bucket_off[n_top];
+  std::vector<std::pair<int64_t, int64_t>> kv(total);
+
+  // pass B: scatter (key, pos) into bucket regions
+  {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nthreads; ++t) {
+      pool.emplace_back([&, t]() {
+        auto& cur = counts[t];
+        int64_t lo = t * slice, hi = std::min(n_starts, lo + slice);
+        rolling_scan(text, n, k, stride, lo, hi,
+                     [&](int64_t key, int64_t p) {
+                       kv[cur[key >> rem_shift]++] = {key, p};
+                     });
+      });
+    }
+    for (auto& th : pool) th.join();
+  }
+
+  // pass C: per-bucket stable LSD on the remaining bits, 12-bit digits
+  if (rem_shift > 0) {
+    std::atomic<int64_t> next(0);
+    auto worker = [&]() {
+      std::vector<std::pair<int64_t, int64_t>> tmp;
+      std::vector<int64_t> cnt(1 << 12);
+      while (true) {
+        int64_t b = next.fetch_add(1, std::memory_order_relaxed);
+        if (b >= n_top) break;
+        int64_t lo = bucket_off[b], hi = bucket_off[b + 1];
+        int64_t m = hi - lo;
+        if (m <= 1) continue;
+        tmp.resize(m);
+        auto* a = kv.data() + lo;
+        auto* bbuf = tmp.data();
+        for (int shift = 0; shift < rem_shift; shift += 12) {
+          int digits = rem_shift - shift < 12 ? rem_shift - shift : 12;
+          int64_t nd = (int64_t)1 << digits;
+          std::fill(cnt.begin(), cnt.begin() + nd, 0);
+          int64_t mask = nd - 1;
+          for (int64_t i = 0; i < m; ++i) cnt[(a[i].first >> shift) & mask]++;
+          int64_t sum = 0;
+          for (int64_t d = 0; d < nd; ++d) {
+            int64_t c = cnt[d];
+            cnt[d] = sum;
+            sum += c;
+          }
+          for (int64_t i = 0; i < m; ++i)
+            bbuf[cnt[(a[i].first >> shift) & mask]++] = a[i];
+          std::swap(a, bbuf);
+        }
+        if (a != kv.data() + lo)  // odd pass count: copy back
+          std::copy(a, a + m, kv.data() + lo);
+      }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nthreads - 1; ++t) pool.emplace_back(worker);
+    worker();
+    for (auto& th : pool) th.join();
+  }
+
   idx->positions_v.resize(kv.size());
   for (size_t i = 0; i < kv.size(); ++i) idx->positions_v[i] = kv[i].second;
   // bucket boundaries
@@ -680,76 +788,164 @@ void thermite_engine_free(void* h) {
   delete E;
 }
 
+}  // extern "C"
+
+namespace {
+
+// Per-read build worker state + output (thread-reusable scratch and a
+// local chunk fragment whose problem ids are read-local; the serial
+// merge rebases them).  The per-read body is shared verbatim between
+// the sequential path and the threaded one, so outputs are identical
+// bit for bit regardless of thread count.
+struct ReadBuild {
+  std::vector<int32_t> meta;   // (p, 9) local problems
+  std::vector<int64_t> tasks;  // (t, T_NCOL) with local lp/rp, read_i=0
+  int64_t rlen = 0, min_aln = 0;
+};
+
+struct BuildScratch {
+  std::vector<int64_t> mq, mt, ml, tx_cands;
+  BuildScratch() { mq.resize(4096); mt.resize(4096); ml.resize(4096); }
+};
+
+void build_one_read(const Engine& E, const uint8_t* read, int64_t rlen,
+                    int64_t read_off, BuildScratch& S, ReadBuild* out) {
+  out->meta.clear();
+  out->tasks.clear();
+  out->rlen = rlen;
+  int64_t min_aln = std::max((int64_t)(E.pct * (double)rlen), E.min_score);
+  out->min_aln = min_aln;
+  int64_t band = std::max(rlen - min_aln, (int64_t)0);
+  int64_t xdrop = band;
+
+  // local problem emitter (Chunk::meta layout, read-local ids)
+  Chunk local;
+  int64_t nm = thermite_smems(E.seeds, read, rlen, E.min_seed_len,
+                              S.mq.data(), S.mt.data(), S.ml.data(),
+                              (int64_t)S.mq.size());
+  if (nm < 0) {
+    S.mq.resize(-nm); S.mt.resize(-nm); S.ml.resize(-nm);
+    nm = thermite_smems(E.seeds, read, rlen, E.min_seed_len, S.mq.data(),
+                        S.mt.data(), S.ml.data(), (int64_t)S.mq.size());
+  }
+
+  for (int64_t m = 0; m < nm; ++m) {
+    int64_t hq = S.mq[m], href = S.mt[m], hlen = S.ml[m];
+    int64_t r = E.ref_of(href);
+
+    // genome window (reference src/aligner.rs:209-227)
+    int64_t seq_start = std::max(href - (rlen + band), E.ref_start[r]);
+    int64_t seq_end = std::min(href + hlen + rlen + band, E.ref_end[r] - 1);
+    int64_t lp, rp;
+    extend_problems(&local, href, hlen, seq_start, seq_end, read_off, hq,
+                    rlen, band, xdrop, &lp, &rp);
+    int64_t row[T_NCOL] = {0,        0,  href - seq_start, hq, hlen,
+                           lp,       rp, seq_end - seq_start,
+                           seq_start, -1};
+    local.tasks.insert(local.tasks.end(), row, row + T_NCOL);
+
+    // transcriptome candidates (src/aligner.rs:230-258), ascending tx
+    E.e2t.find(href, href + hlen, &S.tx_cands);
+    std::sort(S.tx_cands.begin(), S.tx_cands.end());
+    S.tx_cands.erase(std::unique(S.tx_cands.begin(), S.tx_cands.end()),
+                     S.tx_cands.end());
+    for (int64_t tx : S.tx_cands) {
+      int64_t sref, sq, slen;
+      if (!lift_mem_to_tx(E, tx, href, hq, hlen, &sref, &sq, &slen))
+        continue;  // Python raises; SMEM candidates always intersect
+      const uint8_t* tseq = E.ref_text + E.tx_off[tx];
+      int64_t tlen = E.tx_len(tx);
+      extend_seed_match(tseq, tlen, read, rlen, &sref, &sq, &slen);
+      int64_t base = E.tx_off[tx];
+      int64_t y_lo = std::max(sref - (rlen + band), (int64_t)0);
+      extend_problems(&local, base + sref, slen, base + y_lo, base + tlen,
+                      read_off, sq, rlen, band, xdrop, &lp, &rp);
+      int64_t trow[T_NCOL] = {0, 1, sref, sq, slen, lp, rp, tlen, 0, tx};
+      local.tasks.insert(local.tasks.end(), trow, trow + T_NCOL);
+    }
+  }
+  out->meta.swap(local.meta);
+  out->tasks.swap(local.tasks);
+}
+
+// append one built read to the chunk, rebasing local problem/task ids
+void merge_read(Chunk* ch, int64_t ri, const ReadBuild& rb) {
+  int64_t pbase = ch->n_problems();
+  ch->read_len.push_back(rb.rlen);
+  ch->read_minscore.push_back(rb.min_aln);
+  ch->read_task_off.push_back(ch->n_tasks());
+  ch->n_reads = ri + 1;
+  ch->meta.insert(ch->meta.end(), rb.meta.begin(), rb.meta.end());
+  size_t t0 = ch->tasks.size();
+  ch->tasks.insert(ch->tasks.end(), rb.tasks.begin(), rb.tasks.end());
+  for (size_t t = t0; t < ch->tasks.size(); t += T_NCOL) {
+    ch->tasks[t + T_READ] = ri;
+    ch->tasks[t + T_LP] += pbase;
+    ch->tasks[t + T_RP] += pbase;
+  }
+}
+
+int build_threads() { return table_threads(); }
+
+}  // namespace
+
+extern "C" {
+
 // Build tasks/problems for reads until the problem budget is reached.
 // reads: (n_reads, rpad) row-major padded block. Returns a Chunk handle;
 // the number of consumed reads is read back via thermite_chunk_n_reads.
+//
+// The per-read work (seed lookup + task construction) parallelizes
+// across THERMITE_THREADS (default: hardware concurrency) worker
+// threads — the reference's own concurrency contract is clone-across-
+// threads over a shared index (src/wrapper.rs:20-27).  Reads merge
+// back in input order with identical budget semantics (read ri is
+// consumed iff fewer than `problem_budget` problems precede it), so
+// output is bit-identical at any thread count (tests/test_native_seed
+// ::test_threaded_build_identity).
 void* thermite_chunk_build(void* h, const uint8_t* reads, int64_t n_reads,
                            int64_t rpad, const int64_t* read_lens,
                            int64_t problem_budget) {
   auto& E = *static_cast<Engine*>(h);
   auto* ch = new Chunk();
 
-  std::vector<int64_t> mq, mt, ml;
-  mq.resize(4096); mt.resize(4096); ml.resize(4096);
-  std::vector<int64_t> tx_cands;
+  int nthreads = build_threads();
+  if (nthreads <= 1 || n_reads < 64) {
+    // sequential path: stop as soon as the budget is hit (no wasted
+    // seed lookups past the cutoff)
+    BuildScratch S;
+    ReadBuild rb;
+    for (int64_t ri = 0; ri < n_reads; ++ri) {
+      if (ch->n_problems() >= problem_budget) break;
+      build_one_read(E, reads + ri * rpad, read_lens[ri], ri * rpad, S, &rb);
+      merge_read(ch, ri, rb);
+    }
+    ch->read_task_off.push_back(ch->n_tasks());
+    return ch;
+  }
+
+  // threaded: build every offered read in parallel (the caller sizes
+  // the offer to ~1.25x the expected chunk), then merge in order until
+  // the budget cuts — identical consumption rule to the sequential path
+  std::vector<ReadBuild> built(n_reads);
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    BuildScratch S;
+    while (true) {
+      int64_t ri = next.fetch_add(1, std::memory_order_relaxed);
+      if (ri >= n_reads) break;
+      build_one_read(E, reads + ri * rpad, read_lens[ri], ri * rpad, S,
+                     &built[ri]);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 0; t < nthreads - 1; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
 
   for (int64_t ri = 0; ri < n_reads; ++ri) {
     if (ch->n_problems() >= problem_budget) break;
-    const uint8_t* read = reads + ri * rpad;
-    int64_t rlen = read_lens[ri];
-    int64_t min_aln = std::max((int64_t)(E.pct * (double)rlen), E.min_score);
-    int64_t band = std::max(rlen - min_aln, (int64_t)0);
-    int64_t xdrop = band;
-    ch->read_len.push_back(rlen);
-    ch->read_minscore.push_back(min_aln);
-    ch->read_task_off.push_back(ch->n_tasks());
-    ch->n_reads = ri + 1;
-    int64_t read_off = ri * rpad;
-
-    int64_t nm = thermite_smems(E.seeds, read, rlen, E.min_seed_len, mq.data(),
-                                mt.data(), ml.data(), (int64_t)mq.size());
-    if (nm < 0) {
-      mq.resize(-nm); mt.resize(-nm); ml.resize(-nm);
-      nm = thermite_smems(E.seeds, read, rlen, E.min_seed_len, mq.data(),
-                          mt.data(), ml.data(), (int64_t)mq.size());
-    }
-
-    for (int64_t m = 0; m < nm; ++m) {
-      int64_t hq = mq[m], href = mt[m], hlen = ml[m];
-      int64_t r = E.ref_of(href);
-
-      // genome window (reference src/aligner.rs:209-227)
-      int64_t seq_start = std::max(href - (rlen + band), E.ref_start[r]);
-      int64_t seq_end =
-          std::min(href + hlen + rlen + band, E.ref_end[r] - 1);
-      int64_t lp, rp;
-      extend_problems(ch, href, hlen, seq_start, seq_end, read_off, hq, rlen,
-                      band, xdrop, &lp, &rp);
-      int64_t row[T_NCOL] = {ri,       0,  href - seq_start, hq, hlen,
-                             lp,       rp, seq_end - seq_start,
-                             seq_start, -1};
-      ch->tasks.insert(ch->tasks.end(), row, row + T_NCOL);
-
-      // transcriptome candidates (src/aligner.rs:230-258), ascending tx
-      E.e2t.find(href, href + hlen, &tx_cands);
-      std::sort(tx_cands.begin(), tx_cands.end());
-      tx_cands.erase(std::unique(tx_cands.begin(), tx_cands.end()),
-                     tx_cands.end());
-      for (int64_t tx : tx_cands) {
-        int64_t sref, sq, slen;
-        if (!lift_mem_to_tx(E, tx, href, hq, hlen, &sref, &sq, &slen))
-          continue;  // Python raises; SMEM candidates always intersect
-        const uint8_t* tseq = E.ref_text + E.tx_off[tx];
-        int64_t tlen = E.tx_len(tx);
-        extend_seed_match(tseq, tlen, read, rlen, &sref, &sq, &slen);
-        int64_t base = E.tx_off[tx];
-        int64_t y_lo = std::max(sref - (rlen + band), (int64_t)0);
-        extend_problems(ch, base + sref, slen, base + y_lo, base + tlen,
-                        read_off, sq, rlen, band, xdrop, &lp, &rp);
-        int64_t trow[T_NCOL] = {ri, 1, sref, sq, slen, lp, rp, tlen, 0, tx};
-        ch->tasks.insert(ch->tasks.end(), trow, trow + T_NCOL);
-      }
-    }
+    merge_read(ch, ri, built[ri]);
   }
   ch->read_task_off.push_back(ch->n_tasks());
   return ch;
@@ -1154,6 +1350,292 @@ const int64_t* thermite_chunk_winners(void* ch) {
 
 }  // extern "C"
 
+// ---------------------------------------------------------------------------
+// Scalar banded SWG extension (exact mirror of the Python oracle
+// thermite_tpu/ops/swg_ref.py, itself the cleaned-up semantic of
+// reference src/swg.rs:31-240): anchored at (0,0), free end at the
+// global max cell, banded, affine gaps, X-drop early termination,
+// diag > del > ins tie priority, strictly-greater max updates.
+//
+// Output is the stream-traceback kernel's packed row format
+// ([score, max_i, max_j, nsteps, 2-bit dir codes 16/word in BACKWARD
+// walk order]), so the host can splice oracle-computed rows into the
+// device output unchanged.  Used (a) to patch the rare problems whose
+// narrow-band device pass fails its exactness certificate, and (b) as
+// the all-native single-core baseline engine.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int32_t kMatch = 1, kMismatch = -1, kGapOpen = -1, kGapExtend = -1;
+constexpr int32_t kMinScore = -(1 << 30);
+enum { D_MATCH = 0, D_SUBST = 1, D_DEL = 2, D_INS = 3 };
+
+struct SwgScratch {
+  std::vector<int32_t> D, C, R;
+  std::vector<uint8_t> trace;  // (ylen+1, w) dir codes
+};
+
+// walk from (max_i, max_j) back to (0,0), packing 2-bit codes in
+// backward order, 16 per int32 word.  Returns nsteps or -1 on overflow.
+int64_t pack_walk(const SwgScratch& S, int64_t w, int64_t band, int64_t mi,
+                  int64_t mj, int32_t* words, int64_t pw) {
+  int64_t i = mi, j = mj, n = 0;
+  const int64_t cap = pw * 16;
+  while (i > 0 || j > 0) {
+    int64_t lo = j - band;
+    int64_t bi = i - (lo > 0 ? lo : 0);
+    if (bi < 0) bi = 0;
+    if (bi > w - 1) bi = w - 1;
+    int32_t d = S.trace[j * w + bi];
+    if (n >= cap) return -1;
+    words[n >> 4] |= d << (2 * (n & 15));
+    ++n;
+    if (d == D_MATCH || d == D_SUBST) { --i; --j; }
+    else if (d == D_INS) { --i; }
+    else { --j; }
+  }
+  return n;
+}
+
+// one banded SWG extension into a packed stream row (4 + pw int32s,
+// caller-zeroed).  Returns 0, or -1 if the walk overflowed pw.
+int64_t swg_stream_row(SwgScratch& S, const uint8_t* x, int64_t xlen,
+                       const uint8_t* y, int64_t ylen, int64_t band,
+                       int64_t xdrop, int32_t* out, int64_t pw) {
+  if (xlen <= 0 || ylen <= 0) return 0;  // trivial: all-zero row
+  const int64_t w = 2 * band + 1;
+  S.D.assign(w, 0);
+  S.C.assign(w, 0);
+  S.R.assign(w, 0);
+  S.trace.assign((size_t)((ylen + 1) * w), D_MATCH);
+  int32_t* D = S.D.data();
+  int32_t* C = S.C.data();
+  int32_t* R = S.R.data();
+  uint8_t* tr = S.trace.data();
+
+  int32_t max_score = 0;
+  int64_t max_i = 0, max_j = 0;
+
+  // column 0: gap ladder, Ins trace
+  tr[0] = D_INS;
+  for (int64_t i = 1; i < w; ++i) {
+    C[i] = kMinScore;
+    R[i] = (int32_t)(i * kGapExtend + kGapOpen);
+    D[i] = R[i];
+    tr[i] = D_INS;
+  }
+
+  bool stopped = false;
+  // phase 1: band anchored at row 0
+  int64_t p1_end = band < ylen ? band : ylen;
+  for (int64_t j = 1; j <= p1_end && !stopped; ++j) {
+    int32_t band_max = kMinScore;
+    int32_t prev_D = kMinScore;
+    int64_t ilim = w < xlen + 1 ? w : xlen + 1;
+    for (int64_t i = 0; i < ilim; ++i) {
+      int32_t cc = C[i] + kGapExtend;
+      int32_t cd = D[i] + kGapExtend + kGapOpen;
+      C[i] = cc > cd ? cc : cd;
+      if (i == 0) {
+        R[i] = kMinScore;
+      } else {
+        int32_t rr = R[i - 1] + kGapExtend;
+        int32_t rd = D[i - 1] + kGapExtend + kGapOpen;
+        R[i] = rr > rd ? rr : rd;
+      }
+      bool is_match = false;
+      int32_t d;
+      if (i == 0) {
+        d = kMinScore;
+      } else {
+        is_match = x[i - 1] == y[j - 1];
+        d = prev_D + (is_match ? kMatch : kMismatch);
+      }
+      prev_D = D[i];
+      int32_t cur = d >= C[i] ? (d >= R[i] ? d : (C[i] >= R[i] ? C[i] : R[i]))
+                              : (C[i] >= R[i] ? C[i] : R[i]);
+      uint8_t op;
+      if (cur == d) op = is_match ? D_MATCH : D_SUBST;
+      else if (cur == C[i]) op = D_DEL;
+      else op = D_INS;
+      D[i] = cur;
+      tr[j * w + i] = op;
+      if (cur > max_score) { max_score = cur; max_i = i; max_j = j; }
+      if (cur > band_max) band_max = cur;
+    }
+    if (band_max < max_score - xdrop) stopped = true;  // global stop
+  }
+
+  // phase 2: band slides one row per column
+  for (int64_t j = band + 1; j <= ylen && !stopped; ++j) {
+    int32_t band_max = kMinScore;
+    int64_t lo = j - band;
+    int64_t hi = lo + w < xlen + 1 ? lo + w : xlen + 1;
+    for (int64_t i = lo; i < hi; ++i) {
+      int64_t bi = i - lo;
+      if (bi >= w - 1) {
+        C[bi] = kMinScore;
+      } else {
+        int32_t cc = C[bi + 1] + kGapExtend;
+        int32_t cd = D[bi + 1] + kGapExtend + kGapOpen;
+        C[bi] = cc > cd ? cc : cd;
+      }
+      if (bi == 0) {
+        R[bi] = kMinScore;
+      } else {
+        int32_t rr = R[bi - 1] + kGapExtend;
+        int32_t rd = D[bi - 1] + kGapExtend + kGapOpen;
+        R[bi] = rr > rd ? rr : rd;
+      }
+      bool is_match = x[i - 1] == y[j - 1];
+      int32_t d = D[bi] + (is_match ? kMatch : kMismatch);
+      int32_t cur = d >= C[bi] ? (d >= R[bi] ? d : (C[bi] >= R[bi] ? C[bi] : R[bi]))
+                               : (C[bi] >= R[bi] ? C[bi] : R[bi]);
+      uint8_t op;
+      if (cur == d) op = is_match ? D_MATCH : D_SUBST;
+      else if (cur == C[bi]) op = D_DEL;
+      else op = D_INS;
+      D[bi] = cur;
+      tr[j * w + bi] = op;
+      if (cur > max_score) { max_score = cur; max_i = i; max_j = j; }
+      if (cur > band_max) band_max = cur;
+    }
+    if (band_max < max_score - xdrop) break;
+  }
+
+  out[0] = max_score;
+  out[1] = (int32_t)max_i;
+  out[2] = (int32_t)max_j;
+  int64_t n = pack_walk(S, w, band, max_i, max_j, out + 4, pw);
+  out[3] = (int32_t)n;
+  return n < 0 ? -1 : 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batch oracle: fill packed stream rows for `n` problems described by
+// 9-int32 meta rows over HOST byte arrays (ref_bytes = concatenated
+// reference text WITHOUT the device _WPAD padding; reads = the padded
+// read block).  Only rows listed in `pids` are computed; each row is
+// written at out + pids[k]*(4+pw).  Meta y anchor is the device
+// (word, sub) split, so y byte base = 8*word + sub - wpad.
+// Returns the number of walk overflows (0 = all exact).
+int64_t thermite_swg_patch_rows(
+    const uint8_t* ref_bytes, int64_t ref_len, const uint8_t* reads,
+    int64_t reads_len, const int32_t* meta, const int64_t* pids, int64_t n,
+    int64_t wpad, int32_t* out, int64_t pw) {
+  SwgScratch S;
+  std::vector<uint8_t> xbuf, ybuf;
+  int64_t bad = 0;
+  for (int64_t k = 0; k < n; ++k) {
+    int64_t pid = pids[k];
+    const int32_t* m = meta + pid * 9;
+    int64_t yb = 8 * (int64_t)m[0] + m[1] - wpad;
+    int64_t yd = m[2], ylen = m[3];
+    int64_t xb = m[4], xd = m[5], xlen = m[6];
+    int64_t band = m[7], xdrop = m[8];
+    xbuf.resize(xlen > 0 ? xlen : 0);
+    for (int64_t i = 0; i < xlen; ++i) {
+      int64_t p = xb + xd * i;
+      xbuf[i] = (p >= 0 && p < reads_len) ? reads[p] : 0;
+    }
+    ybuf.resize(ylen > 0 ? ylen : 0);
+    for (int64_t i = 0; i < ylen; ++i) {
+      int64_t p = yb + yd * i;
+      ybuf[i] = (p >= 0 && p < ref_len) ? ref_bytes[p] : 0;
+    }
+    int32_t* row = out + pid * (4 + pw);
+    std::memset(row, 0, (4 + pw) * sizeof(int32_t));
+    bad -= swg_stream_row(S, xbuf.data(), xlen, ybuf.data(), ylen, band,
+                          xdrop, row, pw);
+  }
+  return bad;
+}
+
+// Single-problem entry (tests / the all-native baseline engine).
+int64_t thermite_swg_stream(const uint8_t* x, int64_t xlen, const uint8_t* y,
+                            int64_t ylen, int64_t band, int64_t xdrop,
+                            int32_t* out, int64_t pw) {
+  SwgScratch S;
+  std::memset(out, 0, (4 + pw) * sizeof(int32_t));
+  return swg_stream_row(S, x, xlen, y, ylen, band, xdrop, out, pw);
+}
+
+// All-native single-core chunk pipeline: build -> scalar banded SWG on
+// every nontrivial problem -> arbitrate -> finalize, one thread, no
+// device.  This is the honest "thermite-equivalent single core"
+// baseline (the reference is compiled Rust at opt-level 3,
+// /root/reference/Cargo.toml:33-41; comparing the TPU pipeline against
+// a Python oracle would flatter it).  Returns a finalized Chunk handle
+// ready for thermite_chunk_emit / the standard getters, or nullptr on
+// internal error.  `consumed` reads back via thermite_chunk_n_reads.
+void* thermite_chunk_align_cpu(void* eh, const uint8_t* reads,
+                               int64_t n_reads, int64_t rpad,
+                               const int64_t* read_lens,
+                               int64_t problem_budget,
+                               int64_t wpad, int64_t pw) {
+  auto& E = *static_cast<Engine*>(eh);
+  const uint8_t* ref_bytes = E.ref_text;
+  const int64_t ref_len = E.ref_text_len;
+  // sequential build (1 thread: this is the single-core baseline)
+  Chunk* ch;
+  {
+    BuildScratch S;
+    ReadBuild rb;
+    ch = new Chunk();
+    for (int64_t ri = 0; ri < n_reads; ++ri) {
+      if (ch->n_problems() >= problem_budget) break;
+      build_one_read(E, reads + ri * rpad, read_lens[ri], ri * rpad, S, &rb);
+      merge_read(ch, ri, rb);
+    }
+    ch->read_task_off.push_back(ch->n_tasks());
+  }
+  const int64_t P = ch->n_problems();
+  std::vector<int32_t> rows((size_t)(P * (4 + pw)), 0);
+  std::vector<int32_t> scores(P), mi(P), mj(P);
+  {
+    SwgScratch S;
+    std::vector<uint8_t> xbuf, ybuf;
+    for (int64_t p = 0; p < P; ++p) {
+      const int32_t* m = ch->meta.data() + p * 9;
+      int64_t ylen = m[3], xlen = m[6];
+      int32_t* row = rows.data() + p * (4 + pw);
+      if (xlen > 0 && ylen > 0) {
+        int64_t yb = 8 * (int64_t)m[0] + m[1] - wpad;
+        int64_t yd = m[2], xb = m[4], xd = m[5];
+        xbuf.resize(xlen);
+        for (int64_t i = 0; i < xlen; ++i) xbuf[i] = reads[xb + xd * i];
+        ybuf.resize(ylen);
+        for (int64_t i = 0; i < ylen; ++i) {
+          int64_t q = yb + yd * i;
+          ybuf[i] = (q >= 0 && q < ref_len) ? ref_bytes[q] : 0;
+        }
+        if (swg_stream_row(S, xbuf.data(), xlen, ybuf.data(), ylen, m[7],
+                           m[8], row, pw) != 0) {
+          delete ch;
+          return nullptr;
+        }
+      }
+      scores[p] = row[0];
+      mi[p] = row[1];
+      mj[p] = row[2];
+    }
+  }
+  thermite_chunk_arbitrate(eh, ch, scores.data(), mi.data(), mj.data());
+  int64_t rc = thermite_chunk_finalize(eh, ch, rows.data(), P, pw,
+                                       ch->meta.data());
+  if (rc != 0) {
+    delete ch;
+    return nullptr;
+  }
+  return ch;
+}
+
+}  // extern "C"
+
 // ==========================================================================
 // Record emission (role of reference src/aln_writer.rs:118-358): SAM
 // text lines or binary BAM record blobs straight from the finalize
@@ -1257,7 +1739,7 @@ void emit_sam_record(const Engine& E, std::vector<uint8_t>& o,
                      int64_t score, int64_t nh, int64_t hi, int64_t nmm,
                      int type, int64_t tx, int64_t tx_ys,
                      const std::vector<std::pair<char, int64_t>>& tx_cig,
-                     int64_t gene) {
+                     int64_t gene, bool strip_tags = false) {
   // name truncated at first space
   int64_t nl = 0;
   while (nl < name_len && name[nl] != ' ') ++nl;
@@ -1303,6 +1785,10 @@ void emit_sam_record(const Engine& E, std::vector<uint8_t>& o,
     put_str(o, "\tNH:i:"); put_int(o, nh);
     put_str(o, "\tHI:i:"); put_int(o, hi);
     put_str(o, "\tnM:i:"); put_int(o, nmm);
+    if (strip_tags) {  // embedding wrapper: no TX/GX/GN/RE
+      o.push_back('\n');
+      return;
+    }
     if (type == A_EXONIC) {
       put_str(o, "\tTX:Z:");
       StrRef ti = blob_str(E, E.tx_id_off, tx);
@@ -1336,7 +1822,7 @@ void emit_bam_record(const Engine& E, std::vector<uint8_t>& o,
                      int64_t score, int64_t nh, int64_t hi, int64_t nmm,
                      int type, int64_t tx, int64_t tx_ys,
                      const std::vector<std::pair<char, int64_t>>& tx_cig,
-                     int64_t gene) {
+                     int64_t gene, bool strip_tags = false) {
   int64_t nl = 0;
   while (nl < name_len && name[nl] != ' ') ++nl;
   if (nl > 254) nl = 254;  // BAM l_read_name is uint8 (incl. NUL)
@@ -1401,6 +1887,11 @@ void emit_bam_record(const Engine& E, std::vector<uint8_t>& o,
     tag_i("NH", nh);
     tag_i("HI", hi);
     tag_i("nM", nmm);
+    if (strip_tags) {  // embedding wrapper: no TX/GX/GN/RE
+      int32_t blk0 = (int32_t)(o.size() - start - 4);
+      std::memcpy(o.data() + start, &blk0, 4);
+      return;
+    }
     if (type == A_EXONIC) {
       put_str(o, "TX"); o.push_back('Z');
       StrRef ti = blob_str(E, E.tx_id_off, tx);
@@ -1450,13 +1941,17 @@ void thermite_engine_set_strings(
 }
 
 // Emit all records of a finalized chunk in read order (fmt 0 = SAM
-// text, 1 = BAM record blobs).  Returns the byte length (buffer via
-// thermite_chunk_emit_buf), or -1 if any selected needed the host
-// fallback (caller uses the Python object path for the whole chunk).
+// text, 1 = BAM record blobs; bit 8 set strips the TX/GX/GN/RE tags —
+// the embedding wrapper surface, reference src/wrapper.rs:136-139).
+// Returns the byte length (buffer via thermite_chunk_emit_buf), or -1
+// if any selected needed the host fallback (caller uses the Python
+// object path for the whole chunk).
 int64_t thermite_chunk_emit(void* eh, void* chh, int fmt,
                             const uint8_t* names, const int64_t* name_off,
                             const uint8_t* seqs, const int64_t* seq_off,
                             const uint8_t* quals, const int64_t* qual_off) {
+  const bool strip = (fmt & 0x100) != 0;
+  fmt &= 0xff;
   auto& E = *static_cast<Engine*>(eh);
   auto& ch = *static_cast<Chunk*>(chh);
   int64_t S = (int64_t)ch.selected.size() / S_NCOL;
@@ -1482,10 +1977,12 @@ int64_t thermite_chunk_emit(void* eh, void* chh, int fmt,
       cig.clear();
       if (fmt == 0)
         emit_sam_record(E, o, nm, nml, sq, sql, ql, qll, false, true, true,
-                        0, 0, 255, cig, 0, 0, 0, 0, 0, -1, 0, tx_cig, -1);
+                        0, 0, 255, cig, 0, 0, 0, 0, 0, -1, 0, tx_cig, -1,
+                        strip);
       else
         emit_bam_record(E, o, nm, nml, sq, sql, ql, qll, false, true, true,
-                        0, 0, 255, cig, 0, 0, 0, 0, 0, -1, 0, tx_cig, -1);
+                        0, 0, 255, cig, 0, 0, 0, 0, 0, -1, 0, tx_cig, -1,
+                        strip);
       continue;
     }
     int mq = mapq_of(nh);
@@ -1512,12 +2009,12 @@ int64_t thermite_chunk_emit(void* eh, void* chh, int fmt,
         emit_sam_record(E, o, nm, nml, sq, sql, ql, qll, true, fwd,
                         row[S_PRIMARY] != 0, row[S_REFID], row[S_YS] + 1, mq,
                         cig, row[S_SCORE], nh, i + 1, nmm, type, tx, tx_ys,
-                        tx_cig, row[S_GENE]);
+                        tx_cig, row[S_GENE], strip);
       else
         emit_bam_record(E, o, nm, nml, sq, sql, ql, qll, true, fwd,
                         row[S_PRIMARY] != 0, row[S_REFID], row[S_YS] + 1, mq,
                         cig, row[S_SCORE], nh, i + 1, nmm, type, tx, tx_ys,
-                        tx_cig, row[S_GENE]);
+                        tx_cig, row[S_GENE], strip);
     }
   }
   return (int64_t)o.size();

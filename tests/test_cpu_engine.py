@@ -1,0 +1,44 @@
+"""All-native single-core engine (align/cpu.py): byte-identical records
+to the batch pipeline's emit path and to the Python writers."""
+
+import pytest
+
+from fixtures import READS, write_fixture
+
+from thermite_tpu.align.batch import BatchAligner
+from thermite_tpu.align.cpu import CppAligner
+from thermite_tpu.align.driver import AlignOpts
+from thermite_tpu.index.build import Index
+
+
+@pytest.fixture(scope="module")
+def index(tmp_path_factory):
+    ref, gtf, _ = write_fixture(tmp_path_factory.mktemp("cpu"))
+    return Index.create_from_files(ref, gtf)
+
+
+@pytest.fixture(scope="module")
+def recs():
+    out = [
+        (name.encode(), seq.encode(), b"9" * len(seq))
+        for name, seq in READS
+    ]
+    out.append((b"noqual", READS[1][1].encode(), b""))
+    return out * 3
+
+
+@pytest.mark.parametrize("fmt_bam", [False, True])
+def test_cpu_engine_matches_batch_emit(index, recs, fmt_bam):
+    opts = AlignOpts(
+        min_seed_len=3, min_aln_score_percent=0.0, min_aln_score=0,
+        intron_mode=True,
+    )
+    try:
+        cpp = CppAligner(index, opts)
+    except RuntimeError:
+        pytest.skip("native library unavailable")
+    got = cpp.align_records(recs, fmt_bam)
+
+    batch = BatchAligner(index, opts, backend="pallas", interpret=True)
+    want = batch.align_batch_emit(recs, fmt_bam)
+    assert got == want

@@ -80,12 +80,17 @@ def test_cli_host_rank_shards_merge_identical(tmp_path):
 
     def cli(*args):
         # force the CPU backend in the child: the deployment's
-        # sitecustomize pins JAX_PLATFORMS=axon (real TPU), which would
-        # drag remote kernel compiles into this unit test
+        # sitecustomize pins JAX_PLATFORMS=axon (real TPU) and
+        # registers the plugin whenever PALLAS_AXON_POOL_IPS is set —
+        # the env var alone does NOT undo the registration, so strip
+        # the trigger too or the child drags remote TPU kernel
+        # compiles into this unit test (observed: +8 min on a shape
+        # cache miss)
+        env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+        env.pop("PALLAS_AXON_POOL_IPS", None)
         subprocess.run(
             [sys.executable, "-m", "thermite_tpu.cli", *args],
-            check=True, capture_output=True,
-            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+            check=True, capture_output=True, env=env,
         )
 
     # reference run in-process (shares the session's jit cache; the

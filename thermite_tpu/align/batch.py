@@ -36,6 +36,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
+import os
 import time
 
 import jax
@@ -184,6 +185,17 @@ class BatchAligner:
             backend = "xla" if jax.default_backend() == "cpu" else "pallas"
         self.backend = backend
         self.interpret = interpret  # run Pallas kernels in interpret mode
+        # adaptive narrow-band pass (TPU single-pass pipeline only):
+        # extension problems are submitted at band min(band, narrow_band)
+        # and the kernel emits a per-problem exactness certificate
+        # (nsteps = -2 on failure); failures are recomputed exactly at
+        # the ORIGINAL band by the C++ scalar oracle and spliced into
+        # the device output, so every downstream stage sees bit-exact
+        # full-band results.  0 disables.  The default band at -s0
+        # (90 bp reads) is 60 -> ~3x fewer DP cells at band 15, with
+        # patch rates well under 1% on real reads (a flank certifies
+        # with up to (narrow_band+1)/2 mismatches).
+        self.narrow_band = int(os.environ.get("THERMITE_NARROW_BAND", "15"))
         # pipeline depth: 2 overlaps device kernels with host work; on a
         # single-core host the device runtime's polling thread contends
         # with long host builds (large genomes), where serializing wins.
@@ -305,7 +317,7 @@ class BatchAligner:
         (native engine + the single-pass pallas pipeline)."""
         return self.native is not None and self.backend == "pallas"
 
-    def align_batch_emit(self, recs, fmt_bam: bool):
+    def align_batch_emit(self, recs, fmt_bam: bool, strip_tags: bool = False):
         """Serialize-as-you-go batch alignment: ``recs`` is a list of
         (name, seq, qual) byte tuples; returns the concatenated output
         record bytes (SAM text lines or BAM record blobs, no header) in
@@ -313,7 +325,8 @@ class BatchAligner:
         from the finalize runs (reference src/aln_writer.rs:118-238 via
         io/sam.py semantics); any chunk whose stream needed a host
         fallback is serialized by the Python writers instead —
-        byte-identical either way (tests/test_emit.py)."""
+        byte-identical either way (tests/test_emit.py).  ``strip_tags``
+        drops TX/GX/GN/RE (the embedding wrapper surface)."""
         chunks: List[bytes] = []
 
         def fin(st, start):
@@ -331,6 +344,7 @@ class BatchAligner:
                     [r[0] for r in sl],
                     [r[1] for r in sl],
                     [r[2] or b"" for r in sl],
+                    strip_tags=strip_tags,
                 )
                 if raw is not None:
                     self.native.free_chunk(st.native_ch)
@@ -342,7 +356,7 @@ class BatchAligner:
             chunks.append(
                 _serialize_records(
                     self.index, recs[start : start + len(results)], results,
-                    fmt_bam,
+                    fmt_bam, strip_tags=strip_tags,
                 )
             )
 
@@ -368,13 +382,24 @@ class BatchAligner:
         # per-read band = len - max(pct*len, min_score) is maximized at
         # maxlen (the subtracted term grows at most as fast as len)
         band = max(maxlen - ms, 1)
+        # the adaptive narrow-band pass submits problems at the capped
+        # band, so the kernel shapes (YMAX/W) pin to the narrowed
+        # worst case; SMAX still covers ORIGINAL-band walks (host cert
+        # patches write full-band streams into the same rows)
+        kband = band
+        if (
+            self.narrow_band > 0
+            and self.native is not None
+            and self.backend == "pallas"
+        ):
+            kband = min(band, self.narrow_band)
         self._XMAX = max(_round_up(maxlen, 32), getattr(self, "_XMAX", 0))
         self._YMAX = max(
-            _round_up(maxlen + band + 1, 32), getattr(self, "_YMAX", 0)
+            _round_up(maxlen + kband + 1, 32), getattr(self, "_YMAX", 0)
         )
-        self._W = max(_round_up(2 * band + 1, 128), 128, getattr(self, "_W", 0))
+        self._W = max(_round_up(2 * kband + 1, 128), 128, getattr(self, "_W", 0))
         self._SMAX = max(
-            _round_up(self._XMAX + self._YMAX + 2, 128),
+            _round_up(self._XMAX + maxlen + band + 1 + 2, 128),
             getattr(self, "_SMAX", 0),
         )
         nb = _pow2_bucket(self.PROBLEM_BUDGET + 1024, 128)
@@ -1081,17 +1106,33 @@ class BatchAligner:
             )
         return self._MESH_KERN_CACHE[key]
 
+    def _narrow_meta(self, meta: np.ndarray) -> np.ndarray:
+        """Adaptive-banding device copy of the problem meta: band capped
+        at ``narrow_band`` and ylen re-clamped to the narrowed
+        xlen + band + 1 column bound.  x_drop stays the ORIGINAL value
+        (the certificate reasons about the original x_drop)."""
+        out = meta.copy()
+        np.minimum(out[:, 7], self.narrow_band, out=out[:, 7])
+        np.minimum(out[:, 3], out[:, 6] + out[:, 7] + 1, out=out[:, 3])
+        return out
+
     def _dispatch_forward(self, st: "_ChunkState") -> None:
         meta_all = st.meta_all
         n = len(meta_all)
-        XMAX, YMAX, W = self._shapes(meta_all)
+        narrowing = (
+            self.backend == "pallas"
+            and st.native_ch is not None
+            and self.narrow_band > 0
+        )
+        meta_dev = self._narrow_meta(meta_all) if narrowing else meta_all
+        XMAX, YMAX, W = self._shapes(meta_dev)
         if self.backend == "pallas":
             # trivial problems (empty query or reference flank) have a
             # known result (score 0, max cell (0,0)) — roughly half of
             # all problems on short-read workloads; keep them off-device
-            nontriv = (meta_all[:, 6] > 0) & (meta_all[:, 3] > 0)
+            nontriv = (meta_dev[:, 6] > 0) & (meta_dev[:, 3] > 0)
             st.fwd_idx = np.flatnonzero(nontriv)
-            sub = meta_all[st.fwd_idx]
+            sub = meta_dev[st.fwd_idx]
 
             if st.native_ch is not None:
                 # single-pass pipeline: the stream-traceback kernel runs
@@ -1116,8 +1157,17 @@ class BatchAligner:
                 self.stats.dp_cells += len(meta) * YMAX * (
                     W // 2 if packed else W
                 )
+                orig = meta_all[st.fwd_idx]
+                # full-band-equivalent cell count (the fair GCUPS
+                # numerator when the narrow-band pass shrinks dp_cells)
+                self.stats.dp_cells_ref += int(
+                    np.sum(orig[:, 3] * (2 * orig[:, 7] + 1), dtype=np.int64)
+                )
+                # SMAX must hold the ORIGINAL-band walks too: cert
+                # failures are host-patched at full band into the same
+                # pid-indexed rows
                 smax = _round_up(
-                    int((sub[:, 6] + sub[:, 3]).max(initial=1)) + 2, 128
+                    int((orig[:, 6] + orig[:, 3]).max(initial=1)) + 2, 128
                 )
                 smax = max(smax, getattr(self, "_SMAX", 0))
                 self._SMAX = smax
@@ -1160,6 +1210,18 @@ class BatchAligner:
                 # finalize; cols 0-2 are score/max_i/max_j
                 full = np.zeros((n, sub.shape[1]), np.int32)
                 full[st.fwd_idx] = sub
+                # narrow-band certificate failures (nsteps = -2) and
+                # flagged walks (-1): recompute those problems exactly
+                # at the ORIGINAL band with the C++ scalar oracle and
+                # splice the rows in — downstream stages then see
+                # bit-exact full-band results everywhere
+                bad = np.flatnonzero(full[:, 3] < 0)
+                if len(bad):
+                    self.native.patch_rows(
+                        st.meta_all, bad, st.reads_host,
+                        self._ref_text_host, full,
+                    )
+                    self.stats.cert_patches += len(bad)
                 st.tb_full = full
                 return full[:, 0], full[:, 1], full[:, 2]
             out = np.zeros((n, 3), np.int32)
@@ -1261,7 +1323,9 @@ class BatchAligner:
         return ops_by_pid
 
 
-def _serialize_records(index, recs, results, fmt_bam: bool) -> bytes:
+def _serialize_records(
+    index, recs, results, fmt_bam: bool, strip_tags: bool = False
+) -> bytes:
     """Python-writer serialization of one chunk's records (the emit
     fallback and parity referee)."""
     from ..io.bam import encode_bam_record
@@ -1269,8 +1333,11 @@ def _serialize_records(index, recs, results, fmt_bam: bool) -> bytes:
 
     ref_ids = {name: i for i, (name, _) in enumerate(unique_refs(index))}
     out: List[bytes] = []
+    _STRIP = {"TX", "GX", "GN", "RE"}
 
     def ser(rec):
+        if strip_tags:
+            rec.tags = [t for t in rec.tags if t[0] not in _STRIP]
         if fmt_bam:
             return encode_bam_record(rec, ref_ids)
         return (rec.to_line() + "\n").encode()

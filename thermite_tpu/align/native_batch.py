@@ -102,6 +102,17 @@ def _setup(lib):
     ]
     lib.thermite_chunk_emit_buf.restype = _u8p
     lib.thermite_chunk_emit_buf.argtypes = [ctypes.c_void_p]
+    lib.thermite_swg_stream.restype = ctypes.c_int64
+    lib.thermite_swg_stream.argtypes = [
+        _u8p, ctypes.c_int64, _u8p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, _i32p, ctypes.c_int64,
+    ]
+    lib.thermite_swg_patch_rows.restype = ctypes.c_int64
+    lib.thermite_swg_patch_rows.argtypes = [
+        _u8p, ctypes.c_int64, _u8p, ctypes.c_int64,
+        _i32p, _i64p, ctypes.c_int64, ctypes.c_int64,
+        _i32p, ctypes.c_int64,
+    ]
     lib._batch_setup_done = True
 
 
@@ -236,17 +247,21 @@ class NativeBatchEngine:
         )
         self._strings_set = True
 
-    def emit_chunk(self, ch, fmt_bam: bool, names, seqs, quals):
+    def emit_chunk(self, ch, fmt_bam: bool, names, seqs, quals,
+                   strip_tags: bool = False):
         """Serialize every record of a finalized chunk in C++ (SAM text
         or BAM record blobs) — returns bytes, or None if any selected
-        hit the stream fallback (caller uses the Python object path)."""
+        hit the stream fallback (caller uses the Python object path).
+        ``strip_tags`` drops TX/GX/GN/RE (the embedding wrapper
+        surface, reference src/wrapper.rs:136-139)."""
         if not getattr(self, "_strings_set", False):
             self.set_strings()
         nb, noff = _blob(names)
         sb, soff = _blob(seqs)
         qb, qoff = _blob(quals)
+        fmt = (1 if fmt_bam else 0) | (0x100 if strip_tags else 0)
         n = self._lib.thermite_chunk_emit(
-            self._h, ch, 1 if fmt_bam else 0,
+            self._h, ch, fmt,
             _arr(nb, _u8p), _arr(noff, _i64p),
             _arr(sb, _u8p), _arr(soff, _i64p),
             _arr(qb, _u8p), _arr(qoff, _i64p),
@@ -335,6 +350,31 @@ class NativeBatchEngine:
         tx_meta = np.ctypeslib.as_array(lib.thermite_chunk_tx_meta(ch), (S, 5)).copy() if S else np.zeros((0, 5), np.int64)
         fallback = np.ctypeslib.as_array(lib.thermite_chunk_fallback(ch), (S,)).copy() if S else np.zeros(0, np.uint8)
         return fin_runs, fin_off, tx_runs, tx_off, tx_meta, fallback
+
+    def patch_rows(
+        self, meta: np.ndarray, pids: np.ndarray, reads_pad: np.ndarray,
+        ref_text: np.ndarray, tb_full: np.ndarray,
+    ) -> None:
+        """Recompute `pids` stream rows with the C++ scalar banded-SWG
+        oracle (exact reference semantics at the ORIGINAL band) and
+        splice them into the device output array in place.  Used to
+        patch narrow-band certificate failures / flagged walks."""
+        from ..ops.swg_pallas import _WPAD
+
+        meta = np.ascontiguousarray(meta, np.int32)
+        pids = np.ascontiguousarray(pids, np.int64)
+        assert tb_full.dtype == np.int32 and tb_full.flags.c_contiguous
+        pw = tb_full.shape[1] - 4
+        rc = self._lib.thermite_swg_patch_rows(
+            _arr(ref_text, _u8p), len(ref_text),
+            _arr(reads_pad.reshape(-1), _u8p), reads_pad.size,
+            _arr(meta, _i32p), _arr(pids, _i64p), len(pids),
+            _WPAD, _arr(tb_full, _i32p), pw,
+        )
+        if rc != 0:
+            raise AssertionError(
+                f"native SWG patch: {rc} walk overflows (pw={pw} too small)"
+            )
 
     def free_chunk(self, ch) -> None:
         self._lib.thermite_chunk_free(ch)

@@ -23,7 +23,32 @@ FORMAT_BAM = "bam"
 
 
 def _count_records(query_paths) -> int:
-    return sum(1 for p in query_paths for _ in parse_fastx(p))
+    """Cheap record count for shard bounds: raw buffered line/record
+    scan (FASTQ = lines/4, FASTA = '>' lines) instead of a full
+    ``parse_fastx`` pass — shard mode otherwise parses every input
+    twice per host."""
+    from ..io.fastx import _open
+
+    total = 0
+    for p in query_paths:
+        with _open(p) as fh:
+            first = fh.peek(1)[:1]
+            if first == b">":
+                while True:
+                    block = fh.read(1 << 20)
+                    if not block:
+                        break
+                    total += block.count(b"\n>")
+                total += 1  # first record has no preceding newline
+            else:
+                lines = 0
+                while True:
+                    block = fh.read(1 << 20)
+                    if not block:
+                        break
+                    lines += block.count(b"\n")
+                total += (lines + 3) // 4
+    return total
 
 
 def align_reads_from_file(
@@ -141,6 +166,34 @@ def align_reads_from_file(
                     yield from zip(buf, batcher.align_batch([r.seq for r in buf]))
 
             results = batched_records()
+        elif engine == "cpp":
+            # all-native single-core pipeline (the honest baseline
+            # engine; align/cpu.py) — emit-only surface
+            if output_fmt not in (FORMAT_SAM, FORMAT_BAM):
+                raise ValueError("--engine cpp writes SAM/BAM only")
+            from .cpu import CppAligner
+
+            cpp = CppAligner(index, opts)
+            buf = []
+
+            def flush_cpp():
+                raw = cpp.align_records(
+                    [(r.id, r.seq, r.qual) for r in buf],
+                    output_fmt == FORMAT_BAM,
+                )
+                writer.write_raw(raw)
+
+            for rec in records():
+                buf.append(rec)
+                if len(buf) >= batch_size:
+                    flush_cpp()
+                    buf = []
+            if buf:
+                flush_cpp()
+            writer.finish()
+            if verbose:
+                print(cpp.stats.report(), file=sys.stderr)
+            return
         else:
             raise ValueError(f"unknown engine {engine!r}")
 

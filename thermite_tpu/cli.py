@@ -89,7 +89,11 @@ def main(argv=None) -> int:
     )
     pa.add_argument("-a", dest="bam", action="store_true", help="SAM/BAM output")
     pa.add_argument("--intron-mode", action="store_true")
-    pa.add_argument("--engine", choices=["oracle", "batch"], default="batch")
+    pa.add_argument(
+        "--engine", choices=["oracle", "batch", "cpp"], default="batch",
+        help="batch = TPU pipeline; oracle = sequential Python referee; "
+        "cpp = all-native single-core baseline (SAM/BAM only)",
+    )
     pa.add_argument("--batch-size", type=int, default=16384)
     pa.add_argument(
         "--profile", default=None, metavar="DIR",

@@ -269,7 +269,12 @@ class Index:
         ett = self.txome.exon_to_tx
         gi = self.txome.gene_intervals
         if self.seed_table is None:
-            self.build_seed_table()
+            # same size-based stride default as the CLI: a stride-1
+            # genome-scale table is tens of GB and an hours-long build —
+            # never the right silent default (cli.py --seed-stride)
+            self.build_seed_table(
+                stride=1 if len(self.seq) < (512 << 20) else 4
+            )
         sk, skeys, soff, spos = self.seed_table
         meta["seed_k"] = int(sk)
         # positions fit int32 for any <2 GiB text: halve disk + IO

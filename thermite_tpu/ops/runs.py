@@ -69,6 +69,12 @@ def decode_stream_batch(
     alns: List[Optional[Alignment]] = []
     for k in range(N):
         score, max_i, max_j, n = (int(v) for v in out[k, :4])
+        if n <= -2:
+            # band-exactness certificate failure, encoded -2 - nsteps:
+            # the walk is still exact AT THIS BAND — recover it (this
+            # decoder serves callers that ran the original band; the
+            # adaptive-narrowing pipeline patches such rows instead)
+            n = -2 - n
         if n < 0:
             alns.append(None)
             continue

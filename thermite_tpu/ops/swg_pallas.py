@@ -153,7 +153,10 @@ def _dp_column_step(
     stop1 = jnp.maximum(stop1, (in_p1 & active & dropped).astype(jnp.int32))
     stop2 = jnp.maximum(stop2, ((~in_p1) & active & dropped).astype(jnp.int32))
 
-    return D, C, R, xs, yb, max_s, max_i, max_j, stop1, stop2, dir_row
+    return (
+        D, C, R, xs, yb, max_s, max_i, max_j, stop1, stop2, dir_row,
+        band_max, active, dropped,
+    )
 
 
 def _init_state(xs0, params, t, W, BBLK):
@@ -204,7 +207,7 @@ def make_forward_kernel(BBLK: int, XMAX: int, YMAX: int, W: int, interpret: bool
 
         def body(j, carry):
             D, C, R, xs, yb, ms, mi, mj, s1, s2 = carry
-            D, C, R, xs, yb, ms, mi, mj, s1, s2, _ = _dp_column_step(
+            D, C, R, xs, yb, ms, mi, mj, s1, s2, _, _, _, _ = _dp_column_step(
                 j, D, C, R, xs, yb, ms, mi, mj, s1, s2,
                 xlen, ylen, band, x_drop, t, W, want_dirs=False,
             )
@@ -270,9 +273,11 @@ def make_traceback_kernel(
 
         def body(j, carry):
             D, C, R, xs, yb, ms, mi, mj, s1, s2 = carry
-            D, C, R, xs, yb, ms, mi, mj, s1, s2, dir_row = _dp_column_step(
-                j, D, C, R, xs, yb, ms, mi, mj, s1, s2,
-                xlen, ylen, band, x_drop, t, W,
+            D, C, R, xs, yb, ms, mi, mj, s1, s2, dir_row, _, _, _ = (
+                _dp_column_step(
+                    j, D, C, R, xs, yb, ms, mi, mj, s1, s2,
+                    xlen, ylen, band, x_drop, t, W,
+                )
             )
             dirs_ref[pl.ds(j, 1), :, :] = dir_row[None]
             return (D, C, R, xs, yb, ms, mi, mj, s1, s2)
@@ -399,10 +404,35 @@ def make_stream_traceback_kernel(
     16 codes/int32 in plain XLA after the pallas_call.
 
     Outputs: (N, 4 + SMAX/16) int32 rows:
-      [score, max_i, max_j, nsteps, packed_codes...] — nsteps < 0
+      [score, max_i, max_j, nsteps, packed_codes...] — nsteps = -1
       flags an unterminated walk (host recomputes; not observed in
       practice).  Codes are DIR_* values in *backward* walk order,
       2 bits each, little-endian within each word.
+
+    **Band-exactness certificate** (nsteps = -2 on failure): the kernel
+    also proves, per pair, that running the SAME problem at ANY wider
+    band (larger ``band``, ylen re-clamped accordingly, same x_drop)
+    would produce a bit-identical output row.  This powers the adaptive
+    narrow-band pass: the host submits problems at a narrow band and
+    recomputes only certificate failures at full band (C++ oracle).
+
+    Soundness sketch (constants M/o/e = MATCH/GAP_OPEN/GAP_EXTEND):
+    any path that touches a cell outside the narrow band must contain
+    at least band+1 gap extensions and one open, so its score prefix at
+    column j is bounded by E(j) = min(j, xlen)*M + o + (band+1)*e.
+    The certificate requires
+      (a) every pre-stop column's band max exceeds E(j) - x_drop
+          (tracked as ``cmin``): the wide DP can then never X-drop-stop
+          earlier than the narrow one (in-band values only grow with
+          band; excursion-inflated running maxima are offset by (a)),
+      (b) final max_s strictly exceeds E(j_stop) + x_drop if the narrow
+          pass stopped (the wide pass then stops at the same column,
+          and no excursion value can beat or tie max_s), or strictly
+          exceeds E(ylen) if it ran to completion,
+    so the wide optimum, its first-attainment cell (max_i, max_j), and
+    every traceback direction along the walk (any tie with an
+    excursion-derived value would imply an out-of-band path scoring
+    >= max_s, contradicting (b)) coincide with the narrow pass's.
     """
     XW = xwidth(XMAX, W)
     # SMAX bounds the per-pair step count; callers may pass a tighter
@@ -425,19 +455,44 @@ def make_stream_traceback_kernel(
 
         dirs_ref[0, :, :] = jnp.where(t <= 2 * band, DIR_INS, DIR_MATCH)
 
+        # band-exactness certificate state (see docstring): E(j) bounds
+        # any path touching a cell outside this band.
+        e_ladder = jnp.int32(GAP_OPEN) + (band + 1) * jnp.int32(GAP_EXTEND)
+        ub_final = xlen * jnp.int32(MATCH_SCORE) + e_ladder
+        big = jnp.full((BBLK, 1), 1 << 30, jnp.int32)
+
         def body(j, carry):
-            D, C, R, xs, yb, ms, mi, mj, s1, s2 = carry
-            D, C, R, xs, yb, ms, mi, mj, s1, s2, dir_row = _dp_column_step(
+            D, C, R, xs, yb, ms, mi, mj, s1, s2, cmin, ecap, rstop = carry
+            (D, C, R, xs, yb, ms, mi, mj, s1, s2, dir_row, bmax, active,
+             dropped) = _dp_column_step(
                 j, D, C, R, xs, yb, ms, mi, mj, s1, s2,
                 xlen, ylen, band, x_drop, t, W,
             )
             dirs_ref[pl.ds(j, 1), :, :] = dir_row[None]
-            return (D, C, R, xs, yb, ms, mi, mj, s1, s2)
+            ej = jnp.minimum(j, xlen) * jnp.int32(MATCH_SCORE) + e_ladder
+            cmin = jnp.where(active & ~dropped, jnp.minimum(cmin, bmax - ej), cmin)
+            # distinguish a REAL x-drop stop (computed cells fell x_drop
+            # below the running max) from band exhaustion (the trailing
+            # column past row xlen has no in-band cells, so band_max
+            # stays MIN and the stop flag fires as a loop exit): only a
+            # real drop forces the stronger stopped-case certificate —
+            # an exhausted band is completion, and the wide pass's extra
+            # cells there are all excursion-bounded below ub_final.
+            real_drop = active & dropped & (bmax > jnp.int32(MIN_SCORE))
+            ecap = jnp.where(real_drop, ej, ecap)
+            rstop = jnp.maximum(rstop, real_drop.astype(jnp.int32))
+            return (D, C, R, xs, yb, ms, mi, mj, s1, s2, cmin, ecap, rstop)
 
         carry = jax.lax.fori_loop(
-            1, YMAX + 1, body, (D, C, R, xs, yb, z, z, z, z, z)
+            1, YMAX + 1, body,
+            (D, C, R, xs, yb, z, z, z, z, z, big,
+             jnp.broadcast_to(ub_final, (BBLK, 1)), z),
         )
-        ms, mi, mj = carry[5], carry[6], carry[7]
+        ms, mi, mj, cmin, ecap, rstop = (
+            carry[5], carry[6], carry[7], carry[10], carry[11], carry[12],
+        )
+        cert_ub = jnp.where(rstop > 0, ecap + x_drop, ub_final)
+        cert = (cmin > -x_drop) & (ms > cert_ub)
 
         # ---- vectorized walk ----
         ops_ref[:, :] = jnp.zeros((BBLK, SMAX), jnp.int32)
@@ -473,7 +528,13 @@ def make_stream_traceback_kernel(
             cond, step, (jj0, mi, mj, z, jnp.int32(0))
         )
         bad = (i > 0) | (j > 0) | (c > SMAX)
-        nsteps = jnp.where(bad, -1, c)
+        # cert failure encodes RECOVERABLY as -2 - nsteps (the walk
+        # itself is valid at this band; only the any-wider-band
+        # guarantee failed): callers that did not narrow recover the
+        # walk via decode_stream_batch, the narrowing pipeline patches
+        # every negative row with the full-band C++ oracle.  A bad
+        # walk stays -1 in all cases.
+        nsteps = jnp.where(bad, -1, jnp.where(cert, c, -2 - c))
         meta_ref[:, :] = jnp.concatenate([ms, mi, mj, nsteps], axis=1)
 
     def call(x, y, params):

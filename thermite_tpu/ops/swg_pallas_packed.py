@@ -133,12 +133,19 @@ def make_packed_stream_call(BBLK: int, XSRC: int, YMAX: int, SMAX: int,
             b = jnp.min(jnp.where(gB, v, init), axis=1, keepdims=True)
             return jnp.where(gB, b, a)
 
+        # band-exactness certificate state in lane space (uniform per
+        # segment; see swg_pallas.make_stream_traceback_kernel docstring)
+        e_ladder = jnp.int32(GAP_OPEN) + (band + 1) * jnp.int32(GAP_EXTEND)
+        ub_final = xlen * jnp.int32(MATCH_SCORE) + e_ladder
+        bigW = jnp.full((BBLK, W), 1 << 30, jnp.int32)
+
         def body(j, carry):
             # all per-problem tracking state lives in LANE space
             # (uniform within each 64-lane segment): narrow (BBLK, 2)
             # vector ops pad to full tiles anyway, and the per-column
             # lane<->pair concatenates were pure overhead
-            D, C, xs, xsA, xsB, ybA, ybB, ms, mi, mj, s1, s2 = carry
+            (D, C, xs, xsA, xsB, ybA, ybB, ms, mi, mj, s1, s2, cmin, ecap,
+             rstop) = carry
             in_p1 = j <= band
             sh = ~in_p1
             active = (j <= ylen) & (s1 == 0) & (in_p1 | (s2 == 0))
@@ -212,13 +219,26 @@ def make_packed_stream_call(BBLK: int, XSRC: int, YMAX: int, SMAX: int,
             dropped = band_max < ms - x_drop
             s1 = jnp.maximum(s1, (in_p1 & active & dropped).astype(jnp.int32))
             s2 = jnp.maximum(s2, ((~in_p1) & active & dropped).astype(jnp.int32))
-            return (D, C, xs, xsA, xsB, ybA, ybB, ms, mi, mj, s1, s2)
+            ej = jnp.minimum(j, xlen) * jnp.int32(MATCH_SCORE) + e_ladder
+            cmin = jnp.where(
+                active & ~dropped, jnp.minimum(cmin, band_max - ej), cmin
+            )
+            # real x-drop vs band exhaustion: see the general kernel
+            real_drop = active & dropped & (band_max > MIN)
+            ecap = jnp.where(real_drop, ej, ecap)
+            rstop = jnp.maximum(rstop, real_drop.astype(jnp.int32))
+            return (D, C, xs, xsA, xsB, ybA, ybB, ms, mi, mj, s1, s2, cmin,
+                    ecap, rstop)
 
         carry = jax.lax.fori_loop(
             1, YMAX + 1, body,
-            (D, C, xs, xsA, xsB, ybA, ybB, zW, zW, zW, zW, zW),
+            (D, C, xs, xsA, xsB, ybA, ybB, zW, zW, zW, zW, zW, bigW,
+             ub_final, zW),
         )
         msL, miL, mjL = carry[7], carry[8], carry[9]
+        cminL, ecapL, rstopL = carry[12], carry[13], carry[14]
+        cert_ubL = jnp.where(rstopL > 0, ecapL + x_drop, ub_final)
+        certL = ((cminL > -x_drop) & (msL > cert_ubL)).astype(jnp.int32)
 
         def to_pair(v):  # lane-space per-segment scalar -> (BBLK, 2)
             a = jnp.max(jnp.where(gB, jnp.int32(-(1 << 30)), v), axis=1,
@@ -228,6 +248,7 @@ def make_packed_stream_call(BBLK: int, XSRC: int, YMAX: int, SMAX: int,
             return jnp.concatenate([a, b], axis=1)
 
         ms, mi, mj = to_pair(msL), to_pair(miL), to_pair(mjL)
+        certp = to_pair(certL)
         band2v = pair(2)
 
         # ---- vectorized walk over both segments ----
@@ -283,7 +304,9 @@ def make_packed_stream_call(BBLK: int, XSRC: int, YMAX: int, SMAX: int,
                 cond, step, (jj0, mi, mj, z2, jnp.int32(0))
             )
             bad = (i > 0) | (j > 0) | (c > SMAX)
-            ns = jnp.where(bad, -1, c)
+            # cert failure -> recoverable -2 - nsteps (see the general
+            # kernel); bad walks stay -1
+            ns = jnp.where(bad, -1, jnp.where(certp > 0, c, -2 - c))
         else:  # diagnostic forward-only mode (perf decomposition)
             ns = z2
         meta_ref[:, :] = jnp.concatenate(

@@ -33,12 +33,15 @@ except ImportError:  # pragma: no cover - older jax
 
 
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:
-    devices = jax.devices()
+    # local_devices, not devices: after jax.distributed.initialize a
+    # host only ADDRESSES its own chips — global devices of other hosts
+    # cannot back a local mesh (the CLI promises "N local devices")
+    devices = jax.local_devices()
     if n_devices is not None:
         if len(devices) < n_devices:
             raise ValueError(
                 f"requested a {n_devices}-device mesh but only "
-                f"{len(devices)} device(s) are available"
+                f"{len(devices)} local device(s) are available"
             )
         devices = devices[:n_devices]
     return Mesh(np.array(devices), ("data",))

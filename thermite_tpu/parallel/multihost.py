@@ -20,11 +20,11 @@ Merging is format-aware:
 
 from __future__ import annotations
 
-import gzip
 import struct
-from typing import List, Tuple
+import zlib
+from typing import List, Optional, Tuple
 
-from ..io.bam import BgzfWriter, bam_header_len
+from ..io.bam import _BGZF_EOF, _bgzf_block, bam_header_len
 
 
 def shard_bounds(n_reads: int, n_hosts: int, host_id: int) -> Tuple[int, int]:
@@ -34,20 +34,6 @@ def shard_bounds(n_reads: int, n_hosts: int, host_id: int) -> Tuple[int, int]:
     start = host_id * base + min(host_id, rem)
     end = start + base + (1 if host_id < rem else 0)
     return start, end
-
-
-def _read_bam_header(f) -> Tuple[bytes, int]:
-    """Read just enough of a decompressed BAM stream to cover the
-    header; returns (buffer, header byte length)."""
-    buf = f.read(1 << 16)
-    while True:
-        try:
-            return buf, bam_header_len(buf)
-        except struct.error:
-            more = f.read(max(len(buf), 1 << 16))
-            if not more:
-                raise
-            buf += more
 
 
 def sniff_shard_format(path: str) -> str:
@@ -68,29 +54,74 @@ def sniff_shard_format(path: str) -> str:
     )
 
 
+def _read_bgzf_block(f) -> Optional[Tuple[bytes, int]]:
+    """One raw BGZF block from ``f`` -> (compressed bytes, ISIZE), or
+    None at end of file."""
+    hdr = f.read(12)
+    if not hdr:
+        return None
+    if len(hdr) < 12 or hdr[:4] != b"\x1f\x8b\x08\x04":
+        raise ValueError("not a BGZF block (bad gzip/FEXTRA magic)")
+    xlen = struct.unpack("<H", hdr[10:12])[0]
+    extra = f.read(xlen)
+    bsize = None
+    off = 0
+    while off + 4 <= xlen:
+        si1, si2 = extra[off], extra[off + 1]
+        slen = struct.unpack("<H", extra[off + 2 : off + 4])[0]
+        if si1 == 66 and si2 == 67 and slen == 2:
+            bsize = struct.unpack("<H", extra[off + 4 : off + 6])[0] + 1
+        off += 4 + slen
+    if bsize is None:
+        raise ValueError("BGZF block missing the BC size subfield")
+    rest = f.read(bsize - 12 - xlen)
+    raw = hdr + extra + rest
+    if len(raw) != bsize:
+        raise ValueError("truncated BGZF block")
+    return raw, struct.unpack("<I", raw[-4:])[0]
+
+
 def merge_shards(shard_paths: List[str], out_path: str, fmt: str) -> None:
     """Merge per-host output shards (in host order) into one file.
 
-    BAM shards stream through in bounded chunks (a shard's decompressed
-    bytes are never held in memory at once)."""
+    BAM shards merge at the BGZF **block** level: compressed blocks are
+    copied verbatim (records are never re-deflated); only the blocks
+    overlapping a later shard's BAM header are inflated, trimmed past
+    the header, and re-blocked.  Merge cost is therefore IO-bound
+    (~bytes copied), not compression-bound — the serial merge tail no
+    longer scales with shard size."""
     if fmt == "bam":
         with open(out_path, "wb") as fh:
-            w = BgzfWriter(fh)
             for i, p in enumerate(shard_paths):
-                with gzip.open(p, "rb") as f:
+                with open(p, "rb") as f:
                     try:
-                        buf, off = _read_bam_header(f)
-                    except (struct.error, AssertionError) as e:
+                        if i == 0:
+                            # keep the header: raw-copy every non-empty
+                            # block (empty blocks are EOF markers)
+                            while (b := _read_bgzf_block(f)) is not None:
+                                if b[1]:
+                                    fh.write(b[0])
+                            continue
+                        buf = b""
+                        hdr_len = None
+                        while (b := _read_bgzf_block(f)) is not None:
+                            raw, isize = b
+                            if isize == 0:
+                                continue
+                            if hdr_len is not None:
+                                fh.write(raw)  # past the header: splice
+                                continue
+                            buf += zlib.decompress(raw, 47)
+                            try:
+                                hdr_len = bam_header_len(buf)
+                            except struct.error:
+                                continue  # header spans more blocks
+                            rem = buf[hdr_len:]
+                            for o in range(0, len(rem), 60000):
+                                fh.write(_bgzf_block(rem[o : o + 60000]))
+                    except (ValueError, struct.error) as e:
                         raise ValueError(f"bad BAM shard {p!r}: {e}") from e
-                    if i == 0:
-                        w.write(buf[:off])
-                    w.write(buf[off:])
-                    while True:
-                        chunk = f.read(1 << 20)
-                        if not chunk:
-                            break
-                        w.write(chunk)
-            w.finish()
+            fh.write(_BGZF_EOF)
         return
     if fmt == "sam":
         with open(out_path, "w") as out:

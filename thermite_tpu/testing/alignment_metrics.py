@@ -153,14 +153,14 @@ def truth_compare(path: str) -> TruthMetrics:
     m = TruthMetrics()
     i = 0
     while i < len(rows):
-        group = [rows[i]]
-        i += 1
-        while (
-            not group[-1].is_unmapped
-            and group[-1].tags.get("HI") != group[-1].tags.get("NH")
-        ):
-            group.append(rows[i])
-            i += 1
+        # group consecutive rows by qname (the list is name-sorted);
+        # walking HI/NH instead would IndexError on truncated or
+        # tag-inconsistent inputs
+        j = i + 1
+        while j < len(rows) and rows[j].qname == rows[i].qname:
+            j += 1
+        group = rows[i:j]
+        i = j
         chrom, start, end, rev = _parse_truth(group[0].qname)
         m.n_reads += 1
         aligned = [r for r in group if not r.is_unmapped]

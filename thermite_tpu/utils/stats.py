@@ -26,6 +26,14 @@ class PipelineStats:
     tasks: int = 0
     winners: int = 0
     dp_cells: int = 0  # padded batch cells submitted to the DP kernels
+    dp_cells_ref: int = 0  # cells a full-band (reference-equivalent)
+    #                        DP would compute for the same problems —
+    #                        the fair GCUPS numerator when the adaptive
+    #                        narrow-band pass shrinks dp_cells
+    cert_patches: int = 0  # narrow-band certificate failures patched
+    #                        by the host C++ oracle (exact; a high rate
+    #                        means the narrow band is too tight for the
+    #                        workload — see THERMITE_NARROW_BAND)
     stream_fallbacks: int = 0  # device-flagged unterminated walks
     #                           (host recompute; a mass fallback is a
     #                           silent performance cliff — see MAXIT in
@@ -51,6 +59,7 @@ class PipelineStats:
         device output and masquerade as run time."""
         self.reads = self.chunks = self.problems = self.tasks = 0
         self.winners = self.dp_cells = self.stream_fallbacks = 0
+        self.dp_cells_ref = self.cert_patches = 0
         self.stage_s.clear()
         self._t0 = time.time()
 
@@ -68,6 +77,13 @@ class PipelineStats:
             f"  DP cells submitted\t{self.dp_cells}",
             f"  effective DP throughput\t{self.dp_cells / wall / 1e9:.2f} GCUPS",
         ]
+        if self.dp_cells_ref:
+            lines.append(
+                f"  full-band-equivalent cells\t{self.dp_cells_ref}"
+                f" ({self.dp_cells_ref / wall / 1e9:.2f} GCUPS-equiv)"
+            )
+        if self.cert_patches:
+            lines.append(f"  narrow-band cert patches\t{self.cert_patches}")
         if self.stream_fallbacks:
             lines.append(
                 f"  stream-walk host fallbacks\t{self.stream_fallbacks}"

@@ -58,7 +58,7 @@ class ThermiteAligner:
     def align_reads(
         self, names: List[bytes], reads: List[bytes], quals: List[bytes]
     ) -> List[List[SamRecord]]:
-        """Batch path on the TPU pipeline."""
+        """Batch path on the TPU pipeline (record objects)."""
         if self._batch is None:
             from .align.batch import BatchAligner
 
@@ -69,6 +69,29 @@ class ThermiteAligner:
         ):
             out.append(self._records(name, read, qual, alns))
         return out
+
+    def align_reads_records(
+        self,
+        names: List[bytes],
+        reads: List[bytes],
+        quals: List[bytes],
+        fmt_bam: bool = False,
+    ) -> bytes:
+        """Production batch surface: serialized record bytes straight
+        from the C++ emitter (SAM text lines, or BAM record blobs when
+        ``fmt_bam``), TX/GX/GN/RE stripped like the reference wrapper
+        (src/wrapper.rs:136-139), in input order with >= 1 record per
+        read.  Byte-identical to serializing ``align_reads`` output
+        (tests/test_wrapper.py); skips the object-materialization cost
+        the CLI emit path already avoids."""
+        if self._batch is None:
+            from .align.batch import BatchAligner
+
+            self._batch = BatchAligner(self.index, self.align_opts)
+        recs = [
+            (n, r, q or b"") for n, r, q in zip(names, reads, quals)
+        ]
+        return self._batch.align_batch_emit(recs, fmt_bam, strip_tags=True)
 
     def _records(self, name, read, qual, alns) -> List[SamRecord]:
         if not alns:
