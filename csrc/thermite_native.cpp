@@ -227,7 +227,16 @@ void* thermite_seed_index_new_stride(const uint8_t* text, int64_t n, int k,
   for (int t = 0; t < k; ++t) max_key *= 5;
   int key_bits = 0;
   while ((max_key >> key_bits) != 0) ++key_bits;
-  const int top_bits = key_bits < 11 ? key_bits : 11;
+  // size the MSD partition so a bucket (16 B/entry) stays ~L2-resident
+  // for the per-bucket LSD passes: ~2 MB buckets, 11..16 top bits
+  int top_bits = 11;
+  {
+    int64_t est_entries = n / stride + 1;
+    while (top_bits < 16 &&
+           (est_entries >> top_bits) * 16 > (int64_t)2 << 20)
+      ++top_bits;
+  }
+  if (top_bits > key_bits) top_bits = key_bits;
   const int rem_shift = key_bits - top_bits;
   const int64_t n_top = (int64_t)1 << top_bits;
 
