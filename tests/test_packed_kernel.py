@@ -20,10 +20,10 @@ from thermite_tpu.ops.swg_pallas_packed import (
 )
 
 
-def _mk_problems(rng, text, reads_flat, RPAD, n, XMAX, YMAX):
+def _mk_problems(rng, text, reads_flat, RPAD, n, XMAX, YMAX, band_max=31):
     rows = []
     for _ in range(n):
-        band = int(rng.integers(1, 32))
+        band = int(rng.integers(1, band_max + 1))
         xd = int(rng.integers(1, 40))
         xlen = int(rng.integers(1, XMAX + 1))
         ylen = int(rng.integers(1, YMAX + 1))
@@ -44,8 +44,8 @@ def _mk_problems(rng, text, reads_flat, RPAD, n, XMAX, YMAX):
     return np.asarray(rows, np.int32)
 
 
-@pytest.mark.parametrize("seed", [0, 3])
-def test_packed_matches_general(seed):
+@pytest.mark.parametrize("seed,seg", [(0, 64), (3, 64), (0, 32), (5, 32)])
+def test_packed_matches_general(seed, seg):
     rng = np.random.default_rng(seed)
     text = rng.choice(np.frombuffer(b"ACGT", np.uint8), 5000)
     words = pack_text_nib_host(text)
@@ -61,14 +61,18 @@ def test_packed_matches_general(seed):
 
     BBLK = 8
     XMAX, YMAX, SMAX = 64, 96, 256
-    N = 2 * BBLK * 2  # two blocks
-    meta = _mk_problems(rng, text, reads.reshape(-1), RPAD, N, XMAX, YMAX)
+    NSEG = 128 // seg
+    N = NSEG * BBLK * 2  # two blocks
+    meta = _mk_problems(
+        rng, text, reads.reshape(-1), RPAD, N, XMAX, YMAX,
+        band_max=(seg - 2) // 2,
+    )
 
     general = get_stream_traceback_gather_kernel(
         BBLK, XMAX, YMAX, 128, interpret=True, SMAX=SMAX
     )
     packed = get_packed_stream_gather_kernel(
-        BBLK, XMAX, YMAX, SMAX, interpret=True
+        BBLK, XMAX, YMAX, SMAX, interpret=True, SEG=seg
     )
     a = np.asarray(general(words, lw, reads, meta))
     b = np.asarray(packed(words, lw, reads, meta))

@@ -1044,20 +1044,21 @@ class BatchAligner:
 
     _MESH_KERN_CACHE: Dict = {}
 
-    def _stream_kernel(self, BBLK, XMAX, YMAX, W, smax, packed=False):
+    def _stream_kernel(self, BBLK, XMAX, YMAX, W, smax, seg=0):
         """Single-pass stream kernel, sharded over the mesh when set.
 
-        ``packed=True`` selects the lane-packed variant (two problems
-        per 128-lane row; ops/swg_pallas_packed.py) — ~2x the forward
-        arithmetic density whenever every band fits 63 lanes."""
+        ``seg`` > 0 selects the lane-packed variant (128/seg problems
+        per 128-lane row; ops/swg_pallas_packed.py) — every DP vector
+        op then serves 128/seg problems; seg = 32 serves band <= 15
+        (the adaptive-narrowing default), seg = 64 band <= 31."""
         if self.mesh is None:
-            if packed:
+            if seg:
                 from ..ops.swg_pallas_packed import (
                     get_packed_stream_gather_kernel,
                 )
 
                 return get_packed_stream_gather_kernel(
-                    BBLK, XMAX, YMAX, smax, self.interpret
+                    BBLK, XMAX, YMAX, smax, self.interpret, SEG=seg
                 )
             from ..ops.swg_pallas import get_stream_traceback_gather_kernel
 
@@ -1070,11 +1071,12 @@ class BatchAligner:
         )
 
         key = ("stream", self.mesh, BBLK, XMAX, YMAX, W, self.interpret,
-               smax, packed)
+               smax, seg)
         if key not in self._MESH_KERN_CACHE:
-            if packed:
+            if seg:
                 self._MESH_KERN_CACHE[key] = sharded_packed_stream_kernel(
-                    self.mesh, BBLK, XMAX, YMAX, smax, self.interpret
+                    self.mesh, BBLK, XMAX, YMAX, smax, self.interpret,
+                    SEG=seg,
                 )
             else:
                 self._MESH_KERN_CACHE[key] = sharded_stream_kernel(
@@ -1082,15 +1084,20 @@ class BatchAligner:
                 )
         return self._MESH_KERN_CACHE[key]
 
-    def _packed_eligible(self, bmax: int) -> bool:
-        """Sticky lane-packing decision: once any batch exceeds the
-        packable band, stay on the general kernel (stable shapes beat
-        flip-flopping recompiles)."""
-        from ..ops.swg_pallas_packed import PACK_BAND_MAX
+    _SEG_RANK = {32: 0, 64: 1, 0: 2}  # 0 = unpacked (widest)
 
-        if bmax > PACK_BAND_MAX:
-            self._no_pack = True
-        return not getattr(self, "_no_pack", False)
+    def _packed_seg(self, bmax: int) -> int:
+        """Sticky lane-packing decision: the packing segment width only
+        ever WIDENS (0 = unpacked) across a run, so kernel shapes stay
+        stable instead of flip-flopping recompiles."""
+        from ..ops.swg_pallas_packed import seg_for_band
+
+        seg = seg_for_band(bmax)
+        prev = getattr(self, "_seg", seg)
+        if self._SEG_RANK[seg] < self._SEG_RANK[prev]:
+            seg = prev
+        self._seg = seg
+        return seg
 
     def _xla_gather_kernel(self, XMAX, YMAX, W):
         if self.mesh is None:
@@ -1141,10 +1148,8 @@ class BatchAligner:
                 # device round trip (losers' walks are cheap; the extra
                 # packed payload is a few hundred KB per chunk)
                 BBLK = self._tb_bblk(YMAX, W)
-                packed = self._packed_eligible(
-                    int(sub[:, 7].max(initial=1))
-                )
-                per_row = 2 * BBLK if packed else BBLK
+                seg = self._packed_seg(int(sub[:, 7].max(initial=1)))
+                per_row = (W // seg) * BBLK if seg else BBLK
                 nb = _round_up(
                     max(
                         _pow2_bucket(max(len(sub), 1), per_row * self._nsh),
@@ -1154,9 +1159,7 @@ class BatchAligner:
                 )
                 self._NFWD1 = nb
                 meta = self._pad_meta(sub, nb)
-                self.stats.dp_cells += len(meta) * YMAX * (
-                    W // 2 if packed else W
-                )
+                self.stats.dp_cells += len(meta) * YMAX * (seg or W)
                 orig = meta_all[st.fwd_idx]
                 # full-band-equivalent cell count (the fair GCUPS
                 # numerator when the narrow-band pass shrinks dp_cells)
@@ -1171,7 +1174,7 @@ class BatchAligner:
                 )
                 smax = max(smax, getattr(self, "_SMAX", 0))
                 self._SMAX = smax
-                kern = self._stream_kernel(BBLK, XMAX, YMAX, W, smax, packed)
+                kern = self._stream_kernel(BBLK, XMAX, YMAX, W, smax, seg)
                 words, lw = self._ref_text()
                 st.fwd_raw = kern(words, lw, st.reads_dev, meta)
                 return
@@ -1248,8 +1251,8 @@ class BatchAligner:
             sub = meta_sub[st.tb_idx]
 
             BBLK = self._tb_bblk(YMAX, W)
-            packed = self._packed_eligible(int(sub[:, 7].max(initial=1)))
-            per_row = 2 * BBLK if packed else BBLK
+            seg = self._packed_seg(int(sub[:, 7].max(initial=1)))
+            per_row = (W // seg) * BBLK if seg else BBLK
             nb = _round_up(
                 max(
                     _pow2_bucket(max(len(sub), 1), per_row * self._nsh),
@@ -1259,9 +1262,7 @@ class BatchAligner:
             )
             self._NTB = nb
             meta = self._pad_meta(sub, nb)
-            self.stats.dp_cells += len(meta) * YMAX * (
-                W // 2 if packed else W
-            )
+            self.stats.dp_cells += len(meta) * YMAX * (seg or W)
             # tight batch bound on walk steps (sticky; shrinks the ops
             # buffer and the packed d2h payload vs XMAX+YMAX)
             smax = _round_up(
@@ -1269,7 +1270,7 @@ class BatchAligner:
             )
             smax = max(smax, getattr(self, "_SMAX", 0))
             self._SMAX = smax
-            kern = self._stream_kernel(BBLK, XMAX, YMAX, W, smax, packed)
+            kern = self._stream_kernel(BBLK, XMAX, YMAX, W, smax, seg)
             words, lw = self._ref_text()
             st.tb_raw = kern(words, lw, st.reads_dev, meta)
             return

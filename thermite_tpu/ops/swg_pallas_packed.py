@@ -1,37 +1,40 @@
-"""Lane-packed Pallas stream kernel: TWO problems per 128-lane row.
+"""Lane-packed Pallas stream kernel: 128/SEG problems per 128-lane row.
 
 The general kernel (``swg_pallas``) rounds the band register width W up
-to 128 lanes; at the aligner's default scoring (-s0.66, 90 bp reads)
-the band is 31, so 2b+1 = 63 active lanes leave ~50% of every vector
-op idle.  This variant packs problem A into lanes 0..63 and problem B
-into lanes 64..127 whenever every problem in the batch has band <=
-``PACK_BAND_MAX``, halving the per-problem column work.
+to 128 lanes.  With the adaptive narrow-band pass the production band
+is <= 15 (2b+1 = 31 lanes), so a full row wastes 3/4 of every vector
+op.  This kernel packs ``NSEG = 128 // SEG`` problems per row into
+SEG-lane segments (SEG = 32: four problems/row serves band <= 15;
+SEG = 64: two problems/row serves band <= 31), with segment-local lane
+indices, so every DP vector op serves NSEG problems.
 
 Same DP semantics as the general kernel (pinned by parity tests).
 Mechanics:
 
-* lane index ``t2 = lane & 63`` is segment-local; segment id
-  ``g = lane >= 64``.  Per-problem parameters live as (BBLK, 2)
-  vectors broadcast to lanes via a segment select, and the boundary
-  masks (``t2 == 0`` / ``t2 == 63``) cut the cross-segment
+* lane index ``t2 = lane & (SEG-1)`` is segment-local; segment id
+  ``lane >> log2(SEG)``.  Per-problem parameters live as (BBLK, NSEG)
+  vectors broadcast to lanes via a segment select chain, and the
+  boundary masks (``t2 == 0`` / ``t2 == SEG-1``) cut the cross-segment
   contamination of full-row lane rolls exactly where the general
   kernel masks its register edges.
-* a 64-lane segment cannot hold a whole read flank, so the x state
-  splits: the live band window ``xs`` (one 128-lane register, both
-  segments) plus per-problem *suffix source* registers ``xsA/xsB``
-  whose head lane refills ``xs``'s lane 63 as the band slides.  y
-  needs only the current column symbol, so ``ybA/ybB`` stay plain
-  rolling registers read at lane 0.
-* the within-column insertion prefix-max stops at shift 32 — a shift
-  of 64 only mixes segments and is fully masked anyway.  This is where
-  the arithmetic halves: every DP vector op now serves two problems.
-* outputs come back two-problems-per-row and are unscrambled to the
+* a SEG-lane segment cannot hold a whole read flank, so the x state
+  splits: the live band window ``xs`` (one 128-lane register, all
+  segments) plus per-problem *suffix source* registers whose head lane
+  refills each segment's last lane as the band slides.  y needs only
+  the current column symbol, so per-segment y registers stay plain
+  rolling windows read at lane 0.
+* the within-column insertion prefix-max stops at shift SEG/2 — larger
+  shifts only mix segments and are fully masked anyway.  This is where
+  the arithmetic divides by NSEG: every DP vector op now serves NSEG
+  problems.
+* outputs come back NSEG-problems-per-row and are unscrambled to the
   standard ``(N, 4 + SMAX/16)`` row layout by plain XLA reshapes, so
   everything downstream (C++ finalize, stream decode, arbitration) is
-  unchanged.
+  unchanged.  The band-exactness certificate (see swg_pallas) is
+  computed per segment in lane space.
 
-Problem-row mapping: within each grid block of 2*BBLK consecutive meta
-rows, rows [0, BBLK) are segment A and [BBLK, 2*BBLK) segment B.
+Problem-row mapping: within each grid block of NSEG*BBLK consecutive
+meta rows, rows [s*BBLK, (s+1)*BBLK) are segment s.
 """
 
 from __future__ import annotations
@@ -54,9 +57,19 @@ from .swg_pallas import (
     pack_text_words,
 )
 
-PACK_BAND_MAX = 31  # 2b+1 <= 63 fits a 64-lane segment
-SEG = 64
+PACK_BAND_MAX = 31   # 2b+1 <= 63 fits a 64-lane segment (2 problems/row)
+PACK4_BAND_MAX = 15  # 2b+1 <= 31 fits a 32-lane segment (4 problems/row)
 W = 128
+
+
+def seg_for_band(bmax: int) -> int:
+    """Narrowest packing segment serving every band <= bmax, or 0 if
+    the batch cannot pack (band > PACK_BAND_MAX)."""
+    if bmax <= PACK4_BAND_MAX:
+        return 32
+    if bmax <= PACK_BAND_MAX:
+        return 64
+    return 0
 
 
 def _round_up(v, m):
@@ -64,92 +77,97 @@ def _round_up(v, m):
 
 
 def make_packed_stream_call(BBLK: int, XSRC: int, YMAX: int, SMAX: int,
-                            interpret: bool = False, walk: bool = True):
-    """UNJITTED (xs0, xsA, xsB, ybA, ybB, params) -> (meta2, ops2).
+                            interpret: bool = False, walk: bool = True,
+                            SEG: int = 64):
+    """UNJITTED (xs0, xsufs, ybs, params) -> (metaN, opsN).
 
-    xs0     (N2, 128) int32 — initial x windows ([0, x[0..62]] per seg)
-    xsA/xsB (N2, XSRC) int32 — x suffix sources (xs*[t] = x[t + 63])
-    ybA/ybB (N2, YMAX) int32 — y windows
-    params  (N2, 8) int32 — [xlenA ylenA bandA xdA xlenB ylenB bandB xdB]
-    meta2   (N2, 8) int32 — [sA miA mjA nsA sB miB mjB nsB]
-    ops2    (N2, 2*SMAX) int32 — walk dir codes, segment-major halves
+    xs0    (N2, 128) int32 — initial x windows ([0, x[0..SEG-2]] per seg)
+    xsufs  (N2, NSEG*XSRC) int32 — x suffix sources per segment
+                                   (suf[t] = x[t + SEG - 1])
+    ybs    (N2, NSEG*YMAX) int32 — y windows per segment
+    params (N2, 4*NSEG) int32 — [xlen, ylen, band, xd] per segment
+    metaN  (N2, 4*NSEG) int32 — [score, max_i, max_j, nsteps] per segment
+    opsN   (N2, NSEG*SMAX) int32 — walk dir codes, segment-major
     """
+    NSEG = W // SEG
     MAXIT = YMAX + 1 + SMAX
 
-    def kernel(xs0_ref, xsa_ref, xsb_ref, yba_ref, ybb_ref, p_ref,
-               meta_ref, ops_ref, dirs_ref):
+    def kernel(xs0_ref, xsuf_ref, yb_ref, p_ref, meta_ref, ops_ref, dirs_ref):
         e = jnp.int32(GAP_EXTEND)
         o = jnp.int32(GAP_OPEN)
         MIN = jnp.int32(MIN_SCORE)
 
         t = jax.lax.broadcasted_iota(jnp.int32, (BBLK, W), 1)
         t2 = t & (SEG - 1)
-        gB = t >= SEG
+        gmask = [
+            (t >= s * SEG) & (t < (s + 1) * SEG) for s in range(NSEG)
+        ]
 
         P = p_ref[:, :]
 
-        def pair(col):  # (BBLK, 2) [A, B] of param column
+        def pcol(col):  # (BBLK, NSEG) of param column `col` per segment
             return jnp.concatenate(
-                [P[:, col : col + 1], P[:, 4 + col : 5 + col]], axis=1
+                [P[:, 4 * s + col : 4 * s + col + 1] for s in range(NSEG)],
+                axis=1,
             )
 
-        def seg_bcast(v2):  # (BBLK, 2) -> (BBLK, W) by segment
-            return jnp.where(gB, v2[:, 1:2], v2[:, 0:1])
+        def seg_bcast(v):  # (BBLK, NSEG) -> (BBLK, W) by segment
+            acc = jnp.broadcast_to(v[:, 0:1], (BBLK, W))
+            for s in range(1, NSEG):
+                acc = jnp.where(gmask[s], v[:, s : s + 1], acc)
+            return acc
 
-        xlen2, ylen2, band2, xd2 = pair(0), pair(1), pair(2), pair(3)
-        xlen = seg_bcast(xlen2)
-        ylen = seg_bcast(ylen2)
-        band = seg_bcast(band2)
-        x_drop = seg_bcast(xd2)
+        xlenN, ylenN, bandN, xdN = pcol(0), pcol(1), pcol(2), pcol(3)
+        xlen = seg_bcast(xlenN)
+        ylen = seg_bcast(ylenN)
+        band = seg_bcast(bandN)
+        x_drop = seg_bcast(xdN)
 
         b2 = 2 * band
         ladder = t2 * e + o
         D = jnp.where(t2 == 0, 0, jnp.where(t2 <= b2, ladder, MIN))
         C = jnp.broadcast_to(jnp.where(t2 == 0, 0, MIN), (BBLK, W))
         xs = xs0_ref[:, :]
-        xsA = xsa_ref[:, :]
-        xsB = xsb_ref[:, :]
-        ybA = yba_ref[:, :]
-        ybB = ybb_ref[:, :]
+        xss = [xsuf_ref[:, s * XSRC : (s + 1) * XSRC] for s in range(NSEG)]
+        ybs = [yb_ref[:, s * YMAX : (s + 1) * YMAX] for s in range(NSEG)]
 
         dirs_ref[0, :, :] = jnp.where(t2 <= b2, DIR_INS, DIR_MATCH)
 
-        z2 = jnp.zeros((BBLK, 2), jnp.int32)
+        zN = jnp.zeros((BBLK, NSEG), jnp.int32)
         zW = jnp.zeros((BBLK, W), jnp.int32)
         tz = t2 == 0
         tlast = t2 == SEG - 1
         te = t2 * e
 
         def seg_allmax(v, init):
-            # (BBLK, W) -> per-segment max broadcast to every lane of
-            # the segment: masked reductions + a lane-space select (no
-            # narrow intermediates survive into vector-op shapes)
-            a = jnp.max(jnp.where(gB, init, v), axis=1, keepdims=True)
-            b = jnp.max(jnp.where(gB, v, init), axis=1, keepdims=True)
-            return jnp.where(gB, b, a)
+            # (BBLK, W) -> per-segment max broadcast to the segment's
+            # lanes (masked reductions + lane-space selects)
+            outs = [
+                jnp.max(jnp.where(gmask[s], v, init), axis=1, keepdims=True)
+                for s in range(NSEG)
+            ]
+            return seg_bcast(jnp.concatenate(outs, axis=1))
 
         def seg_allmin(v, init):
-            a = jnp.min(jnp.where(gB, init, v), axis=1, keepdims=True)
-            b = jnp.min(jnp.where(gB, v, init), axis=1, keepdims=True)
-            return jnp.where(gB, b, a)
+            outs = [
+                jnp.min(jnp.where(gmask[s], v, init), axis=1, keepdims=True)
+                for s in range(NSEG)
+            ]
+            return seg_bcast(jnp.concatenate(outs, axis=1))
 
         # band-exactness certificate state in lane space (uniform per
-        # segment; see swg_pallas.make_stream_traceback_kernel docstring)
+        # segment; see swg_pallas.make_stream_traceback_kernel)
         e_ladder = jnp.int32(GAP_OPEN) + (band + 1) * jnp.int32(GAP_EXTEND)
         ub_final = xlen * jnp.int32(MATCH_SCORE) + e_ladder
         bigW = jnp.full((BBLK, W), 1 << 30, jnp.int32)
 
         def body(j, carry):
             # all per-problem tracking state lives in LANE space
-            # (uniform within each 64-lane segment): narrow (BBLK, 2)
-            # vector ops pad to full tiles anyway, and the per-column
-            # lane<->pair concatenates were pure overhead
-            (D, C, xs, xsA, xsB, ybA, ybB, ms, mi, mj, s1, s2, cmin, ecap,
-             rstop) = carry
+            (D, C, xs, xss, ybs, ms, mi, mj, s1, s2, cmin, ecap, rstop) = carry
             in_p1 = j <= band
             sh = ~in_p1
             active = (j <= ylen) & (s1 == 0) & (in_p1 | (s2 == 0))
-            sh2 = j > band2  # (BBLK, 2) only steers the suffix rolls
+            shN = j > bandN  # (BBLK, NSEG) steers the suffix rolls
             row0 = jnp.maximum(j - band, 0)
             computed = (t2 <= b2) & (t2 <= xlen - row0)
 
@@ -161,18 +179,25 @@ def make_packed_stream_call(BBLK: int, XSRC: int, YMAX: int, SMAX: int,
             Dm = jnp.where(sh, D, D_r)
 
             # x window slide + per-segment refill from the suffix heads
-            refill = jnp.where(gB, xsB[:, :1], xsA[:, :1])
+            refill = seg_bcast(
+                jnp.concatenate([xsv[:, :1] for xsv in xss], axis=1)
+            )
             xs_l = jnp.where(tlast, refill, pltpu.roll(xs, W - 1, 1))
             xs = jnp.where(sh, xs_l, xs)
-            shA = sh2[:, 0:1]
-            shB = sh2[:, 1:2]
-            xsA = jnp.where(shA, pltpu.roll(xsA, XSRC - 1, 1), xsA)
-            xsB = jnp.where(shB, pltpu.roll(xsB, XSRC - 1, 1), xsB)
+            xss = [
+                jnp.where(
+                    shN[:, s : s + 1],
+                    pltpu.roll(xss[s], XSRC - 1, 1),
+                    xss[s],
+                )
+                for s in range(NSEG)
+            ]
 
             # y column symbols + advance
-            yj = jnp.where(gB, ybB[:, :1], ybA[:, :1])
-            ybA = pltpu.roll(ybA, YMAX - 1, 1)
-            ybB = pltpu.roll(ybB, YMAX - 1, 1)
+            yj = seg_bcast(
+                jnp.concatenate([ybv[:, :1] for ybv in ybs], axis=1)
+            )
+            ybs = [pltpu.roll(ybv, YMAX - 1, 1) for ybv in ybs]
 
             c_val = jnp.maximum(Cp + e, Dp + e + o)
             c_val = jnp.where(sh & (t2 == b2), MIN, c_val)
@@ -227,39 +252,45 @@ def make_packed_stream_call(BBLK: int, XSRC: int, YMAX: int, SMAX: int,
             real_drop = active & dropped & (band_max > MIN)
             ecap = jnp.where(real_drop, ej, ecap)
             rstop = jnp.maximum(rstop, real_drop.astype(jnp.int32))
-            return (D, C, xs, xsA, xsB, ybA, ybB, ms, mi, mj, s1, s2, cmin,
-                    ecap, rstop)
+            return (D, C, xs, xss, ybs, ms, mi, mj, s1, s2, cmin, ecap, rstop)
 
         carry = jax.lax.fori_loop(
             1, YMAX + 1, body,
-            (D, C, xs, xsA, xsB, ybA, ybB, zW, zW, zW, zW, zW, bigW,
-             ub_final, zW),
+            (D, C, xs, xss, ybs, zW, zW, zW, zW, zW, bigW, ub_final, zW),
         )
-        msL, miL, mjL = carry[7], carry[8], carry[9]
-        cminL, ecapL, rstopL = carry[12], carry[13], carry[14]
+        msL, miL, mjL = carry[5], carry[6], carry[7]
+        cminL, ecapL, rstopL = carry[10], carry[11], carry[12]
         cert_ubL = jnp.where(rstopL > 0, ecapL + x_drop, ub_final)
         certL = ((cminL > -x_drop) & (msL > cert_ubL)).astype(jnp.int32)
 
-        def to_pair(v):  # lane-space per-segment scalar -> (BBLK, 2)
-            a = jnp.max(jnp.where(gB, jnp.int32(-(1 << 30)), v), axis=1,
-                        keepdims=True)
-            b = jnp.max(jnp.where(gB, v, jnp.int32(-(1 << 30))), axis=1,
-                        keepdims=True)
-            return jnp.concatenate([a, b], axis=1)
+        def to_seg(v):  # lane-space per-segment scalar -> (BBLK, NSEG)
+            outs = [
+                jnp.max(
+                    jnp.where(gmask[s], v, jnp.int32(-(1 << 30))),
+                    axis=1, keepdims=True,
+                )
+                for s in range(NSEG)
+            ]
+            return jnp.concatenate(outs, axis=1)
 
-        ms, mi, mj = to_pair(msL), to_pair(miL), to_pair(mjL)
-        certp = to_pair(certL)
-        band2v = pair(2)
+        ms, mi, mj = to_seg(msL), to_seg(miL), to_seg(mjL)
+        certN = to_seg(certL)
 
-        # ---- vectorized walk over both segments ----
-        S2 = 2 * SMAX
-        ops_ref[:, :] = jnp.zeros((BBLK, S2), jnp.int32)
-        slane = jax.lax.broadcasted_iota(jnp.int32, (BBLK, S2), 1)
-        sseg = slane >= SMAX
+        # ---- vectorized walk over all segments ----
+        SN = NSEG * SMAX
+        ops_ref[:, :] = jnp.zeros((BBLK, SN), jnp.int32)
+        slane = jax.lax.broadcasted_iota(jnp.int32, (BBLK, SN), 1)
+        smask = [
+            (slane >= s * SMAX) & (slane < (s + 1) * SMAX)
+            for s in range(NSEG)
+        ]
         jj0 = jnp.max(mj)
 
-        def seg_bcast2(v2):
-            return jnp.where(gB, v2[:, 1:2], v2[:, 0:1])
+        def sseg_bcast(v):  # (BBLK, NSEG) -> (BBLK, SN) by ops segment
+            acc = jnp.broadcast_to(v[:, 0:1], (BBLK, SN))
+            for s in range(1, NSEG):
+                acc = jnp.where(smask[s], v[:, s : s + 1], acc)
+            return acc
 
         def cond(st):
             jj, i, j, c, it = st
@@ -269,24 +300,27 @@ def make_packed_stream_call(BBLK: int, XSRC: int, YMAX: int, SMAX: int,
         def step(st):
             jj, i, j, c, it = st
             row = dirs_ref[jj, :, :]
-            row0 = jnp.maximum(jj - band2v, 0)  # (BBLK, 2)
-            bi = jnp.clip(i - row0, 0, 2 * band2v)
-            bil = seg_bcast2(bi)
-            dA = jnp.sum(
-                jnp.where((~gB) & (t2 == bil), row, 0), axis=1, keepdims=True
-            )
-            dB = jnp.sum(
-                jnp.where(gB & (t2 == bil), row, 0), axis=1, keepdims=True
-            )
-            d = jnp.concatenate([dA, dB], axis=1)  # (BBLK, 2)
+            row0 = jnp.maximum(jj - bandN, 0)  # (BBLK, NSEG)
+            bi = jnp.clip(i - row0, 0, 2 * bandN)
+            bil = seg_bcast(bi)
+            ds = [
+                jnp.sum(
+                    jnp.where(gmask[s] & (t2 == bil), row, 0),
+                    axis=1, keepdims=True,
+                )
+                for s in range(NSEG)
+            ]
+            d = jnp.concatenate(ds, axis=1)  # (BBLK, NSEG)
             alive = (i > 0) | (j > 0)
             stepping = alive & (j == jj)
-            cl = jnp.where(sseg, SMAX + c[:, 1:2], c[:, 0:1])
+            # per-lane step cursor: SMAX*s + c[:, s] on segment s
+            coff = c + jnp.arange(NSEG, dtype=jnp.int32)[None, :] * SMAX
+            cl = sseg_bcast(coff)
             # int32 payloads only: a where() over i1 vectors lowers
             # through an i8->i1 truncation Mosaic rejects
             si = stepping.astype(jnp.int32)
-            stl = jnp.where(sseg, si[:, 1:2], si[:, 0:1])
-            dl = jnp.where(sseg, d[:, 1:2], d[:, 0:1])
+            stl = sseg_bcast(si)
+            dl = sseg_bcast(d)
             ops_ref[:, :] = ops_ref[:, :] + jnp.where(
                 (stl > 0) & (slane == cl), dl, 0
             )
@@ -301,74 +335,81 @@ def make_packed_stream_call(BBLK: int, XSRC: int, YMAX: int, SMAX: int,
 
         if walk:
             jj, i, j, c, it = jax.lax.while_loop(
-                cond, step, (jj0, mi, mj, z2, jnp.int32(0))
+                cond, step, (jj0, mi, mj, zN, jnp.int32(0))
             )
             bad = (i > 0) | (j > 0) | (c > SMAX)
             # cert failure -> recoverable -2 - nsteps (see the general
             # kernel); bad walks stay -1
-            ns = jnp.where(bad, -1, jnp.where(certp > 0, c, -2 - c))
+            ns = jnp.where(bad, -1, jnp.where(certN > 0, c, -2 - c))
         else:  # diagnostic forward-only mode (perf decomposition)
-            ns = z2
+            ns = zN
         meta_ref[:, :] = jnp.concatenate(
-            [ms[:, 0:1], mi[:, 0:1], mj[:, 0:1], ns[:, 0:1],
-             ms[:, 1:2], mi[:, 1:2], mj[:, 1:2], ns[:, 1:2]], axis=1
+            sum(
+                (
+                    [ms[:, s : s + 1], mi[:, s : s + 1], mj[:, s : s + 1],
+                     ns[:, s : s + 1]]
+                    for s in range(NSEG)
+                ),
+                [],
+            ),
+            axis=1,
         )
 
-    def call(xs0, xsA, xsB, ybA, ybB, params):
+    def call(xs0, xsufs, ybs, params):
         N2 = xs0.shape[0]
         assert N2 % BBLK == 0
         grid = (N2 // BBLK,)
         spec = lambda cols: pl.BlockSpec(  # noqa: E731
             (BBLK, cols), lambda g: (g, 0), memory_space=pltpu.VMEM
         )
-        meta2, ops2 = pl.pallas_call(
+        metaN, opsN = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
-                spec(W), spec(XSRC), spec(XSRC), spec(YMAX), spec(YMAX),
-                spec(8),
+                spec(W), spec(NSEG * XSRC), spec(NSEG * YMAX), spec(4 * NSEG),
             ],
-            out_specs=[spec(8), spec(2 * SMAX)],
+            out_specs=[spec(4 * NSEG), spec(NSEG * SMAX)],
             out_shape=[
-                jax.ShapeDtypeStruct((N2, 8), jnp.int32),
-                jax.ShapeDtypeStruct((N2, 2 * SMAX), jnp.int32),
+                jax.ShapeDtypeStruct((N2, 4 * NSEG), jnp.int32),
+                jax.ShapeDtypeStruct((N2, NSEG * SMAX), jnp.int32),
             ],
             scratch_shapes=[
                 pltpu.VMEM((YMAX + 1, BBLK, W), jnp.int32),
             ],
             interpret=interpret,
-        )(xs0, xsA, xsB, ybA, ybB, params)
-        return meta2, ops2
+        )(xs0, xsufs, ybs, params)
+        return metaN, opsN
 
     return call
 
 
 def make_packed_stream_gather_kernel(
     BBLK: int, XMAX: int, YMAX: int, SMAX: int, interpret: bool = False,
-    walk: bool = True,
+    walk: bool = True, SEG: int = 64,
 ):
     """jit fn (ref_nib, ref_lw, reads, meta) -> (N, 4 + SMAX/16) int32.
 
     Drop-in replacement for the general stream gather kernel when every
-    problem has band <= PACK_BAND_MAX.  N must be a multiple of 2*BBLK;
-    meta rows [k*2B, k*2B + B) are segment A of block k, the next B
-    rows segment B; the output is unscrambled back to meta row order.
+    problem has band <= (SEG-2)//2.  N must be a multiple of NSEG*BBLK;
+    meta rows [k*NSEG*B + s*B, k*NSEG*B + (s+1)*B) are segment s of
+    block k; the output is unscrambled back to meta row order.
     """
+    NSEG = W // SEG
     XSRC = _round_up(max(XMAX - SEG + 2, 1), 128)
-    inner = make_packed_stream_call(BBLK, XSRC, YMAX, SMAX, interpret, walk)
+    inner = make_packed_stream_call(BBLK, XSRC, YMAX, SMAX, interpret, walk,
+                                    SEG)
 
     def call(ref_nib, ref_lw, reads, meta):
         N = meta.shape[0]
-        N2 = N // 2
-        m = meta.reshape(N2 // BBLK, 2, BBLK, 9)
-        ma = m[:, 0].reshape(N2, 9)
-        mb = m[:, 1].reshape(N2, 9)
+        N2 = N // NSEG
+        m = meta.reshape(N2 // BBLK, NSEG, BBLK, 9)
+        msegs = [m[:, s].reshape(N2, 9) for s in range(NSEG)]
 
         rw, rlw = pack_text_words(reads.reshape(-1))
         rw_flat = rw.reshape(-1)
 
         def x_initial(mm):
-            # [0, x[0..62]] codes
+            # [0, x[0..SEG-2]] codes
             xb = _gather_span_packed(rw_flat, rlw, mm[:, 4:5], mm[:, 5:6], SEG)
             ix = jnp.arange(SEG, dtype=jnp.int32)[None, :]
             win = jnp.where(ix < mm[:, 6:7], _read_codes(xb), 0)
@@ -376,10 +417,10 @@ def make_packed_stream_gather_kernel(
                 win[:, : SEG - 1], ((0, 0), (1, 0))
             ).astype(jnp.int32)
 
-        xs0 = jnp.concatenate([x_initial(ma), x_initial(mb)], axis=1)
+        xs0 = jnp.concatenate([x_initial(mm) for mm in msegs], axis=1)
 
         def x_suffix(mm):
-            # xsrc[t] = x[t + 63] (0 beyond xlen)
+            # suf[t] = x[t + SEG - 1] (0 beyond xlen)
             base = mm[:, 4:5] + mm[:, 5:6] * (SEG - 1)
             xb = _gather_span_packed(rw_flat, rlw, base, mm[:, 5:6], XSRC)
             ix = jnp.arange(XSRC, dtype=jnp.int32)[None, :]
@@ -394,22 +435,30 @@ def make_packed_stream_gather_kernel(
             iy = jnp.arange(YMAX, dtype=jnp.int32)[None, :]
             return jnp.where(iy < mm[:, 3:4], yb, 0).astype(jnp.int32)
 
+        xsufs = jnp.concatenate([x_suffix(mm) for mm in msegs], axis=1)
+        ybs = jnp.concatenate([y_win(mm) for mm in msegs], axis=1)
         params = jnp.concatenate(
-            [ma[:, 6:7], ma[:, 3:4], ma[:, 7:8], ma[:, 8:9],
-             mb[:, 6:7], mb[:, 3:4], mb[:, 7:8], mb[:, 8:9]], axis=1
+            sum(
+                (
+                    [mm[:, 6:7], mm[:, 3:4], mm[:, 7:8], mm[:, 8:9]]
+                    for mm in msegs
+                ),
+                [],
+            ),
+            axis=1,
         )
 
-        meta2, ops2 = inner(
-            xs0, x_suffix(ma), x_suffix(mb), y_win(ma), y_win(mb), params
-        )
+        metaN, opsN = inner(xs0, xsufs, ybs, params)
 
         # unscramble to standard (N, 4 + PW) rows
         PW = SMAX // 16
-        codes = ops2.reshape(N2, 2, PW, 16)
+        codes = opsN.reshape(N2, NSEG, PW, 16)
         shifts = (2 * jnp.arange(16, dtype=jnp.int32))[None, None, None, :]
-        packed = jnp.sum(codes << shifts, axis=3, dtype=jnp.int32)  # (N2,2,PW)
-        halves = jnp.concatenate([meta2.reshape(N2, 2, 4), packed], axis=2)
-        out = halves.reshape(N2 // BBLK, BBLK, 2, 4 + PW)
+        packed = jnp.sum(codes << shifts, axis=3, dtype=jnp.int32)
+        halves = jnp.concatenate(
+            [metaN.reshape(N2, NSEG, 4), packed], axis=2
+        )
+        out = halves.reshape(N2 // BBLK, BBLK, NSEG, 4 + PW)
         out = jnp.swapaxes(out, 1, 2).reshape(N, 4 + PW)
         return out
 
@@ -419,10 +468,11 @@ def make_packed_stream_gather_kernel(
 _PACKED_CACHE = {}
 
 
-def get_packed_stream_gather_kernel(BBLK, XMAX, YMAX, SMAX, interpret=False):
-    key = (BBLK, XMAX, YMAX, SMAX, interpret)
+def get_packed_stream_gather_kernel(BBLK, XMAX, YMAX, SMAX, interpret=False,
+                                    SEG=64):
+    key = (BBLK, XMAX, YMAX, SMAX, interpret, SEG)
     if key not in _PACKED_CACHE:
         _PACKED_CACHE[key] = make_packed_stream_gather_kernel(
-            BBLK, XMAX, YMAX, SMAX, interpret
+            BBLK, XMAX, YMAX, SMAX, interpret, SEG=SEG
         )[0]
     return _PACKED_CACHE[key]

@@ -113,14 +113,16 @@ def sharded_stream_kernel(
 
 def sharded_packed_stream_kernel(
     mesh: Mesh, BBLK: int, XMAX: int, YMAX: int, SMAX: int,
-    interpret: bool = False,
+    interpret: bool = False, SEG: int = 64,
 ):
     """Lane-packed stream kernel (ops/swg_pallas_packed.py) sharded
     along ``data`` — same layout contract as ``sharded_stream_kernel``;
-    per-shard row counts must divide 2*BBLK (callers pad)."""
+    per-shard row counts must divide (128//SEG)*BBLK (callers pad)."""
     from ..ops.swg_pallas_packed import make_packed_stream_gather_kernel
 
-    _, call = make_packed_stream_gather_kernel(BBLK, XMAX, YMAX, SMAX, interpret)
+    _, call = make_packed_stream_gather_kernel(
+        BBLK, XMAX, YMAX, SMAX, interpret, SEG=SEG
+    )
     f = shard_map(
         call,
         mesh=mesh,

@@ -1,11 +1,18 @@
-"""Kernel microbenchmark: packed vs general stream kernel on real TPU.
+"""Kernel microbenchmark: general vs lane-packed stream kernels on TPU.
 
 Measures the single-pass gather+forward+traceback kernel at the
-aligner's DEFAULT shapes (-s0.66, 90 bp reads -> band 31, the regime
-the lane-packed kernel exists for) and reports problems/s and
-effective GCUPS for both kernels plus the speedup.
+production shapes of the adaptive narrow-band pass (band 15 by
+default — BOTH the reference benchmark config -s0 and the default
+-s0.66 run at min(band, 15) since round 3) and reports problems/s for
+the general kernel, the 2-problems/row (SEG=64) and, when the band
+fits, the 4-problems/row (SEG=32) packed variants — all bit-identical
+by assertion.
 
-Usage: python tools/kernel_bench.py [n_problems] [trials]
+Note: each timed call includes the (N, 4+SMAX/16) d2h transfer over
+the deployment's ~40 MB/s tunnel, exactly like the production pipeline
+sync.
+
+Usage: KB_BAND=15 python tools/kernel_bench.py [n_problems] [trials]
 """
 
 import json
@@ -39,8 +46,6 @@ def main():
     words = jax.device_put(pack_text_nib_host(text))
     lw = np.int32(nib_lw(len(text)))
 
-    # default-config shapes: 90 bp reads, band 31 -> flank <= 70,
-    # window <= flank + band + 1
     RPAD = 96
     NR = 4096
     reads = np.zeros((NR, RPAD), np.uint8)
@@ -51,8 +56,10 @@ def main():
         reads[i, :90] = text[p : p + 90]
     reads_dev = jax.device_put(reads)
 
-    band, xd = 31, 31
-    XMAX, YMAX, W = 96, 128, 128
+    band = int(os.environ.get("KB_BAND", "15"))
+    xd = 60  # x_drop stays the un-narrowed value in production
+    XMAX, W = 96, 128
+    YMAX = ((90 + band + 1 + 31) // 32) * 32
     SMAX = 256
     meta = np.zeros((n, 9), np.int32)
     cells = 0
@@ -67,34 +74,34 @@ def main():
         )
         cells += ylen * (2 * band + 1)
 
-    BBLK = int(os.environ.get("KB_BBLK", "64"))
-    BBLKP = int(os.environ.get("KB_BBLKP", str(BBLK)))
-    general = get_stream_traceback_gather_kernel(BBLK, XMAX, YMAX, W, SMAX=SMAX)
-    packed = get_packed_stream_gather_kernel(BBLKP, XMAX, YMAX, SMAX)
+    BBLK = int(os.environ.get("KB_BBLK", "128"))
+    kerns = {"general": get_stream_traceback_gather_kernel(
+        BBLK, XMAX, YMAX, W, SMAX=SMAX)}
+    if band <= 31:
+        kerns["pack2"] = get_packed_stream_gather_kernel(
+            BBLK, XMAX, YMAX, SMAX, SEG=64)
+    if band <= 15:
+        kerns["pack4"] = get_packed_stream_gather_kernel(
+            BBLK, XMAX, YMAX, SMAX, SEG=32)
 
-    def bench(kern, name):
+    outs = {}
+    res = {"metric": f"stream_kernel_problems_per_s_band{band}", "n": n}
+    for name, kern in kerns.items():
         out = np.asarray(kern(words, lw, reads_dev, meta))  # compile+check
         assert (out[:, 0] > 0).mean() > 0.9, f"{name}: scores look wrong"
+        outs[name] = out
         best = 0.0
         for _ in range(trials):
             t0 = time.time()
             r = kern(words, lw, reads_dev, meta)
             np.asarray(r)  # sync
             best = max(best, n / (time.time() - t0))
-        return best, out
-
-    g_rate, g_out = bench(general, "general")
-    p_rate, p_out = bench(packed, "packed")
-    assert (g_out == p_out).all(), "packed != general on device!"
-
-    res = {
-        "metric": "stream_kernel_problems_per_s_band31",
-        "general": round(g_rate, 0),
-        "packed": round(p_rate, 0),
-        "speedup": round(p_rate / g_rate, 2),
-        "general_gcups": round(g_rate * cells / n / 1e9, 2),
-        "packed_gcups": round(p_rate * cells / n / 1e9, 2),
-    }
+        res[name] = round(best, 0)
+        res[name + "_gcups"] = round(best * cells / n / 1e9, 2)
+    for name, out in outs.items():
+        assert (out == outs["general"]).all(), f"{name} != general on device!"
+    if "pack4" in res:
+        res["speedup_pack4"] = round(res["pack4"] / res["general"], 2)
     print(json.dumps(res))
 
 
