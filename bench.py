@@ -69,9 +69,32 @@ def _oracle_rps(idx, opts, reads, passes=2):
     return best
 
 
+def _cpp_rps(idx, opts, reads, passes=3):
+    """All-native single-core C++ engine reads/s (align/cpu.py: seed +
+    full-band scalar SWG + arbitrate + finalize + emit on one thread) —
+    the honest 'thermite-equivalent single core' denominator; the
+    reference is compiled Rust at opt-level 3, so the Python oracle
+    flatters the TPU speedup by an order of magnitude."""
+    from thermite_tpu.align.cpu import CppAligner
+
+    try:
+        cpp = CppAligner(idx, opts)
+    except RuntimeError:
+        return 0.0
+    recs = [(b"r%d" % i, r, b"I" * len(r)) for i, r in enumerate(reads)]
+    best = 0.0
+    for _ in range(passes):
+        t0 = time.time()
+        raw = cpp.align_records(recs, False)
+        best = max(best, len(recs) / (time.time() - t0))
+    assert len(raw) > len(recs) * 40
+    return best
+
+
 def _steady_state(batch, make_trial_reads, n_trials):
-    """Median steady-state reads/s over trials + effective GCUPS
-    (DP cells submitted during the timed trials / timed wall)."""
+    """Median steady-state reads/s over trials, spread, + effective
+    GCUPS (device cells / wall) and full-band-equivalent GCUPS (cells
+    the reference's full-band DP would compute for the same work)."""
     rps = []
     wall = 0.0
     batch.stats.reset()
@@ -87,7 +110,10 @@ def _steady_state(batch, make_trial_reads, n_trials):
         "mapping rate sanity"
     )
     gcups = batch.stats.dp_cells / wall / 1e9
-    return statistics.median(rps), max(rps), gcups
+    gcups_ref = batch.stats.dp_cells_ref / wall / 1e9
+    return (
+        statistics.median(rps), min(rps), max(rps), gcups, gcups_ref,
+    )
 
 
 def _emit_rps(batch, reads):
@@ -146,10 +172,12 @@ def main():
     syn = _syn45_index()
     syn_chrom = syn.seq[syn.refs[0].start_idx : syn.refs[0].end_idx - 1]
     syn_oracle = _oracle_rps(syn, opts, make_reads(syn_chrom, 192, seed=11))
+    syn_cpp = _cpp_rps(syn, opts, make_reads(syn_chrom, 4096, seed=13))
+    print(f"syn45 C++ 1-core baseline: {syn_cpp:.1f} reads/s", file=sys.stderr)
 
     syn_batch = BatchAligner(syn, opts)
     syn_batch.align_batch(make_reads(syn_chrom, N, seed=12))  # compile warmup
-    syn_rps, syn_best, syn_gcups = _steady_state(
+    syn_rps, syn_lo, syn_best, syn_gcups, syn_gcups_ref = _steady_state(
         syn_batch, lambda t: make_reads(syn_chrom, N, seed=20 + t), n_trials=5
     )
     print(syn_batch.stats.report(), file=sys.stderr)
@@ -163,14 +191,27 @@ def main():
     )
     chrM = idx.seq[idx.refs[0].start_idx : idx.refs[0].end_idx - 1]
     chrM_oracle = _oracle_rps(idx, opts, make_reads(chrM, 256, seed=11))
+    chrM_cpp = _cpp_rps(idx, opts, make_reads(chrM, 4096, seed=13))
+    print(f"chrM C++ 1-core baseline: {chrM_cpp:.1f} reads/s", file=sys.stderr)
     batch = BatchAligner(idx, opts)
     batch.align_batch(make_reads(chrM, N, seed=12))  # compile warmup
-    chrM_rps, chrM_best, chrM_gcups = _steady_state(
+    chrM_rps, chrM_lo, chrM_best, chrM_gcups, chrM_gcups_ref = _steady_state(
         batch, lambda t: make_reads(chrM, N, seed=20 + t), n_trials=5
     )
     print(batch.stats.report(), file=sys.stderr)
     print(f"chrM oracle baseline: {chrM_oracle:.1f} reads/s", file=sys.stderr)
     chrM_emit = _emit_rps(batch, make_reads(chrM, N, seed=33))
+
+    # ---- default config (-s0.66): same kernel shapes post-narrowing ----
+    opts_def = AlignOpts(
+        min_seed_len=20, min_aln_score_percent=0.66, min_aln_score=30,
+        intron_mode=True,
+    )
+    bdef = BatchAligner(idx, opts_def)
+    bdef.align_batch(make_reads(chrM, N, seed=12))  # warmup
+    def_rps, _, _, _, _ = _steady_state(
+        bdef, lambda t: make_reads(chrM, N, seed=40 + t), n_trials=3
+    )
 
     print(
         json.dumps(
@@ -179,15 +220,22 @@ def main():
                 "value": round(syn_rps, 1),
                 "unit": "reads/s",
                 "vs_baseline": round(syn_rps / syn_oracle, 2),
-                "syn45_best_reads_per_s": round(syn_best, 1),
+                "vs_cpp_baseline": round(syn_rps / syn_cpp, 2) if syn_cpp else None,
+                "trials": 5,
+                "syn45_spread_reads_per_s": [round(syn_lo, 1), round(syn_best, 1)],
                 "syn45_gcups_effective": round(syn_gcups, 2),
+                "syn45_gcups_fullband_equiv": round(syn_gcups_ref, 2),
                 "syn45_oracle_reads_per_s": round(syn_oracle, 1),
+                "syn45_cpp_1core_reads_per_s": round(syn_cpp, 1),
                 "syn45_emit_bam_reads_per_s": round(syn_emit, 1),
                 "chrM_median_reads_per_s": round(chrM_rps, 1),
-                "chrM_best_reads_per_s": round(chrM_best, 1),
+                "chrM_spread_reads_per_s": [round(chrM_lo, 1), round(chrM_best, 1)],
                 "chrM_gcups_effective": round(chrM_gcups, 2),
                 "chrM_vs_oracle": round(chrM_rps / chrM_oracle, 2),
+                "chrM_vs_cpp": round(chrM_rps / chrM_cpp, 2) if chrM_cpp else None,
+                "chrM_cpp_1core_reads_per_s": round(chrM_cpp, 1),
                 "chrM_emit_bam_reads_per_s": round(chrM_emit, 1),
+                "chrM_default_cfg_reads_per_s": round(def_rps, 1),
             }
         )
     )

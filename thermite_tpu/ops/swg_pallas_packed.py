@@ -63,9 +63,18 @@ W = 128
 
 
 def seg_for_band(bmax: int) -> int:
-    """Narrowest packing segment serving every band <= bmax, or 0 if
-    the batch cannot pack (band > PACK_BAND_MAX)."""
-    if bmax <= PACK4_BAND_MAX:
+    """Packing segment serving every band <= bmax, or 0 if the batch
+    cannot pack (band > PACK_BAND_MAX).
+
+    SEG=64 (two problems/row) is the default even when band <= 15
+    would fit SEG=32: measured on v5e, the 4-way variant's extra
+    per-segment bookkeeping (4x masked reductions, segment select
+    chains, 4 rolling y/x-suffix registers) cancels the lane win
+    (141k vs 164k problems/s for pack2 at band-15 shapes, band15
+    kernel_bench 2026-08-17).  Set THERMITE_PACK4=1 to re-enable."""
+    import os
+
+    if bmax <= PACK4_BAND_MAX and os.environ.get("THERMITE_PACK4"):
         return 32
     if bmax <= PACK_BAND_MAX:
         return 64

@@ -69,6 +69,23 @@ def main():
     log(f"seed table built in {table_s:.0f} s "
         f"({len(idx.seed_table[3]) / 1e9:.2f}G positions)")
 
+    # artifact round trip: persist the whole-genome index (incl. the
+    # posting table) and reload it; alignment below runs on the
+    # RELOADED index, proving the production save/load path at scale
+    save_s = load_s = -1.0
+    if "--no-artifact" not in sys.argv:
+        art = os.path.join(out_dir, "wg_index.npz")
+        t = time.time()
+        idx.save(art)
+        save_s = time.time() - t
+        art_gb = os.path.getsize(art) / 1e9
+        log(f"artifact saved in {save_s:.0f} s ({art_gb:.1f} GB)")
+        del idx
+        t = time.time()
+        idx = Index.load(art)
+        load_s = time.time() - t
+        log(f"artifact reloaded in {load_s:.0f} s")
+
     opts = AlignOpts(
         min_seed_len=20, min_aln_score_percent=0.0, min_aln_score=30,
         intron_mode=True,
@@ -143,6 +160,8 @@ def main():
         "oracle_spot_mismatches": int(mismatch),
         "table_build_s": round(table_s, 1),
         "text_upload_s": round(up_s, 1),
+        "artifact_save_s": round(save_s, 1),
+        "artifact_load_s": round(load_s, 1),
     }
     with open(os.path.join(out_dir, "genome_scale.json"), "w") as f:
         json.dump(result, f)
