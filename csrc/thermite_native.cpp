@@ -1409,9 +1409,21 @@ int64_t pack_walk(const SwgScratch& S, int64_t w, int64_t band, int64_t mi,
 
 // one banded SWG extension into a packed stream row (4 + pw int32s,
 // caller-zeroed).  Returns 0, or -1 if the walk overflowed pw.
+//
+// When `cert_out` is non-null, also evaluates the band-exactness
+// certificate (same soundness argument as the device kernel,
+// thermite_tpu/ops/swg_pallas.py stream-kernel docstring): *cert_out
+// is set to 1 iff the SAME problem at ANY wider band (ylen re-clamped
+// accordingly, same x_drop) provably yields a bit-identical row.
+// Tracked per column j: E(j) = min(j, xlen)*M + o + (band+1)*e bounds
+// any out-of-band path prefix; (a) every pre-stop column's band max
+// must exceed E(j) - x_drop, (b) the final max must strictly exceed
+// E(j_stop) + x_drop on a real x-drop stop, or E(ylen) on completion.
 int64_t swg_stream_row(SwgScratch& S, const uint8_t* x, int64_t xlen,
                        const uint8_t* y, int64_t ylen, int64_t band,
-                       int64_t xdrop, int32_t* out, int64_t pw) {
+                       int64_t xdrop, int32_t* out, int64_t pw,
+                       int32_t* cert_out = nullptr) {
+  if (cert_out) *cert_out = 1;  // trivial rows are band-independent
   if (xlen <= 0 || ylen <= 0) return 0;  // trivial: all-zero row
   const int64_t w = 2 * band + 1;
   S.D.assign(w, 0);
@@ -1425,6 +1437,13 @@ int64_t swg_stream_row(SwgScratch& S, const uint8_t* x, int64_t xlen,
 
   int32_t max_score = 0;
   int64_t max_i = 0, max_j = 0;
+
+  // certificate state (only maintained when cert_out != nullptr)
+  const int64_t e_ladder = kGapOpen + (band + 1) * (int64_t)kGapExtend;
+  const int64_t ub_final = xlen * (int64_t)kMatch + e_ladder;
+  int64_t cmin = int64_t(1) << 40;  // "no pre-stop column yet"
+  int64_t ecap = ub_final;
+  bool rstop = false;
 
   // column 0: gap ladder, Ins trace
   tr[0] = D_INS;
@@ -1473,7 +1492,16 @@ int64_t swg_stream_row(SwgScratch& S, const uint8_t* x, int64_t xlen,
       if (cur > max_score) { max_score = cur; max_i = i; max_j = j; }
       if (cur > band_max) band_max = cur;
     }
-    if (band_max < max_score - xdrop) stopped = true;  // global stop
+    if (band_max < max_score - xdrop) {
+      stopped = true;  // global stop
+      if (cert_out && band_max > kMinScore) {  // real drop, not exhaustion
+        ecap = (j < xlen ? j : xlen) * (int64_t)kMatch + e_ladder;
+        rstop = true;
+      }
+    } else if (cert_out) {
+      int64_t v = band_max - ((j < xlen ? j : xlen) * (int64_t)kMatch + e_ladder);
+      if (v < cmin) cmin = v;
+    }
   }
 
   // phase 2: band slides one row per column
@@ -1510,15 +1538,53 @@ int64_t swg_stream_row(SwgScratch& S, const uint8_t* x, int64_t xlen,
       if (cur > max_score) { max_score = cur; max_i = i; max_j = j; }
       if (cur > band_max) band_max = cur;
     }
-    if (band_max < max_score - xdrop) break;
+    if (band_max < max_score - xdrop) {
+      if (cert_out && band_max > kMinScore) {
+        ecap = (j < xlen ? j : xlen) * (int64_t)kMatch + e_ladder;
+        rstop = true;
+      }
+      break;
+    }
+    if (cert_out) {
+      int64_t v = band_max - ((j < xlen ? j : xlen) * (int64_t)kMatch + e_ladder);
+      if (v < cmin) cmin = v;
+    }
   }
 
+  if (cert_out) {
+    int64_t cert_ub = rstop ? ecap + xdrop : ub_final;
+    *cert_out = (cmin > -xdrop && max_score > cert_ub) ? 1 : 0;
+  }
   out[0] = max_score;
   out[1] = (int32_t)max_i;
   out[2] = (int32_t)max_j;
   int64_t n = pack_walk(S, w, band, max_i, max_j, out + 4, pw);
   out[3] = (int32_t)n;
   return n < 0 ? -1 : 0;
+}
+
+// Adaptive narrow-band scalar SWG (CPU-engine mirror of the device
+// pipeline's adaptive pass, align/batch.py::_narrow_meta): run at
+// band' = min(band, narrow) with ylen re-clamped to xlen + band' + 1;
+// accept iff the exactness certificate passes, else recompute at the
+// full band.  Output is bit-identical to a full-band run either way.
+// `*patched` (optional) counts certificate failures.
+int64_t swg_stream_row_adaptive(SwgScratch& S, const uint8_t* x,
+                                int64_t xlen, const uint8_t* y,
+                                int64_t ylen, int64_t band, int64_t narrow,
+                                int64_t xdrop, int32_t* out, int64_t pw,
+                                int64_t* patched = nullptr) {
+  if (narrow <= 0 || narrow >= band) {
+    return swg_stream_row(S, x, xlen, y, ylen, band, xdrop, out, pw);
+  }
+  int64_t nylen = ylen < xlen + narrow + 1 ? ylen : xlen + narrow + 1;
+  int32_t cert = 0;
+  int64_t rc =
+      swg_stream_row(S, x, xlen, y, nylen, narrow, xdrop, out, pw, &cert);
+  if (rc == 0 && cert) return 0;
+  if (patched) ++*patched;
+  std::memset(out, 0, (size_t)(4 + pw) * sizeof(int32_t));
+  return swg_stream_row(S, x, xlen, y, ylen, band, xdrop, out, pw);
 }
 
 }  // namespace
@@ -1573,6 +1639,20 @@ int64_t thermite_swg_stream(const uint8_t* x, int64_t xlen, const uint8_t* y,
   return swg_stream_row(S, x, xlen, y, ylen, band, xdrop, out, pw);
 }
 
+// Single-problem adaptive entry (tests; must be bit-identical to
+// thermite_swg_stream for every input).  `patched` (nullable) is
+// incremented when the narrow pass failed its certificate.
+int64_t thermite_swg_stream_adaptive(const uint8_t* x, int64_t xlen,
+                                     const uint8_t* y, int64_t ylen,
+                                     int64_t band, int64_t narrow,
+                                     int64_t xdrop, int32_t* out, int64_t pw,
+                                     int64_t* patched) {
+  SwgScratch S;
+  std::memset(out, 0, (4 + pw) * sizeof(int32_t));
+  return swg_stream_row_adaptive(S, x, xlen, y, ylen, band, narrow, xdrop,
+                                 out, pw, patched);
+}
+
 // All-native single-core chunk pipeline: build -> scalar banded SWG on
 // every nontrivial problem -> arbitrate -> finalize, one thread, no
 // device.  This is the honest "thermite-equivalent single core"
@@ -1581,11 +1661,15 @@ int64_t thermite_swg_stream(const uint8_t* x, int64_t xlen, const uint8_t* y,
 // a Python oracle would flatter it).  Returns a finalized Chunk handle
 // ready for thermite_chunk_emit / the standard getters, or nullptr on
 // internal error.  `consumed` reads back via thermite_chunk_n_reads.
+// `narrow_band` > 0 enables the same adaptive narrow-band pass the
+// device pipeline runs (certificate-gated, bit-identical outputs);
+// certificate failures are counted into *cert_patches (nullable).
 void* thermite_chunk_align_cpu(void* eh, const uint8_t* reads,
                                int64_t n_reads, int64_t rpad,
                                const int64_t* read_lens,
                                int64_t problem_budget,
-                               int64_t wpad, int64_t pw) {
+                               int64_t wpad, int64_t pw,
+                               int64_t narrow_band, int64_t* cert_patches) {
   auto& E = *static_cast<Engine*>(eh);
   const uint8_t* ref_bytes = E.ref_text;
   const int64_t ref_len = E.ref_text_len;
@@ -1622,8 +1706,9 @@ void* thermite_chunk_align_cpu(void* eh, const uint8_t* reads,
           int64_t q = yb + yd * i;
           ybuf[i] = (q >= 0 && q < ref_len) ? ref_bytes[q] : 0;
         }
-        if (swg_stream_row(S, xbuf.data(), xlen, ybuf.data(), ylen, m[7],
-                           m[8], row, pw) != 0) {
+        if (swg_stream_row_adaptive(S, xbuf.data(), xlen, ybuf.data(), ylen,
+                                    m[7], narrow_band, m[8], row, pw,
+                                    cert_patches) != 0) {
           delete ch;
           return nullptr;
         }

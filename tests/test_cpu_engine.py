@@ -42,3 +42,21 @@ def test_cpu_engine_matches_batch_emit(index, recs, fmt_bam):
     batch = BatchAligner(index, opts, backend="pallas", interpret=True)
     want = batch.align_batch_emit(recs, fmt_bam)
     assert got == want
+
+
+def test_cpu_engine_narrow_band_identity(index, recs, monkeypatch):
+    """The CPU engine's adaptive narrow-band pass (same certificate as
+    the device pipeline) leaves the emitted records byte-identical."""
+    opts = AlignOpts(
+        min_seed_len=3, min_aln_score_percent=0.0, min_aln_score=0,
+        intron_mode=True,
+    )
+    try:
+        monkeypatch.setenv("THERMITE_NARROW_BAND", "0")
+        full = CppAligner(index, opts)
+        monkeypatch.setenv("THERMITE_NARROW_BAND", "4")
+        narrow = CppAligner(index, opts)
+    except RuntimeError:
+        pytest.skip("native library unavailable")
+    assert full.narrow_band == 0 and narrow.narrow_band == 4
+    assert full.align_records(recs, False) == narrow.align_records(recs, False)

@@ -77,6 +77,58 @@ def test_cpp_swg_matches_oracle():
         assert aln.operations == ref.operations, trial
 
 
+def test_cpp_adaptive_matches_full():
+    """C++ adaptive narrow-band (swg_stream_row_adaptive) is bit-identical
+    to the full-band scalar SWG on every input — certificate accepts run
+    narrow, failures recompute at full band — and both outcomes occur in
+    a mixed corpus (clean flanks certify; >narrow-band indels patch)."""
+    lib = _lib()
+    lib.thermite_swg_stream_adaptive.restype = ctypes.c_int64
+    lib.thermite_swg_stream_adaptive.argtypes = [
+        _u8p, ctypes.c_int64, _u8p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, _i32p, ctypes.c_int64, _i64p,
+    ]
+    rng = np.random.default_rng(3)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    pw = 64
+    NARROW = 15
+    patched = ctypes.c_int64(0)
+    n_narrowable = 0
+    for trial in range(400):
+        xlen = int(rng.integers(0, 110))
+        band = int(rng.integers(1, 64))
+        ylen = min(int(rng.integers(0, 200)), xlen + band + 1)
+        xd = int(rng.integers(1, 80))
+        x = rng.choice(bases, xlen).tobytes()
+        kind = trial % 4
+        if kind == 0 or not (xlen and ylen):
+            y = rng.choice(bases, ylen).tobytes()  # unrelated
+        elif kind == 1:  # near-copy: should certify at narrow band
+            yb = bytearray(x[:min(xlen, ylen)].ljust(ylen, b"A"))
+            for _ in range(int(rng.integers(0, 4))):
+                yb[int(rng.integers(0, ylen))] = int(rng.choice(bases))
+            y = bytes(yb)
+        else:  # copy with a >NARROW-band gap: certificate must fail
+            cut = int(rng.integers(0, max(xlen - 1, 1)))
+            gap = int(rng.integers(NARROW + 2, NARROW + 30))
+            yb = x[:cut] + rng.choice(bases, gap).tobytes() + x[cut:]
+            y = yb[:ylen].ljust(ylen, b"A")
+        xa, ya = _np_arr(x), _np_arr(y)
+        full = _cpp_stream(lib, x, y, band, xd, pw)
+        ada = np.zeros(4 + pw, np.int32)
+        rc = lib.thermite_swg_stream_adaptive(
+            xa.ctypes.data_as(_u8p), xlen, ya.ctypes.data_as(_u8p), len(y),
+            band, NARROW, xd, ada.ctypes.data_as(_i32p), pw,
+            ctypes.byref(patched),
+        )
+        assert rc == 0, trial
+        assert (ada == full).all(), trial
+        n_narrowable += band > NARROW
+    # both regimes genuinely exercised
+    assert patched.value > 0
+    assert patched.value < n_narrowable
+
+
 def _mk_problems(rng, n, wide, with_indels=True):
     """Synthetic text/reads/meta at ``wide`` band; some reads carry
     >narrow-band indels so certificate failures actually occur."""

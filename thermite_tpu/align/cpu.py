@@ -41,6 +41,13 @@ class CppAligner:
         self.native = self._ba.native
         self.index = index
         self.opts = opts
+        # same adaptive narrow-band pass as the device pipeline
+        # (certificate-gated, bit-identical; THERMITE_NARROW_BAND=0
+        # disables) — keeps the single-core baseline algorithmically
+        # honest vs the TPU path
+        import os
+
+        self.narrow_band = int(os.environ.get("THERMITE_NARROW_BAND", "15"))
         from ..utils.stats import PipelineStats
 
         self.stats = PipelineStats()
@@ -76,13 +83,17 @@ class CppAligner:
             lib.thermite_chunk_align_cpu.argtypes = [
                 ctypes.c_void_p, _u8p, ctypes.c_int64, ctypes.c_int64,
                 _i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, _i64p,
             ]
+            patches = ctypes.c_int64(0)
             ch = lib.thermite_chunk_align_cpu(
                 self.native._h,
                 reads_pad.ctypes.data_as(_u8p), take, rpad,
                 lens.ctypes.data_as(_i64p), self.PROBLEM_BUDGET,
-                _WPAD, pw,
+                _WPAD, pw, self.narrow_band,
+                ctypes.cast(ctypes.byref(patches), _i64p),
             )
+            self.stats.cert_patches += patches.value
             if not ch:
                 raise RuntimeError("native cpu chunk pipeline failed")
             consumed = lib.thermite_chunk_n_reads(ch)
