@@ -194,6 +194,201 @@ void rolling_scan(const uint8_t* text, int64_t n, int k, int64_t stride,
   }
 }
 
+// Packed-u64 build path: when (key_bits - top_bits) + pos_bits <= 64,
+// each sampled window packs into ONE u64 as
+//     (rem_key << pos_bits) | (p / stride)
+// which (a) halves the sort working set vs the (key, pos) pair path
+// (genome scale: 25.6 GB -> 12.8 GB), (b) turns the per-bucket LSD
+// into a plain u64 radix whose LOW bits are the position, so stable
+// digit passes over the rem_key bits alone leave equal keys
+// position-ascending for free, and (c) lets the MSD scatter go through
+// per-bucket write-combining buffers — the ~16 K bucket streams hit
+// memory as sequential bursts instead of one random 8 B store per
+// entry (the round-3 genome build spent most of its 2895 s in that
+// scatter).  Returns false when the packing does not fit (keys too
+// wide for the position range) — the caller falls back to the pair
+// path.  Output layout and order are bit-identical to the pair path.
+bool build_stride_packed(SeedIndex* idx, const uint8_t* text, int64_t n,
+                         int k, int64_t stride) {
+  int64_t max_key = 1;
+  for (int t = 0; t < k; ++t) max_key *= 5;
+  int key_bits = 0;
+  while ((max_key >> key_bits) != 0) ++key_bits;
+  const int64_t n_starts = n >= k ? n - k + 1 : 0;
+  const int64_t q_max = n_starts > 0 ? (n_starts - 1) / stride : 0;
+  int pos_bits = 1;
+  while ((q_max >> pos_bits) != 0) ++pos_bits;
+
+  // size the MSD partition so a bucket (8 B/entry) stays ~L2-resident
+  // for the per-bucket LSD passes, then raise it until rem_key + pos
+  // fit one u64 (bounded: >18 top bits would need per-thread count
+  // arrays past the point of diminishing locality)
+  int top_bits = 11;
+  {
+    int64_t est_entries = n / stride + 1;
+    while (top_bits < 16 && (est_entries >> top_bits) * 8 > (int64_t)2 << 20)
+      ++top_bits;
+  }
+  if (top_bits < key_bits + pos_bits - 64) top_bits = key_bits + pos_bits - 64;
+  if (top_bits > 18) return false;  // cannot pack; pair fallback
+  if (top_bits > key_bits) top_bits = key_bits;
+  const int rem_shift = key_bits - top_bits;  // rem_key bit width
+  const int64_t n_top = (int64_t)1 << top_bits;
+  const uint64_t rem_mask =
+      rem_shift ? (((uint64_t)1 << rem_shift) - 1) : 0;
+  const uint64_t pmask = ((uint64_t)1 << pos_bits) - 1;
+
+  const int nthreads = (n > (int64_t)1 << 22) ? table_threads() : 1;
+  const int64_t slice = (n_starts + nthreads - 1) / nthreads;
+
+  // pass A: per-(slice, top-bucket) counts
+  std::vector<std::vector<int64_t>> counts(nthreads);
+  {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nthreads; ++t) {
+      pool.emplace_back([&, t]() {
+        auto& c = counts[t];
+        c.assign(n_top, 0);
+        int64_t lo = t * slice, hi = std::min(n_starts, lo + slice);
+        rolling_scan(text, n, k, stride, lo, hi,
+                     [&](int64_t key, int64_t) { c[key >> rem_shift]++; });
+      });
+    }
+    for (auto& th : pool) th.join();
+  }
+  // exclusive scan in (bucket-major, slice-minor) order -> write bases
+  std::vector<int64_t> bucket_off(n_top + 1, 0);
+  {
+    int64_t sum = 0;
+    for (int64_t b = 0; b < n_top; ++b) {
+      bucket_off[b] = sum;
+      for (int t = 0; t < nthreads; ++t) {
+        int64_t c = counts[t][b];
+        counts[t][b] = sum;  // becomes this slice's write cursor
+        sum += c;
+      }
+    }
+    bucket_off[n_top] = sum;
+  }
+  const int64_t total = bucket_off[n_top];
+  std::vector<uint64_t> kv(total);
+
+  // pass B: scatter packed entries via write-combining buffers
+  // (per-thread staging capped at 64 MB; slice cursor regions are
+  // disjoint so flushes never race)
+  int64_t stage = 64;
+  while (stage > 8 && n_top * stage * 8 > (int64_t)64 << 20) stage >>= 1;
+  {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nthreads; ++t) {
+      pool.emplace_back([&, t]() {
+        auto& cur = counts[t];
+        std::vector<uint64_t> buf((size_t)(n_top * stage));
+        std::vector<int32_t> fill(n_top, 0);
+        int64_t lo = t * slice, hi = std::min(n_starts, lo + slice);
+        rolling_scan(
+            text, n, k, stride, lo, hi, [&](int64_t key, int64_t p) {
+              int64_t b = key >> rem_shift;
+              uint64_t v = (((uint64_t)key & rem_mask) << pos_bits) |
+                           (uint64_t)(p / stride);
+              uint64_t* s = buf.data() + b * stage;
+              int32_t f = fill[b];
+              s[f++] = v;
+              if (f == stage) {
+                std::memcpy(kv.data() + cur[b], s, (size_t)stage * 8);
+                cur[b] += stage;
+                f = 0;
+              }
+              fill[b] = f;
+            });
+        for (int64_t b = 0; b < n_top; ++b)
+          if (fill[b]) {
+            std::memcpy(kv.data() + cur[b], buf.data() + b * stage,
+                        (size_t)fill[b] * 8);
+            cur[b] += fill[b];
+          }
+      });
+    }
+    for (auto& th : pool) th.join();
+  }
+
+  // pass C: per-bucket stable LSD on the rem_key bits (positions ride
+  // in the low bits, untouched by the digit extraction, so ties stay
+  // position-ascending)
+  if (rem_shift > 0) {
+    std::atomic<int64_t> next(0);
+    auto worker = [&]() {
+      std::vector<uint64_t> tmp;
+      std::vector<int64_t> cnt(1 << 12);
+      while (true) {
+        int64_t b = next.fetch_add(1, std::memory_order_relaxed);
+        if (b >= n_top) break;
+        int64_t lo = bucket_off[b], hi = bucket_off[b + 1];
+        int64_t m = hi - lo;
+        if (m <= 1) continue;
+        tmp.resize(m);
+        uint64_t* a = kv.data() + lo;
+        uint64_t* bbuf = tmp.data();
+        for (int shift = 0; shift < rem_shift; shift += 12) {
+          int digits = rem_shift - shift < 12 ? rem_shift - shift : 12;
+          int64_t nd = (int64_t)1 << digits;
+          std::fill(cnt.begin(), cnt.begin() + nd, 0);
+          uint64_t mask = (uint64_t)nd - 1;
+          int dshift = pos_bits + shift;
+          for (int64_t i = 0; i < m; ++i) cnt[(a[i] >> dshift) & mask]++;
+          int64_t sum = 0;
+          for (int64_t d = 0; d < nd; ++d) {
+            int64_t c = cnt[d];
+            cnt[d] = sum;
+            sum += c;
+          }
+          for (int64_t i = 0; i < m; ++i)
+            bbuf[cnt[(a[i] >> dshift) & mask]++] = a[i];
+          std::swap(a, bbuf);
+        }
+        if (a != kv.data() + lo)  // odd pass count: copy back
+          std::copy(a, a + m, kv.data() + lo);
+      }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nthreads - 1; ++t) pool.emplace_back(worker);
+    worker();
+    for (auto& th : pool) th.join();
+  }
+
+  // count unique keys (one streaming scan) so the output arrays
+  // allocate exactly once (the pair path's push_back doubling copied
+  // ~2x the 25 GB output transiently at genome scale)
+  int64_t nuniq = 0;
+  for (int64_t b = 0; b < n_top; ++b) {
+    uint64_t prev = ~(uint64_t)0;  // > any rem_key (< 2^46)
+    for (int64_t i = bucket_off[b]; i < bucket_off[b + 1]; ++i) {
+      uint64_t rk = kv[i] >> pos_bits;
+      nuniq += (rk != prev);
+      prev = rk;
+    }
+  }
+  idx->positions_v.resize(total);
+  idx->uniq_keys_v.reserve(nuniq);
+  idx->offsets_v.reserve(nuniq + 1);
+  for (int64_t b = 0; b < n_top; ++b) {
+    const int64_t base_key = b << rem_shift;
+    uint64_t prev = ~(uint64_t)0;
+    for (int64_t i = bucket_off[b]; i < bucket_off[b + 1]; ++i) {
+      uint64_t v = kv[i];
+      uint64_t rk = v >> pos_bits;
+      if (rk != prev) {
+        idx->uniq_keys_v.push_back(base_key | (int64_t)rk);
+        idx->offsets_v.push_back(i);
+        prev = rk;
+      }
+      idx->positions_v[i] = (int64_t)(v & pmask) * stride;
+    }
+  }
+  idx->offsets_v.push_back(total);
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -222,6 +417,17 @@ void* thermite_seed_index_new_stride(const uint8_t* text, int64_t n, int k,
   idx->text = text;
   idx->n = n;
   idx->k = k;
+
+  // fast path: packed-u64 sort (always fits for k <= 20 at any
+  // realistic text length; the pair path below remains as fallback,
+  // forceable via THERMITE_TABLE_PAIR=1 for differential testing)
+  const char* force_pair = std::getenv("THERMITE_TABLE_PAIR");
+  if (!(force_pair && *force_pair == '1') &&
+      build_stride_packed(idx, text, n, k, stride)) {
+    idx->adopt_vectors();
+    idx->build_hash();
+    return idx;
+  }
 
   int64_t max_key = 1;
   for (int t = 0; t < k; ++t) max_key *= 5;

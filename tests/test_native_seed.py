@@ -126,6 +126,35 @@ def test_persisted_seed_table_roundtrip(tmp_path):
     assert got == k3_fresh.all_smems(read) and len(got) > 0
 
 
+def test_packed_build_matches_pair_build(monkeypatch):
+    """The packed-u64 table build (csrc build_stride_packed) must be
+    array-identical to the (key, pos) pair fallback it replaced —
+    same uniq keys, offsets, and position order — across k, stride,
+    and N-containing texts."""
+    import numpy as np
+
+    from thermite_tpu.seed.native import NativeSmemEngine
+
+    rng = np.random.default_rng(7)
+    alpha = np.frombuffer(b"ACGTN", np.uint8)
+    for trial in range(12):
+        n = int(rng.integers(50, 5000))
+        # mostly ACGT with occasional N runs
+        arr = rng.choice(alpha[:4], n)
+        for _ in range(int(rng.integers(0, 4))):
+            p = int(rng.integers(0, n))
+            arr[p : p + int(rng.integers(1, 8))] = alpha[4]
+        for k in (3, 11, 20):
+            for stride in (1, 4):
+                monkeypatch.delenv("THERMITE_TABLE_PAIR", raising=False)
+                packed = NativeSmemEngine(arr, k, stride=stride).export_table()
+                monkeypatch.setenv("THERMITE_TABLE_PAIR", "1")
+                pair = NativeSmemEngine(arr, k, stride=stride).export_table()
+                assert packed[0] == pair[0]
+                for a, b in zip(packed[1:], pair[1:]):
+                    assert (a == b).all(), (trial, k, stride)
+
+
 def test_strided_table_parity_and_recall():
     """stride > 1 (whole-genome sampling): C++ and numpy engines agree
     at the same stride, and every maximal match of length
