@@ -20,12 +20,16 @@
 //
 // Build: make -C csrc  (g++ -O3 -shared -fPIC)
 
+#include <sys/mman.h>
+
 #include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <chrono>
 #include <cstdio>
 #include <cstdlib>
+#include <new>
 #include <thread>
 #include <vector>
 
@@ -48,6 +52,56 @@ struct CodeTable {
 };
 const CodeTable kCodes;
 
+// mmap + MADV_HUGEPAGE allocator for the multi-GB table arrays.  The
+// genome-scale build touches ~50 GB of fresh anonymous memory (packed
+// sort keys + the three output arrays); with 4 KB pages that is ~12 M
+// minor faults, and this deployment's kernel runs THP in madvise-only
+// mode, so without the madvise every fault zeroes one 4 KB page (the
+// emit pass measured 100% system time — fault-bound, not compute-
+// bound).  2 MB-backed regions cut the fault count 512x and let the
+// kernel zero with streaming stores.  Falls back to operator new for
+// small blocks and to plain mmap pages when hugepages are unavailable
+// (madvise failure is advisory).  The threshold decides mmap-vs-new
+// deterministically from the byte count, so deallocate can recompute
+// the choice from (p, n) without a side table.
+template <typename T>
+struct HugeAlloc {
+  using value_type = T;
+  static constexpr size_t kThreshold = (size_t)8 << 20;
+  static constexpr size_t kHuge = (size_t)2 << 20;
+  HugeAlloc() = default;
+  template <typename U>
+  HugeAlloc(const HugeAlloc<U>&) {}
+  T* allocate(size_t n) {
+    size_t bytes = n * sizeof(T);
+    if (bytes >= kThreshold) {
+      size_t len = (bytes + kHuge - 1) & ~(kHuge - 1);
+      void* p = mmap(nullptr, len, PROT_READ | PROT_WRITE,
+                     MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+      if (p != MAP_FAILED) {
+        madvise(p, len, MADV_HUGEPAGE);
+        return (T*)p;
+      }
+      // fall through to operator new on mmap failure
+    }
+    return (T*)::operator new(bytes);
+  }
+  void deallocate(T* p, size_t n) {
+    size_t bytes = n * sizeof(T);
+    if (bytes >= kThreshold) {
+      size_t len = (bytes + kHuge - 1) & ~(kHuge - 1);
+      if (munmap(p, len) == 0) return;
+      // p came from the operator-new fallback; fall through
+    }
+    ::operator delete(p);
+  }
+  bool operator==(const HugeAlloc&) const { return true; }
+  bool operator!=(const HugeAlloc&) const { return false; }
+};
+
+template <typename T>
+using HugeVec = std::vector<T, HugeAlloc<T>>;
+
 struct SeedIndex {
   const uint8_t* text;  // borrowed; owner is the Python Index
   int64_t n;
@@ -58,7 +112,13 @@ struct SeedIndex {
   // Tables restored from a persisted artifact BORROW the caller's
   // arrays (a genome-scale table is ~37 GB — a second copy OOMs the
   // host), so the Python side must keep them alive.
-  std::vector<int64_t> uniq_keys_v, offsets_v, positions_v;
+  HugeVec<int64_t> uniq_keys_v, offsets_v, positions_v;
+  // packed path: the sort array IS the positions array after pass E
+  // rewrites each entry in place (an extra fresh positions_v would be
+  // +12.8 GB of first-touch pages at genome scale — this deployment's
+  // hypervisor throttles fresh-page supply to ~tens of MB/s past a
+  // ~10 GB footprint, so fresh bytes, not passes, are the build cost)
+  HugeVec<uint64_t> kv_v;
   const int64_t* uniq_keys = nullptr;
   const int64_t* offsets = nullptr;
   const int64_t* positions = nullptr;
@@ -67,9 +127,14 @@ struct SeedIndex {
   void adopt_vectors() {
     uniq_keys = uniq_keys_v.data();
     offsets = offsets_v.data();
-    positions = positions_v.data();
+    if (!kv_v.empty()) {
+      positions = (const int64_t*)kv_v.data();
+      n_pos = (int64_t)kv_v.size();
+    } else {
+      positions = positions_v.data();
+      n_pos = (int64_t)positions_v.size();
+    }
     n_keys = (int64_t)uniq_keys_v.size();
-    n_pos = (int64_t)positions_v.size();
   }
   // open-addressing key -> bucket hash (2 probes typical vs ~14 for
   // the binary search; seeding is the host pipeline's hottest loop).
@@ -210,6 +275,18 @@ void rolling_scan(const uint8_t* text, int64_t n, int k, int64_t stride,
 // path.  Output layout and order are bit-identical to the pair path.
 bool build_stride_packed(SeedIndex* idx, const uint8_t* text, int64_t n,
                          int k, int64_t stride) {
+  // THERMITE_TABLE_DEBUG=1: per-pass wall times to stderr (profiling
+  // the genome-scale locality cliff; zero cost when off)
+  const char* dbg_env = std::getenv("THERMITE_TABLE_DEBUG");
+  const bool dbg = dbg_env && *dbg_env == '1';
+  auto t_last = std::chrono::steady_clock::now();
+  auto lap = [&](const char* name) {
+    if (!dbg) return;
+    auto now = std::chrono::steady_clock::now();
+    std::fprintf(stderr, "[table] %s %.1fs\n", name,
+                 std::chrono::duration<double>(now - t_last).count());
+    t_last = now;
+  };
   int64_t max_key = 1;
   for (int t = 0; t < k; ++t) max_key *= 5;
   int key_bits = 0;
@@ -256,6 +333,7 @@ bool build_stride_packed(SeedIndex* idx, const uint8_t* text, int64_t n,
     }
     for (auto& th : pool) th.join();
   }
+  lap("A:count");
   // exclusive scan in (bucket-major, slice-minor) order -> write bases
   std::vector<int64_t> bucket_off(n_top + 1, 0);
   {
@@ -271,7 +349,9 @@ bool build_stride_packed(SeedIndex* idx, const uint8_t* text, int64_t n,
     bucket_off[n_top] = sum;
   }
   const int64_t total = bucket_off[n_top];
-  std::vector<uint64_t> kv(total);
+  HugeVec<uint64_t>& kv = idx->kv_v;
+  kv.resize(total);
+  lap("alloc");
 
   // pass B: scatter packed entries via write-combining buffers
   // (per-thread staging capped at 64 MB; slice cursor regions are
@@ -283,7 +363,7 @@ bool build_stride_packed(SeedIndex* idx, const uint8_t* text, int64_t n,
     for (int t = 0; t < nthreads; ++t) {
       pool.emplace_back([&, t]() {
         auto& cur = counts[t];
-        std::vector<uint64_t> buf((size_t)(n_top * stage));
+        HugeVec<uint64_t> buf((size_t)(n_top * stage));
         std::vector<int32_t> fill(n_top, 0);
         int64_t lo = t * slice, hi = std::min(n_starts, lo + slice);
         rolling_scan(
@@ -311,6 +391,7 @@ bool build_stride_packed(SeedIndex* idx, const uint8_t* text, int64_t n,
     }
     for (auto& th : pool) th.join();
   }
+  lap("B:scatter");
 
   // pass C: per-bucket stable LSD on the rem_key bits (positions ride
   // in the low bits, untouched by the digit extraction, so ties stay
@@ -356,36 +437,72 @@ bool build_stride_packed(SeedIndex* idx, const uint8_t* text, int64_t n,
     for (auto& th : pool) th.join();
   }
 
-  // count unique keys (one streaming scan) so the output arrays
-  // allocate exactly once (the pair path's push_back doubling copied
-  // ~2x the 25 GB output transiently at genome scale)
-  int64_t nuniq = 0;
-  for (int64_t b = 0; b < n_top; ++b) {
-    uint64_t prev = ~(uint64_t)0;  // > any rem_key (< 2^46)
-    for (int64_t i = bucket_off[b]; i < bucket_off[b + 1]; ++i) {
-      uint64_t rk = kv[i] >> pos_bits;
-      nuniq += (rk != prev);
-      prev = rk;
-    }
-  }
-  idx->positions_v.resize(total);
-  idx->uniq_keys_v.reserve(nuniq);
-  idx->offsets_v.reserve(nuniq + 1);
-  for (int64_t b = 0; b < n_top; ++b) {
-    const int64_t base_key = b << rem_shift;
-    uint64_t prev = ~(uint64_t)0;
-    for (int64_t i = bucket_off[b]; i < bucket_off[b + 1]; ++i) {
-      uint64_t v = kv[i];
-      uint64_t rk = v >> pos_bits;
-      if (rk != prev) {
-        idx->uniq_keys_v.push_back(base_key | (int64_t)rk);
-        idx->offsets_v.push_back(i);
-        prev = rk;
+  lap("C:lsd");
+  // pass D: per-bucket unique-key counts (parallel over buckets) so
+  // the output arrays allocate exactly once and pass E can write with
+  // per-bucket cursors instead of a serial push_back walk (the pair
+  // path's push_back doubling copied ~2x the 25 GB output transiently
+  // at genome scale; the serial emit was 73% of the single-core build)
+  std::vector<int64_t> ubase(n_top + 1, 0);
+  {
+    std::atomic<int64_t> next(0);
+    auto worker = [&]() {
+      while (true) {
+        int64_t b = next.fetch_add(1, std::memory_order_relaxed);
+        if (b >= n_top) break;
+        int64_t c = 0;
+        uint64_t prev = ~(uint64_t)0;  // > any rem_key (< 2^46)
+        for (int64_t i = bucket_off[b]; i < bucket_off[b + 1]; ++i) {
+          uint64_t rk = kv[i] >> pos_bits;
+          c += (rk != prev);
+          prev = rk;
+        }
+        ubase[b + 1] = c;
       }
-      idx->positions_v[i] = (int64_t)(v & pmask) * stride;
-    }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nthreads - 1; ++t) pool.emplace_back(worker);
+    worker();
+    for (auto& th : pool) th.join();
   }
-  idx->offsets_v.push_back(total);
+  for (int64_t b = 0; b < n_top; ++b) ubase[b + 1] += ubase[b];
+  const int64_t nuniq = ubase[n_top];
+  lap("D:uniq");
+  // pass E: parallel per-bucket emit via disjoint cursor ranges.  The
+  // position is written IN PLACE over the consumed sort entry (same
+  // 8-byte slot; rk is read before the store), so kv becomes the
+  // positions array with zero fresh allocation — see kv_v in SeedIndex
+  idx->uniq_keys_v.resize(nuniq);
+  idx->offsets_v.resize(nuniq + 1);
+  {
+    std::atomic<int64_t> next(0);
+    auto worker = [&]() {
+      while (true) {
+        int64_t b = next.fetch_add(1, std::memory_order_relaxed);
+        if (b >= n_top) break;
+        const int64_t base_key = b << rem_shift;
+        int64_t u = ubase[b];
+        uint64_t prev = ~(uint64_t)0;
+        for (int64_t i = bucket_off[b]; i < bucket_off[b + 1]; ++i) {
+          uint64_t v = kv[i];
+          uint64_t rk = v >> pos_bits;
+          if (rk != prev) {
+            idx->uniq_keys_v[u] = base_key | (int64_t)rk;
+            idx->offsets_v[u] = i;
+            ++u;
+            prev = rk;
+          }
+          kv[i] = (uint64_t)((int64_t)(v & pmask) * stride);
+        }
+      }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nthreads - 1; ++t) pool.emplace_back(worker);
+    worker();
+    for (auto& th : pool) th.join();
+  }
+  idx->offsets_v[nuniq] = total;
+  lap("E:emit");
   return true;
 }
 
@@ -580,6 +697,20 @@ void thermite_seed_index_export(void* h, int64_t* keys, int64_t* offsets,
   std::memcpy(keys, idx->uniq_keys, idx->n_keys * sizeof(int64_t));
   std::memcpy(offsets, idx->offsets, (idx->n_keys + 1) * sizeof(int64_t));
   std::memcpy(positions, idx->positions, idx->n_pos * sizeof(int64_t));
+}
+
+// zero-copy views of the posting arrays (valid while the handle
+// lives).  A genome-scale export copy is ~37 GB of fresh pages (and
+// this deployment throttles fresh-page supply — see HugeAlloc); the
+// Python side wraps these pointers as numpy views and keeps the
+// engine handle alive instead.
+void thermite_seed_index_views(void* h, const int64_t** keys,
+                               const int64_t** offsets,
+                               const int64_t** positions) {
+  auto* idx = static_cast<SeedIndex*>(h);
+  *keys = idx->uniq_keys;
+  *offsets = idx->offsets;
+  *positions = idx->positions;
 }
 
 void* thermite_seed_index_new_from_arrays(const uint8_t* text, int64_t n,

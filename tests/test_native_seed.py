@@ -155,6 +155,25 @@ def test_packed_build_matches_pair_build(monkeypatch):
                     assert (a == b).all(), (trial, k, stride)
 
 
+def test_export_views_match_copies():
+    """export_table(views=True) — the zero-copy path the genome-scale
+    index build uses — must be element-identical to the copying
+    export, read-only, and stay valid while the engine lives."""
+    import numpy as np
+
+    from thermite_tpu.seed.native import NativeSmemEngine
+
+    rng = np.random.default_rng(11)
+    arr = rng.choice(np.frombuffer(b"ACGT", np.uint8), 4000)
+    eng = NativeSmemEngine(arr, 11, stride=2)
+    copies = eng.export_table()
+    views = eng.export_table(views=True)
+    assert views[0] == copies[0]
+    for v, c in zip(views[1:], copies[1:]):
+        assert v.dtype == np.int64 and not v.flags.writeable
+        assert (v == c).all()
+
+
 def test_strided_table_parity_and_recall():
     """stride > 1 (whole-genome sampling): C++ and numpy engines agree
     at the same stride, and every maximal match of length

@@ -71,7 +71,11 @@ class Index:
         if min_seed_len is None:
             min_seed_len = DEFAULT_MIN_SEED_LEN
         seeder = make_seeder(self.seq_arr, min_seed_len, stride=stride)
-        self.seed_table = seeder.export_table()
+        # zero-copy views into the engine's arrays: a genome-scale
+        # export copy is ~37 GB of fresh pages.  The engine must then
+        # outlive the table — it rides on the Index.
+        self.seed_table = seeder.export_table(views=True)
+        self._seed_engine = seeder
         return self.seed_table
 
     # -- construction -------------------------------------------------

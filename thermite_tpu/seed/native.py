@@ -56,6 +56,10 @@ def _try_load():
     lib.thermite_seed_index_n_keys.restype = ctypes.c_int64
     lib.thermite_seed_index_n_keys.argtypes = [ctypes.c_void_p]
     lib.thermite_seed_index_export.argtypes = [ctypes.c_void_p, _i64p, _i64p, _i64p]
+    _i64pp = ctypes.POINTER(_i64p)
+    lib.thermite_seed_index_views.argtypes = [
+        ctypes.c_void_p, _i64pp, _i64pp, _i64pp,
+    ]
     lib.thermite_seed_index_new_from_arrays.restype = ctypes.c_void_p
     lib.thermite_seed_index_new_from_arrays.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
@@ -117,15 +121,33 @@ class NativeSmemEngine:
         self._cap = 4096
         self._alloc()
 
-    def export_table(self):
-        """-> (k, uniq_keys, offsets, positions) int64 arrays (copies)."""
+    def export_table(self, views: bool = False):
+        """-> (k, uniq_keys, offsets, positions) int64 arrays.
+
+        ``views=False`` (default): independent copies, safe after the
+        engine is dropped.  ``views=True``: zero-copy read-only numpy
+        views over the engine's own arrays — a genome-scale copy is
+        ~37 GB of fresh pages, so the index build path uses views and
+        keeps THIS ENGINE alive for as long as the arrays are used
+        (``Index.build_seed_table`` stores it on the Index)."""
         lib = self._lib
         m = lib.thermite_seed_index_n_keys(self._h)
         total = lib.thermite_seed_index_size(self._h)
+        p = ctypes.POINTER(ctypes.c_int64)
+        if views:
+            kp, op, pp = p(), p(), p()
+            lib.thermite_seed_index_views(
+                self._h, ctypes.byref(kp), ctypes.byref(op), ctypes.byref(pp)
+            )
+            out = []
+            for ptr, size in ((kp, m), (op, m + 1), (pp, total)):
+                arr = np.ctypeslib.as_array(ptr, shape=(size,))
+                arr.flags.writeable = False
+                out.append(arr)
+            return (self.k, *out)
         keys = np.empty(m, np.int64)
         offsets = np.empty(m + 1, np.int64)
         positions = np.empty(total, np.int64)
-        p = ctypes.POINTER(ctypes.c_int64)
         lib.thermite_seed_index_export(
             self._h, keys.ctypes.data_as(p), offsets.ctypes.data_as(p),
             positions.ctypes.data_as(p),

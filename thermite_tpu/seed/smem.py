@@ -51,8 +51,11 @@ class SmemEngine:
             seq_arr, self.k, stride
         )
 
-    def export_table(self):
-        """-> (k, uniq_keys, offsets, positions) — the persistable form."""
+    def export_table(self, views: bool = False):
+        """-> (k, uniq_keys, offsets, positions) — the persistable form.
+        ``views`` is accepted for interface parity with the native
+        engine; the numpy table's arrays are already plain ndarrays."""
+        del views
         t = self.table
         return self.k, t.uniq_keys, t.offsets, t.positions
 

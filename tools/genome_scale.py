@@ -13,6 +13,10 @@ accuracy, and prints one JSON line with the measured numbers.
 
 Usage: python tools/genome_scale.py [total_Gbp] [n_reads] [stride]
        (defaults 3.2, 65536, 4)
+       --resume: skip synth/index/table/save and load the previously
+       saved data/out/genome_scale/wg_index.npz artifact (use after a
+       crash past the build phase; pass --table-s SECONDS to carry the
+       measured table-build time into the JSON).
 
 Artifacts land under data/out/genome_scale/ (gitignored; ~50 GB for
 the 3.2 Gbp default — build takes ~10-20 min on this 1-core host, the
@@ -45,46 +49,76 @@ T0 = time.time()
 
 
 def main():
-    total_bp = int(float(sys.argv[1]) * 1e9) if len(sys.argv) > 1 else 3_200_000_000
-    n_reads = int(sys.argv[2]) if len(sys.argv) > 2 else 65536
-    stride = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    total_bp = int(float(args[0]) * 1e9) if len(args) > 0 else 3_200_000_000
+    n_reads = int(args[1]) if len(args) > 1 else 65536
+    stride = int(args[2]) if len(args) > 2 else 4
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "data", "out", "genome_scale",
     )
     n_chroms = max(total_bp // 200_000_000, 1)
 
-    log(f"synthesizing {total_bp / 1e9:.2f} Gbp across {n_chroms} chromosomes")
-    fasta, gtf = write_synth_genome(
-        out_dir, total_bp, seed=2024, n_chroms=n_chroms, basename="wg"
-    )
-    log("parsing + concatenating (fwd+rc)")
-    idx = Index.create_from_files(fasta, gtf)
-    text_len = len(idx.seq)
-    log(f"text {text_len / 1e9:.2f} GB, {len(idx.txome.txs)} transcripts; "
-        f"building stride-{stride} seed table")
-    t_table = time.time()
-    idx.build_seed_table(stride=stride)
-    table_s = time.time() - t_table
-    log(f"seed table built in {table_s:.0f} s "
-        f"({len(idx.seed_table[3]) / 1e9:.2f}G positions)")
+    save_s = load_s = table_s = -1.0
+    if "--table-s" in sys.argv:
+        table_s = float(sys.argv[sys.argv.index("--table-s") + 1])
 
-    # artifact round trip: persist the whole-genome index (incl. the
-    # posting table) and reload it; alignment below runs on the
-    # RELOADED index, proving the production save/load path at scale
-    save_s = load_s = -1.0
-    if "--no-artifact" not in sys.argv:
+    if "--resume" in sys.argv:
+        # a prior run crashed after the (expensive) build+save phase;
+        # reload the persisted artifact and rerun only the align phase
         art = os.path.join(out_dir, "wg_index.npz")
-        t = time.time()
-        idx.save(art)
-        save_s = time.time() - t
-        art_gb = os.path.getsize(art) / 1e9
-        log(f"artifact saved in {save_s:.0f} s ({art_gb:.1f} GB)")
-        del idx
+        log(f"resuming from artifact {art} "
+            f"({os.path.getsize(art) / 1e9:.1f} GB)")
         t = time.time()
         idx = Index.load(art)
         load_s = time.time() - t
         log(f"artifact reloaded in {load_s:.0f} s")
+        text_len = len(idx.seq)
+        total_bp = sum(r.len for r in idx.refs if r.strand)
+    else:
+        fasta = os.path.join(out_dir, "wg.fasta")
+        gtf = os.path.join(out_dir, "wg.gtf")
+        if (
+            os.path.exists(fasta)
+            and os.path.exists(gtf)
+            and os.path.getsize(fasta) >= total_bp
+            and "--fresh" not in sys.argv
+        ):
+            # the generator is seed-deterministic: an existing wg.fasta
+            # of the right size IS this genome — skip the ~3 min resynth
+            log(f"reusing existing {fasta}")
+        else:
+            log(f"synthesizing {total_bp / 1e9:.2f} Gbp across "
+                f"{n_chroms} chromosomes")
+            fasta, gtf = write_synth_genome(
+                out_dir, total_bp, seed=2024, n_chroms=n_chroms, basename="wg"
+            )
+        log("parsing + concatenating (fwd+rc)")
+        idx = Index.create_from_files(fasta, gtf)
+        text_len = len(idx.seq)
+        log(f"text {text_len / 1e9:.2f} GB, {len(idx.txome.txs)} transcripts; "
+            f"building stride-{stride} seed table")
+        t_table = time.time()
+        idx.build_seed_table(stride=stride)
+        table_s = time.time() - t_table
+        log(f"seed table built in {table_s:.0f} s "
+            f"({len(idx.seed_table[3]) / 1e9:.2f}G positions)")
+
+        # artifact round trip: persist the whole-genome index (incl. the
+        # posting table) and reload it; alignment below runs on the
+        # RELOADED index, proving the production save/load path at scale
+        if "--no-artifact" not in sys.argv:
+            art = os.path.join(out_dir, "wg_index.npz")
+            t = time.time()
+            idx.save(art)
+            save_s = time.time() - t
+            art_gb = os.path.getsize(art) / 1e9
+            log(f"artifact saved in {save_s:.0f} s ({art_gb:.1f} GB)")
+            del idx
+            t = time.time()
+            idx = Index.load(art)
+            load_s = time.time() - t
+            log(f"artifact reloaded in {load_s:.0f} s")
 
     opts = AlignOpts(
         min_seed_len=20, min_aln_score_percent=0.0, min_aln_score=30,
