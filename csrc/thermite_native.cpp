@@ -113,20 +113,44 @@ struct SeedIndex {
   // arrays (a genome-scale table is ~37 GB — a second copy OOMs the
   // host), so the Python side must keep them alive.
   HugeVec<int64_t> uniq_keys_v, offsets_v, positions_v;
-  // packed path: the sort array IS the positions array after pass E
-  // rewrites each entry in place (an extra fresh positions_v would be
-  // +12.8 GB of first-touch pages at genome scale — this deployment's
-  // hypervisor throttles fresh-page supply to ~tens of MB/s past a
-  // ~10 GB footprint, so fresh bytes, not passes, are the build cost)
+  // classic-output path: the sort array IS the positions array after
+  // pass E rewrites each entry in place (an extra fresh positions_v
+  // would be +GBs of first-touch pages — this deployment's hypervisor
+  // throttles fresh-page supply to ~tens of MB/s past a ~10 GB
+  // footprint, so fresh bytes, not passes, are the build cost)
   HugeVec<uint64_t> kv_v;
   const int64_t* uniq_keys = nullptr;
   const int64_t* offsets = nullptr;
   const int64_t* positions = nullptr;
   int64_t n_keys = 0, n_pos = 0;
 
+  // ---- packed mode (genome scale): kv IS the table ----
+  // Above kPackedMin entries the uniq/offsets/positions arrays are
+  // never materialized (at 3.2 Gbp they are ~37 GB of fresh pages and
+  // ~2/3 of the artifact); lookups instead binary-search the sorted
+  // packed entries (rem_key<<pos_bits | p/stride) through the same
+  // kPfxBits prefix table the classic big-table path uses, and
+  // positions decode on the fly.  Probe count is identical to the
+  // classic pfx path (~5 bisect steps into one L2-resident range).
+  bool packed = false;
+  const uint64_t* kvp = nullptr;   // sorted packed entries
+  const int64_t* bucket_off = nullptr;  // (n_top+1) MSD bucket bounds
+  int64_t n_top_packed = 0;
+  int top_bits_p = 0, pos_bits_p = 0, rem_shift_p = 0;
+  int64_t stride_p = 1;
+  uint64_t pmask_p = 0;
+  HugeVec<int64_t> bucket_off_v;  // owned when built in-process
+
   void adopt_vectors() {
     uniq_keys = uniq_keys_v.data();
     offsets = offsets_v.data();
+    if (packed) {
+      kvp = kv_v.data();
+      bucket_off = bucket_off_v.data();
+      n_pos = (int64_t)kv_v.size();
+      n_keys = 0;  // not materialized in packed mode
+      return;
+    }
     if (!kv_v.empty()) {
       positions = (const int64_t*)kv_v.data();
       n_pos = (int64_t)kv_v.size();
@@ -153,6 +177,31 @@ struct SeedIndex {
   int key_shift = 0;
 
   void build_hash() {
+    if (packed) {
+      // pfx over the FULL key's top kPfxBits: each pfx cell lies
+      // inside one MSD bucket (kPfxBits >= top_bits always — top_bits
+      // caps at 18), so a range's entries share their bucket and
+      // compare by rem_key alone.
+      int key_bits = 1;
+      int64_t max_key = 1;
+      for (int t = 0; t < k; ++t) max_key *= 5;
+      while ((max_key >> key_bits) != 0) ++key_bits;
+      int pfx_bits = key_bits > kPfxBits ? kPfxBits : key_bits;
+      key_shift = key_bits > pfx_bits ? key_bits - pfx_bits : 0;
+      int64_t nb = (int64_t)1 << pfx_bits;
+      pfx.assign(nb + 1, 0);
+      // count entries per pfx cell (full key reconstructed from the
+      // bucket id + packed rem_key), then exclusive scan
+      for (int64_t b = 0; b < n_top_packed; ++b) {
+        const int64_t base_key = b << rem_shift_p;
+        for (int64_t i = bucket_off[b]; i < bucket_off[b + 1]; ++i) {
+          int64_t key = base_key | (int64_t)(kvp[i] >> pos_bits_p);
+          pfx[(key >> key_shift) + 1]++;
+        }
+      }
+      for (int64_t p = 0; p < nb; ++p) pfx[p + 1] += pfx[p];
+      return;
+    }
     if (n_keys > kHashMaxKeys) {
       int key_bits = 1;
       int64_t max_key = 1;
@@ -179,6 +228,41 @@ struct SeedIndex {
       hbuckets[slot] = (int32_t)b;
     }
   }
+  // posting range [*lo, *hi) for key; false when absent.  Unified
+  // lookup over the three representations (hash / pfx+uniq / packed).
+  inline bool find_range(int64_t key, int64_t* lo, int64_t* hi) const {
+    if (packed) {
+      int64_t p = key >> key_shift;
+      int64_t a = pfx[p], b = pfx[p + 1];
+      const uint64_t want = (uint64_t)key & ((rem_shift_p
+          ? (((uint64_t)1 << rem_shift_p) - 1) : 0));
+      // lower bound on rem_key
+      while (a < b) {
+        int64_t mid = (a + b) >> 1;
+        if ((kvp[mid] >> pos_bits_p) < want) a = mid + 1; else b = mid;
+      }
+      if (a >= pfx[p + 1] || (kvp[a] >> pos_bits_p) != want) return false;
+      *lo = a;
+      int64_t c = a + 1, d = pfx[p + 1];
+      while (c < d) {
+        int64_t mid = (c + d) >> 1;
+        if ((kvp[mid] >> pos_bits_p) == want) c = mid + 1; else d = mid;
+      }
+      *hi = c;
+      return true;
+    }
+    int64_t b = find_bucket(key);
+    if (b < 0) return false;
+    *lo = offsets[b];
+    *hi = offsets[b + 1];
+    return true;
+  }
+
+  // reference position for posting-array index i
+  inline int64_t pos_at(int64_t i) const {
+    return packed ? (int64_t)(kvp[i] & pmask_p) * stride_p : positions[i];
+  }
+
   // bucket for key, or -1
   inline int64_t find_bucket(int64_t key) const {
     if (!pfx.empty()) {
@@ -438,6 +522,31 @@ bool build_stride_packed(SeedIndex* idx, const uint8_t* text, int64_t n,
   }
 
   lap("C:lsd");
+  // genome-scale tables stay in PACKED MODE: kv + bucket_off ARE the
+  // table (searched via the pfx prefix + rem_key bisection — same
+  // probe profile as the classic big-table pfx path), so the
+  // uniq/offsets/positions materialization below (~37 GB of fresh
+  // pages at 3.2 Gbp, 73% of the measured single-core build) never
+  // runs.  Threshold defaults to the same bound past which classic
+  // lookups already used pfx+bisection; THERMITE_PACKED_MIN overrides
+  // (tests force packed mode at tiny scale with =1).
+  {
+    int64_t packed_min = SeedIndex::kHashMaxKeys;
+    if (const char* e = std::getenv("THERMITE_PACKED_MIN"))
+      if (*e) packed_min = std::atoll(e);
+    if (total >= packed_min) {
+      idx->packed = true;
+      idx->top_bits_p = top_bits;
+      idx->pos_bits_p = pos_bits;
+      idx->rem_shift_p = rem_shift;
+      idx->stride_p = stride;
+      idx->pmask_p = pmask;
+      idx->n_top_packed = n_top;
+      idx->bucket_off_v.assign(bucket_off.begin(), bucket_off.end());
+      lap("packed:done");
+      return true;
+    }
+  }
   // pass D: per-bucket unique-key counts (parallel over buckets) so
   // the output arrays allocate exactly once and pass E can write with
   // per-bucket cursors instead of a serial push_back walk (the pair
@@ -713,6 +822,62 @@ void thermite_seed_index_views(void* h, const int64_t** keys,
   *positions = idx->positions;
 }
 
+// ---- packed-mode persistence: the sorted u64 entries + MSD bucket
+// bounds ARE the genome-scale table; ~half the bytes of the classic
+// three-array form and zero build-side materialization ----
+
+int thermite_seed_index_is_packed(void* h) {
+  return static_cast<SeedIndex*>(h)->packed ? 1 : 0;
+}
+
+void thermite_seed_index_packed_meta(void* h, int64_t* n_top,
+                                     int32_t* top_bits, int32_t* pos_bits,
+                                     int64_t* stride, int64_t* total) {
+  auto* idx = static_cast<SeedIndex*>(h);
+  *n_top = idx->n_top_packed;
+  *top_bits = idx->top_bits_p;
+  *pos_bits = idx->pos_bits_p;
+  *stride = idx->stride_p;
+  *total = idx->n_pos;
+}
+
+void thermite_seed_index_packed_views(void* h, const uint64_t** kv,
+                                      const int64_t** bucket_off) {
+  auto* idx = static_cast<SeedIndex*>(h);
+  *kv = idx->kvp;
+  *bucket_off = idx->bucket_off;
+}
+
+void* thermite_seed_index_new_from_kv(const uint8_t* text, int64_t n, int k,
+                                      int64_t stride, int32_t top_bits,
+                                      int32_t pos_bits, const uint64_t* kv,
+                                      int64_t total,
+                                      const int64_t* bucket_off,
+                                      int64_t n_top) {
+  if (k < 1 || k > kMaxAnchorK) return nullptr;
+  auto* idx = new SeedIndex();
+  idx->text = text;
+  idx->n = n;
+  idx->k = k;
+  // borrow: the caller keeps kv/bucket_off alive for the handle's life
+  idx->packed = true;
+  idx->kvp = kv;
+  idx->bucket_off = bucket_off;
+  idx->n_top_packed = n_top;
+  idx->top_bits_p = top_bits;
+  idx->pos_bits_p = pos_bits;
+  idx->stride_p = stride;
+  idx->pmask_p = ((uint64_t)1 << pos_bits) - 1;
+  int key_bits = 0;
+  int64_t max_key = 1;
+  for (int t = 0; t < k; ++t) max_key *= 5;
+  while ((max_key >> key_bits) != 0) ++key_bits;
+  idx->rem_shift_p = key_bits - top_bits;
+  idx->n_pos = total;
+  idx->build_hash();  // pfx over the packed entries
+  return idx;
+}
+
 void* thermite_seed_index_new_from_arrays(const uint8_t* text, int64_t n,
                                           int k, const int64_t* keys,
                                           int64_t m, const int64_t* offsets,
@@ -751,28 +916,34 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
   };
   std::vector<Occ> occs;
 
-  // pre-pass: resolve and cache each anchor's bucket (prefetched a
-  // pass ahead — the probes' cache misses dominate seeding on
-  // chromosome-scale tables)
+  // pre-pass: resolve and cache each anchor's posting range
+  // (prefetched a pass ahead — the probes' cache misses dominate
+  // seeding on chromosome-scale tables)
   const int64_t n_anchor = rlen - k + 1;
-  std::vector<int64_t> bcache(n_anchor, -1);
+  std::vector<int64_t> rlo(n_anchor, 0), rhi(n_anchor, 0);
   std::vector<int64_t> keys(n_anchor, -1);
   for (int64_t q = 0; q < n_anchor; ++q) {
     bool valid;
     int64_t key = pack_key(read + q, k, &valid);
     if (valid) {
       keys[q] = key;
-      // hide the (likely) cache miss of this anchor's hash probe
-      __builtin_prefetch(
-          &idx->hkeys[((uint64_t)key * 0x9E3779B97F4A7C15ull) & idx->hmask]);
+      // hide the (likely) cache miss of this anchor's first probe
+      if (idx->packed || !idx->pfx.empty())
+        __builtin_prefetch(&idx->pfx[key >> idx->key_shift]);
+      else
+        __builtin_prefetch(
+            &idx->hkeys[((uint64_t)key * 0x9E3779B97F4A7C15ull) & idx->hmask]);
     }
   }
   for (int64_t q = 0; q < n_anchor; ++q) {
     if (keys[q] < 0) continue;
-    int64_t b = idx->find_bucket(keys[q]);
-    if (b < 0) continue;
-    bcache[q] = b;
-    __builtin_prefetch(&idx->offsets[b]);  // warm for the main pass
+    int64_t lo, hi;
+    if (!idx->find_range(keys[q], &lo, &hi)) continue;
+    rlo[q] = lo;
+    rhi[q] = hi;
+    // warm the posting range for the main pass
+    __builtin_prefetch(idx->packed ? (const void*)&idx->kvp[lo]
+                                   : (const void*)&idx->positions[lo]);
   }
 
   // per-diagonal coverage dedupe: remember last covered query end per
@@ -814,10 +985,9 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
   };
 
   for (int64_t q = 0; q + k <= rlen; ++q) {
-    int64_t b = bcache[q];
-    if (b < 0) continue;
-    for (int64_t pi = idx->offsets[b]; pi < idx->offsets[b + 1]; ++pi) {
-      int64_t p = idx->positions[pi];
+    if (rlo[q] >= rhi[q]) continue;
+    for (int64_t pi = rlo[q]; pi < rhi[q]; ++pi) {
+      int64_t p = idx->pos_at(pi);
       int64_t diag = p - q;
       if (covered_until(diag) >= q + k) continue;  // inside known run
       // maximal extension around the anchor

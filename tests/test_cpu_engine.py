@@ -44,6 +44,23 @@ def test_cpu_engine_matches_batch_emit(index, recs, fmt_bam):
     assert got == want
 
 
+def test_cpu_engine_packed_table_identity(index, recs, monkeypatch):
+    """A packed-mode seed table (the genome-scale representation,
+    forced tiny via THERMITE_PACKED_MIN) leaves the full engine's
+    emitted records byte-identical to the classic table."""
+    opts = AlignOpts(
+        min_seed_len=3, min_aln_score_percent=0.0, min_aln_score=0,
+        intron_mode=True,
+    )
+    try:
+        want = CppAligner(index, opts).align_records(recs, False)
+        monkeypatch.setenv("THERMITE_PACKED_MIN", "1")
+        got = CppAligner(index, opts).align_records(recs, False)
+    except RuntimeError:
+        pytest.skip("native library unavailable")
+    assert got == want
+
+
 def test_cpu_engine_narrow_band_identity(index, recs, monkeypatch):
     """The CPU engine's adaptive narrow-band pass (same certificate as
     the device pipeline) leaves the emitted records byte-identical."""

@@ -155,6 +155,67 @@ def test_packed_build_matches_pair_build(monkeypatch):
                     assert (a == b).all(), (trial, k, stride)
 
 
+def test_packed_mode_search_and_roundtrip(monkeypatch, tmp_path):
+    """Packed mode (kv IS the table — the genome-scale representation,
+    forced tiny here via THERMITE_PACKED_MIN): search results must be
+    identical to the classic engine and the numpy oracle across k and
+    stride; export must round-trip through new_from_kv, the numpy
+    unpack fallback, and the Index .npz artifact."""
+    import numpy as np
+
+    from thermite_tpu.seed.native import (
+        NativeSmemEngine,
+        PackedSeedTable,
+        _unpack_packed_table,
+    )
+    from thermite_tpu.seed.smem import SmemEngine
+
+    rng = np.random.default_rng(29)
+    alpha = np.frombuffer(b"ACGTN", np.uint8)
+    arr = rng.choice(alpha[:4], 20000)
+    for _ in range(3):  # N runs
+        p = int(rng.integers(0, len(arr)))
+        arr[p : p + int(rng.integers(1, 6))] = alpha[4]
+    reads = [bytes(arr[p : p + 90]) for p in rng.integers(0, 19000, 25)]
+
+    for k, stride in ((20, 1), (20, 4), (11, 2)):
+        monkeypatch.setenv("THERMITE_PACKED_MIN", "1")
+        ep = NativeSmemEngine(arr, k, stride=stride)
+        t = ep.export_table(views=True)
+        assert isinstance(t, PackedSeedTable) and t[0] == ep.k
+        er = NativeSmemEngine(arr, k, table=t)
+        monkeypatch.setenv("THERMITE_PACKED_MIN", "999999999999")
+        ec = NativeSmemEngine(arr, k, stride=stride)
+        en = SmemEngine(arr, k, table=_unpack_packed_table(t))
+        for r in reads:
+            a = ep.all_smems(r)
+            assert a == ec.all_smems(r) == er.all_smems(r) == en.all_smems(r)
+
+    # artifact round trip with a packed table
+    monkeypatch.setenv("THERMITE_PACKED_MIN", "1")
+    from tests.fixtures import write_fixture
+
+    from thermite_tpu.index.build import Index
+
+    fasta, gtf, _ = write_fixture(tmp_path)
+    idx = Index.create_from_files(fasta, gtf)
+    idx.build_seed_table(stride=1)
+    assert isinstance(idx.seed_table, PackedSeedTable)
+    art = tmp_path / "packed.npz"
+    idx.save(str(art))
+    idx2 = Index.load(str(art))
+    assert isinstance(idx2.seed_table, PackedSeedTable)
+    assert (np.asarray(idx2.seed_table.kv)
+            == np.asarray(idx.seed_table.kv)).all()
+    from thermite_tpu.seed.native import make_seeder
+
+    monkeypatch.setenv("THERMITE_PACKED_MIN", "999999999999")
+    fresh = make_seeder(idx2.seq_arr, 20)
+    restored = make_seeder(idx2.seq_arr, 20, table=idx2.seed_table)
+    read = idx.seq[30:120]
+    assert restored.all_smems(read) == fresh.all_smems(read)
+
+
 def test_export_views_match_copies():
     """export_table(views=True) — the zero-copy path the genome-scale
     index build uses — must be element-identical to the copying

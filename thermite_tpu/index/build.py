@@ -279,14 +279,7 @@ class Index:
             self.build_seed_table(
                 stride=1 if len(self.seq) < (512 << 20) else 4
             )
-        sk, skeys, soff, spos = self.seed_table
-        meta["seed_k"] = int(sk)
-        # positions fit int32 for any <2 GiB text: halve disk + IO
-        spos_disk = spos.astype(np.int32) if len(self.seq) < (1 << 31) else spos
-        # uncompressed savez: zlib on a chromosome-scale posting table
-        # costs minutes on one core and slows every load; disk is cheap
-        np.savez(
-            path,
+        common = dict(
             meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
             text=self.seq_arr,
             tx_exons=tx_exon_flat,
@@ -294,9 +287,37 @@ class Index:
             tx_seq_lens=tx_seq_lens,
             exon_to_tx=np.stack([ett.starts, ett.ends, ett.data]) if len(ett) else np.zeros((3, 0), np.int64),
             gene_intervals=np.stack([gi.starts, gi.ends, gi.data]) if len(gi) else np.zeros((3, 0), np.int64),
+        )
+        from ..seed.native import PackedSeedTable
+
+        if isinstance(self.seed_table, PackedSeedTable):
+            # genome-scale packed form: sorted u64 entries + MSD
+            # bucket bounds — ~half the bytes of the classic arrays
+            t = self.seed_table
+            meta["seed_k"] = int(t.k)
+            meta["seed_packed"] = {
+                "stride": t.stride, "top_bits": t.top_bits,
+                "pos_bits": t.pos_bits,
+            }
+            common["meta"] = np.frombuffer(
+                json.dumps(meta).encode(), dtype=np.uint8
+            )
+            np.savez(path, seed_kv=t.kv, seed_bucket_off=t.bucket_off,
+                     **common)
+            return
+        sk, skeys, soff, spos = self.seed_table
+        meta["seed_k"] = int(sk)
+        common["meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+        # positions fit int32 for any <2 GiB text: halve disk + IO
+        spos_disk = spos.astype(np.int32) if len(self.seq) < (1 << 31) else spos
+        # uncompressed savez: zlib on a chromosome-scale posting table
+        # costs minutes on one core and slows every load; disk is cheap
+        np.savez(
+            path,
             seed_keys=skeys,
             seed_offsets=soff,
             seed_positions=spos_disk,
+            **common,
         )
 
     @classmethod
@@ -350,7 +371,15 @@ class Index:
             gene_intervals=IntervalTable(gi[0], gi[1], gi[2]),
         )
         idx = cls(refs, seq, txome)
-        if "seed_keys" in z.files and "seed_k" in meta:
+        if "seed_kv" in z.files and "seed_packed" in meta:
+            from ..seed.native import PackedSeedTable
+
+            sp = meta["seed_packed"]
+            idx.seed_table = PackedSeedTable(
+                int(meta["seed_k"]), sp["stride"], sp["top_bits"],
+                sp["pos_bits"], z["seed_bucket_off"], z["seed_kv"],
+            )
+        elif "seed_keys" in z.files and "seed_k" in meta:
             idx.seed_table = (
                 int(meta["seed_k"]),
                 z["seed_keys"],

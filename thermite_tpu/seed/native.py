@@ -18,6 +18,43 @@ import numpy as np
 from ..align.types import Mem
 from .kmer import MAX_ANCHOR_K
 
+
+class PackedSeedTable:
+    """Genome-scale posting table in packed form: ``kv`` holds sorted
+    u64 entries ``(rem_key << pos_bits) | (position // stride)`` and
+    ``bucket_off`` the MSD top-bucket bounds — the uniq/offsets/
+    positions arrays are never materialized (~37 GB fresh + ~2/3 of
+    the artifact at 3.2 Gbp).  ``table[0]`` still yields ``k`` so the
+    anchor-k checks shared with the classic 4-tuple keep working.
+
+    The arrays may be zero-copy views into a live engine (see
+    ``NativeSmemEngine.export_table``); ``keepalive`` then pins it.
+    """
+
+    __slots__ = ("k", "stride", "top_bits", "pos_bits", "bucket_off",
+                 "kv", "keepalive")
+
+    def __init__(self, k, stride, top_bits, pos_bits, bucket_off, kv,
+                 keepalive=None):
+        self.k = int(k)
+        self.stride = int(stride)
+        self.top_bits = int(top_bits)
+        self.pos_bits = int(pos_bits)
+        self.bucket_off = bucket_off
+        self.kv = kv
+        self.keepalive = keepalive
+
+    def __getitem__(self, i):
+        if i == 0:
+            return self.k
+        raise IndexError(
+            "packed seed table carries no classic posting arrays; "
+            "use .kv / .bucket_off"
+        )
+
+    def __len__(self):
+        return 1
+
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "_native.so")
 _lib = None
 _load_failed = False
@@ -60,6 +97,22 @@ def _try_load():
     lib.thermite_seed_index_views.argtypes = [
         ctypes.c_void_p, _i64pp, _i64pp, _i64pp,
     ]
+    _u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.thermite_seed_index_is_packed.restype = ctypes.c_int
+    lib.thermite_seed_index_is_packed.argtypes = [ctypes.c_void_p]
+    lib.thermite_seed_index_packed_meta.argtypes = [
+        ctypes.c_void_p, _i64p, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), _i64p, _i64p,
+    ]
+    lib.thermite_seed_index_packed_views.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(_u64p), _i64pp,
+    ]
+    lib.thermite_seed_index_new_from_kv.restype = ctypes.c_void_p
+    lib.thermite_seed_index_new_from_kv.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, _u64p, ctypes.c_int64,
+        _i64p, ctypes.c_int64,
+    ]
     lib.thermite_seed_index_new_from_arrays.restype = ctypes.c_void_p
     lib.thermite_seed_index_new_from_arrays.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
@@ -95,7 +148,25 @@ class NativeSmemEngine:
         self._text_arr = np.ascontiguousarray(seq_arr, dtype=np.uint8)
         text_p = self._text_arr.ctypes.data_as(ctypes.c_char_p)
         n = len(self._text_arr)
-        if table is not None and table[0] == self.k:
+        if (
+            table is not None
+            and isinstance(table, PackedSeedTable)
+            and table.k == self.k
+        ):
+            # persisted PACKED table: borrow kv + bucket_off, rebuild
+            # only the pfx prefix (one streaming pass)
+            kv = np.ascontiguousarray(table.kv, np.uint64)
+            boff = np.ascontiguousarray(table.bucket_off, np.int64)
+            self._table_keep = (kv, boff, table)
+            self._h = lib.thermite_seed_index_new_from_kv(
+                text_p, n, self.k, table.stride, table.top_bits,
+                table.pos_bits,
+                kv.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                len(kv),
+                boff.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(boff) - 1,
+            )
+        elif table is not None and table[0] == self.k:
             # persisted posting arrays: skip the radix-sort build (~42 s
             # at chromosome scale).  The C++ side BORROWS these arrays
             # (a genome-scale table is ~37 GB; a copy would OOM), so
@@ -131,6 +202,32 @@ class NativeSmemEngine:
         keeps THIS ENGINE alive for as long as the arrays are used
         (``Index.build_seed_table`` stores it on the Index)."""
         lib = self._lib
+        if lib.thermite_seed_index_is_packed(self._h):
+            n_top = ctypes.c_int64()
+            tb = ctypes.c_int32()
+            pb = ctypes.c_int32()
+            st = ctypes.c_int64()
+            tot = ctypes.c_int64()
+            lib.thermite_seed_index_packed_meta(
+                self._h, ctypes.byref(n_top), ctypes.byref(tb),
+                ctypes.byref(pb), ctypes.byref(st), ctypes.byref(tot),
+            )
+            kvp = ctypes.POINTER(ctypes.c_uint64)()
+            bop = ctypes.POINTER(ctypes.c_int64)()
+            lib.thermite_seed_index_packed_views(
+                self._h, ctypes.byref(kvp), ctypes.byref(bop)
+            )
+            kv = np.ctypeslib.as_array(kvp, shape=(tot.value,))
+            boff = np.ctypeslib.as_array(bop, shape=(n_top.value + 1,))
+            if views:
+                kv.flags.writeable = False
+                boff.flags.writeable = False
+            else:
+                kv, boff = kv.copy(), boff.copy()
+            return PackedSeedTable(
+                self.k, st.value, tb.value, pb.value, boff, kv,
+                keepalive=self if views else None,
+            )
         m = lib.thermite_seed_index_n_keys(self._h)
         total = lib.thermite_seed_index_size(self._h)
         p = ctypes.POINTER(ctypes.c_int64)
@@ -217,10 +314,40 @@ def make_seeder(seq_arr: np.ndarray, min_seed_len: int, table=None,
 
     k = min(MAX_ANCHOR_K, min_seed_len)
     kt = None
-    if table is not None and table[0] == k:
+    if table is not None and isinstance(table, PackedSeedTable):
+        if table[0] == k:
+            kt = _unpack_packed_table(table)
+    elif table is not None and table[0] == k:
         kt = KmerTable(
             k=k, uniq_keys=np.asarray(table[1], np.int64),
             offsets=np.asarray(table[2], np.int64),
             positions=np.asarray(table[3], np.int64),
         )
     return SmemEngine(seq_arr, min_seed_len, table=kt, stride=stride)
+
+
+def _unpack_packed_table(t: PackedSeedTable):
+    """Expand a packed table to the numpy engine's classic arrays
+    (cold fallback only — the native engine searches kv directly)."""
+    from .kmer import KmerTable
+
+    kv = np.asarray(t.kv, np.uint64)
+    boff = np.asarray(t.bucket_off, np.int64)
+    rem = kv >> np.uint64(t.pos_bits)
+    # full key = (msd bucket << rem_shift) | rem_key
+    counts = np.diff(boff)
+    bucket_ids = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    key_bits = int(5**t.k - 1).bit_length()
+    rem_shift = key_bits - t.top_bits
+    full = (bucket_ids << rem_shift) | rem.astype(np.int64)
+    positions = (
+        (kv & np.uint64((1 << t.pos_bits) - 1)).astype(np.int64) * t.stride
+    )
+    new_key = np.empty(len(full), bool)
+    new_key[:1] = len(full) > 0
+    np.not_equal(full[1:], full[:-1], out=new_key[1:])
+    starts = np.flatnonzero(new_key)
+    offsets = np.concatenate([starts, [len(full)]])
+    return KmerTable(
+        k=t.k, uniq_keys=full[starts], offsets=offsets, positions=positions
+    )

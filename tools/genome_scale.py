@@ -101,8 +101,10 @@ def main():
         t_table = time.time()
         idx.build_seed_table(stride=stride)
         table_s = time.time() - t_table
+        st = idx.seed_table
+        npos = len(st.kv) if hasattr(st, "kv") else len(st[3])
         log(f"seed table built in {table_s:.0f} s "
-            f"({len(idx.seed_table[3]) / 1e9:.2f}G positions)")
+            f"({npos / 1e9:.2f}G positions)")
 
         # artifact round trip: persist the whole-genome index (incl. the
         # posting table) and reload it; alignment below runs on the
