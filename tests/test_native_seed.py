@@ -216,6 +216,38 @@ def test_packed_mode_search_and_roundtrip(monkeypatch, tmp_path):
     assert restored.all_smems(read) == fresh.all_smems(read)
 
 
+def test_mmap_artifact_load_identity(tmp_path):
+    """Index.load(mmap=True) (the default: members memory-mapped from
+    the uncompressed npz) must behave identically to the materialized
+    load — text slicing, seeding, and the seed table arrays."""
+    import numpy as np
+
+    from tests.fixtures import write_fixture
+
+    from thermite_tpu.index.build import Index
+
+    fasta, gtf, _ = write_fixture(tmp_path)
+    idx = Index.create_from_files(fasta, gtf)
+    idx.build_seed_table(stride=1)
+    art = tmp_path / "mm.npz"
+    idx.save(str(art))
+
+    a = Index.load(str(art))  # mmap default
+    b = Index.load(str(art), mmap=False)
+    assert isinstance(a.seq_arr, np.memmap)
+    assert len(a.seq) == len(b.seq)
+    assert a.seq[5:40] == b.seq[5:40] and isinstance(a.seq[5:40], bytes)
+    assert a.seq[7] == b.seq[7] and isinstance(a.seq[7], int)
+    for x, y in zip(a.seed_table[1:], b.seed_table[1:]):
+        assert (np.asarray(x) == np.asarray(y)).all()
+    from thermite_tpu.seed.native import make_seeder
+
+    read = b.seq[10:100]
+    sa = make_seeder(a.seq_arr, 20, table=a.seed_table).all_smems(read)
+    sb = make_seeder(b.seq_arr, 20, table=b.seed_table).all_smems(read)
+    assert sa == sb and len(sa) > 0
+
+
 def test_export_views_match_copies():
     """export_table(views=True) — the zero-copy path the genome-scale
     index build uses — must be element-identical to the copying

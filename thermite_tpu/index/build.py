@@ -28,6 +28,71 @@ from ..io.gtf import parse_gtf
 from .txome import Exon, Gene, IntervalTable, Tx, Txome
 
 
+class _TextView:
+    """bytes-like read-only facade over a (possibly file-backed) uint8
+    array: slices come back as ``bytes``, ints as ``int`` — the two
+    operations the pipeline performs on ``Index.seq``.  Lets a
+    memory-mapped artifact text serve without a multi-GB eager copy."""
+
+    __slots__ = ("arr",)
+
+    def __init__(self, arr: np.ndarray):
+        self.arr = arr
+
+    def __len__(self) -> int:
+        return len(self.arr)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return self.arr[i].tobytes()
+        return int(self.arr[i])
+
+
+def _npz_mmap_views(path: str) -> Optional[Dict[str, np.ndarray]]:
+    """Memory-map the members of an UNCOMPRESSED ``.npz`` in place.
+
+    ``np.load`` copies every member into fresh anonymous memory — for
+    a whole-genome artifact that is ~19 GB of first-touch pages, which
+    this deployment throttles to tens of MB/s (measured; see
+    docs/ROUND3.md env notes).  The artifact is written with
+    ``np.savez`` (ZIP_STORED), so each member's array bytes are a
+    contiguous span of the file: map them read-only and let the page
+    cache serve — lazy, shareable, and no anonymous-page cost.
+    Returns None (caller falls back to ``np.load``) for compressed
+    members or any parse surprise."""
+    import zipfile
+
+    try:
+        out: Dict[str, np.ndarray] = {}
+        with zipfile.ZipFile(path) as zf, open(path, "rb") as f:
+            for info in zf.infolist():
+                if info.compress_type != zipfile.ZIP_STORED:
+                    return None
+                f.seek(info.header_offset)
+                lh = f.read(30)
+                if lh[:4] != b"PK\x03\x04":
+                    return None
+                nlen = int.from_bytes(lh[26:28], "little")
+                elen = int.from_bytes(lh[28:30], "little")
+                f.seek(info.header_offset + 30 + nlen + elen)
+                version = np.lib.format.read_magic(f)
+                shape, fortran, dtype = np.lib.format._read_array_header(
+                    f, version
+                )
+                if dtype.hasobject:
+                    return None
+                name = info.filename
+                if name.endswith(".npy"):
+                    name = name[:-4]
+                out[name] = np.memmap(
+                    path, dtype=dtype, mode="r", offset=f.tell(),
+                    shape=shape, order="F" if fortran else "C",
+                )
+        return out
+    except Exception:
+        return None  # unexpected layout: eager np.load still works
+
+
 @dataclass
 class Ref:
     """One strand copy of one chromosome (reference src/index.rs:391-399)."""
@@ -42,13 +107,19 @@ class Ref:
 class Index:
     """Concatenated-genome index with transcriptome annotations."""
 
-    def __init__(self, refs: List[Ref], seq: bytes, txome: Txome):
+    def __init__(self, refs: List[Ref], seq, txome: Txome):
         self.refs = refs
-        self.seq = seq
         self.txome = txome
         self._ref_ends = np.array([r.end_idx for r in refs], dtype=np.int64)
-        # numpy uint8 view of the text for vectorized seeding/slicing
-        self.seq_arr = np.frombuffer(seq, dtype=np.uint8)
+        if isinstance(seq, np.ndarray):
+            # file-backed (memory-mapped artifact) text: keep the
+            # array, serve bytes semantics through _TextView
+            self.seq_arr = seq
+            self.seq = _TextView(seq)
+        else:
+            self.seq = seq
+            # numpy uint8 view of the text for vectorized seeding/slicing
+            self.seq_arr = np.frombuffer(seq, dtype=np.uint8)
         # persisted k-mer posting table (k, uniq_keys, offsets,
         # positions) — the .tai-equivalent one-artifact contract
         # (reference src/main.rs:43,67 ships the whole FM index in the
@@ -321,12 +392,24 @@ class Index:
         )
 
     @classmethod
-    def load(cls, path: str) -> "Index":
+    def load(cls, path: str, mmap: bool = True) -> "Index":
+        """Load an artifact.  With ``mmap`` (default) the multi-GB
+        members (text, posting table) are memory-mapped read-only from
+        the uncompressed .npz instead of copied — a whole-genome load
+        drops from ~19 GB of first-touch pages to lazy file-backed
+        paging (the page cache is typically still warm from the save).
+        Pass ``mmap=False`` for fully materialized arrays."""
         import os
 
         if not os.path.exists(path):
             path = cls._artifact_path(path)
         z = np.load(path, allow_pickle=False)
+        mm = _npz_mmap_views(path) if mmap else None
+
+        def big(name):
+            """the large members: mapped when possible, loaded else"""
+            return mm[name] if mm is not None and name in mm else z[name]
+
         meta = json.loads(bytes(z["meta"]).decode())
         if meta.get("version") != 1:
             raise ValueError(f"unsupported index version: {meta.get('version')}")
@@ -334,7 +417,7 @@ class Index:
             Ref(m["name"], m["strand"], m["len"], m["start_idx"], m["end_idx"])
             for m in meta["refs"]
         ]
-        seq = z["text"].tobytes()
+        seq = big("text") if mm is not None else z["text"].tobytes()
         genes = [Gene(m["id"], m["name"]) for m in meta["genes"]]
 
         tx_exons = z["tx_exons"]
@@ -377,13 +460,13 @@ class Index:
             sp = meta["seed_packed"]
             idx.seed_table = PackedSeedTable(
                 int(meta["seed_k"]), sp["stride"], sp["top_bits"],
-                sp["pos_bits"], z["seed_bucket_off"], z["seed_kv"],
+                sp["pos_bits"], big("seed_bucket_off"), big("seed_kv"),
             )
         elif "seed_keys" in z.files and "seed_k" in meta:
             idx.seed_table = (
                 int(meta["seed_k"]),
-                z["seed_keys"],
-                z["seed_offsets"],
-                z["seed_positions"].astype(np.int64, copy=False),
+                big("seed_keys"),
+                big("seed_offsets"),
+                big("seed_positions").astype(np.int64, copy=False),
             )
         return idx
