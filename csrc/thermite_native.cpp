@@ -31,6 +31,8 @@
 #include <cstdlib>
 #include <new>
 #include <thread>
+#include <type_traits>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -78,11 +80,12 @@ struct HugeAlloc {
       size_t len = (bytes + kHuge - 1) & ~(kHuge - 1);
       void* p = mmap(nullptr, len, PROT_READ | PROT_WRITE,
                      MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
-      if (p != MAP_FAILED) {
-        madvise(p, len, MADV_HUGEPAGE);
-        return (T*)p;
-      }
-      // fall through to operator new on mmap failure
+      // big blocks are mmap-or-fail: a mixed fallback would make
+      // deallocate guess the origin from (p, n) alone, and a wrong
+      // munmap over allocator-owned pages corrupts the heap
+      if (p == MAP_FAILED) throw std::bad_alloc();
+      madvise(p, len, MADV_HUGEPAGE);
+      return (T*)p;
     }
     return (T*)::operator new(bytes);
   }
@@ -90,10 +93,23 @@ struct HugeAlloc {
     size_t bytes = n * sizeof(T);
     if (bytes >= kThreshold) {
       size_t len = (bytes + kHuge - 1) & ~(kHuge - 1);
-      if (munmap(p, len) == 0) return;
-      // p came from the operator-new fallback; fall through
+      munmap(p, len);
+      return;
     }
     ::operator delete(p);
+  }
+  // default-initialize on resize: every HugeVec here is fully
+  // overwritten right after resize (sort scatter / cursor emit), and
+  // value-initializing a multi-GB array is a serial full write pass
+  // over exactly the fresh pages this allocator exists to economize
+  template <typename U, typename... Args>
+  void construct(U* p, Args&&... args) {
+    ::new ((void*)p) U(std::forward<Args>(args)...);
+  }
+  template <typename U>
+  void construct(U* p) noexcept(
+      std::is_nothrow_default_constructible<U>::value) {
+    ::new ((void*)p) U;
   }
   bool operator==(const HugeAlloc&) const { return true; }
   bool operator!=(const HugeAlloc&) const { return false; }
@@ -534,7 +550,13 @@ bool build_stride_packed(SeedIndex* idx, const uint8_t* text, int64_t n,
     int64_t packed_min = SeedIndex::kHashMaxKeys;
     if (const char* e = std::getenv("THERMITE_PACKED_MIN"))
       if (*e) packed_min = std::atoll(e);
-    if (total >= packed_min) {
+    // also require the KEY SPACE to exceed the hash bound: with a
+    // small k (5^k <= 2^27) the classic path would keep its 2-probe
+    // open-addressing hash no matter how many positions there are,
+    // and packed bisection would be a silent seeding regression
+    const bool env_forced = std::getenv("THERMITE_PACKED_MIN") != nullptr;
+    if (total >= packed_min &&
+        (env_forced || max_key > SeedIndex::kHashMaxKeys)) {
       idx->packed = true;
       idx->top_bits_p = top_bits;
       idx->pos_bits_p = pos_bits;

@@ -19,6 +19,15 @@ from ..align.types import Mem
 from .kmer import MAX_ANCHOR_K
 
 
+class SeedTableView(tuple):
+    """Classic (k, uniq_keys, offsets, positions) tuple whose arrays
+    are zero-copy views into a live engine; ``keepalive`` pins that
+    engine so the views cannot dangle after the exporting engine's
+    other references drop."""
+
+    keepalive = None
+
+
 class PackedSeedTable:
     """Genome-scale posting table in packed form: ``kv`` holds sorted
     u64 entries ``(rem_key << pos_bits) | (position // stride)`` and
@@ -241,7 +250,9 @@ class NativeSmemEngine:
                 arr = np.ctypeslib.as_array(ptr, shape=(size,))
                 arr.flags.writeable = False
                 out.append(arr)
-            return (self.k, *out)
+            t = SeedTableView((self.k, *out))
+            t.keepalive = self  # the views alias this engine's arrays
+            return t
         keys = np.empty(m, np.int64)
         offsets = np.empty(m + 1, np.int64)
         positions = np.empty(total, np.int64)

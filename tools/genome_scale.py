@@ -49,7 +49,23 @@ T0 = time.time()
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # positional args = everything that is neither a --flag nor the
+    # value of a value-taking flag
+    raw = sys.argv[1:]
+    args = []
+    skip = False
+    for i, a in enumerate(raw):
+        if skip:
+            skip = False
+            continue
+        if a == "--table-s":
+            if i + 1 >= len(raw):
+                sys.exit("--table-s needs a value (seconds)")
+            skip = True
+            continue
+        if a.startswith("--"):
+            continue
+        args.append(a)
     total_bp = int(float(args[0]) * 1e9) if len(args) > 0 else 3_200_000_000
     n_reads = int(args[1]) if len(args) > 1 else 65536
     stride = int(args[2]) if len(args) > 2 else 4
@@ -78,14 +94,16 @@ def main():
     else:
         fasta = os.path.join(out_dir, "wg.fasta")
         gtf = os.path.join(out_dir, "wg.gtf")
+        # the generator is seed-deterministic, so an existing wg.fasta
+        # whose size matches THIS total_bp (bases + per-chromosome
+        # header/newline overhead, < 1%) is this exact genome; a stale
+        # file from a different scale must NOT be silently reused
+        sz = os.path.getsize(fasta) if os.path.exists(fasta) else -1
         if (
-            os.path.exists(fasta)
+            total_bp <= sz <= int(total_bp * 1.01) + 4096
             and os.path.exists(gtf)
-            and os.path.getsize(fasta) >= total_bp
             and "--fresh" not in sys.argv
         ):
-            # the generator is seed-deterministic: an existing wg.fasta
-            # of the right size IS this genome — skip the ~3 min resynth
             log(f"reusing existing {fasta}")
         else:
             log(f"synthesizing {total_bp / 1e9:.2f} Gbp across "
