@@ -155,6 +155,40 @@ def _syn45_index():
     return idx
 
 
+def _require_backend(timeout_s: float = 300.0) -> None:
+    """Fail fast (exit 3) if device init hangs: the TPU deployment's
+    outage mode is an axon init that BLOCKS indefinitely rather than
+    erroring (observed 2026-08-17, multi-hour) — without this guard a
+    scheduled bench run would hang forever instead of reporting."""
+    import threading
+
+    done = threading.Event()
+    state = {}
+
+    def probe():
+        try:
+            import jax
+
+            state["devices"] = jax.devices()
+        except Exception as e:  # real init error: report, don't hang
+            state["error"] = e
+        done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        print(
+            f"bench: device backend init did not complete within "
+            f"{timeout_s:.0f}s (TPU outage?); aborting",
+            file=sys.stderr,
+        )
+        os._exit(3)
+    if "error" in state:
+        print(f"bench: backend init failed: {state['error']!r}", file=sys.stderr)
+        os._exit(3)
+    print(f"bench: devices {state['devices']}", file=sys.stderr)
+
+
 def main():
     from thermite_tpu.align.batch import BatchAligner
     from thermite_tpu.align.driver import AlignOpts
@@ -162,6 +196,7 @@ def main():
     from thermite_tpu.index.build import Index
 
     _enable_compile_cache()
+    _require_backend()
     opts = AlignOpts(
         min_seed_len=20, min_aln_score_percent=0.0, min_aln_score=30,
         intron_mode=True,
