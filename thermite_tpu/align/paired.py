@@ -1,0 +1,300 @@
+"""Paired-end mate pairing over per-mate alignment results.
+
+BEYOND reference parity: 10XGenomics/thermite is single-end only (the
+Cell Ranger flow aligns R2 alone; reference src/aligner.rs:22-120 and
+src/main.rs:106-133 have no mate concept).  This module adds the
+standard short-read FR pairing surface on top of the per-mate
+pipeline: both mates are aligned independently by ANY engine (oracle /
+batch — identical semantics by the existing parity tests), then pair
+selection and the SAM mate fields (flags 0x1/0x2/0x8/0x20/0x40/0x80,
+RNEXT/PNEXT/TLEN) are computed host-side here.
+
+Pairing rules (the BWA/STAR-standard FR contract):
+* a *proper pair* is two mapped mates on the SAME chromosome with
+  OPPOSITE strands in forward-reverse orientation (the forward mate's
+  start is not past the reverse mate's end) whose outer span
+  (template length) is <= ``max_insert``;
+* among all candidate combinations of the two mates' alignments the
+  pair maximizing summed alignment score wins (ties: the combination
+  of the earliest-ranked alignments, preserving each engine's
+  deterministic ordering);
+* when no proper pair exists each mate keeps its own primary
+  alignment; mate fields still link the two records ("orphan" pairing
+  — flags carry 0x1 but not 0x2);
+* an unmapped mate with a mapped partner is emitted AT the partner's
+  coordinates (rname/pos equal, flag 0x4 set, cigar "*") so sorted
+  BAMs keep pairs adjacent — the convention samtools/Cell Ranger
+  expect.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from ..io.sam import SamRecord, aln_to_sam_record, unmapped_sam_record
+
+FLAG_PAIRED = 0x1
+FLAG_PROPER = 0x2
+FLAG_UNMAPPED = 0x4
+FLAG_MATE_UNMAPPED = 0x8
+FLAG_REVERSE = 0x10
+FLAG_MATE_REVERSE = 0x20
+FLAG_READ1 = 0x40
+FLAG_READ2 = 0x80
+
+# combinatorial cap: a repeat-pathological read pair could offer
+# thousands of alignment combinations; past this many per mate the
+# tail alignments cannot win anyway (lists are score-ordered)
+_MAX_CANDIDATES = 64
+
+
+def _span(a) -> Tuple[int, int]:
+    """[start, end) of the alignment on the chromosome forward strand."""
+    return a.gx_aln.ystart, a.gx_aln.yend
+
+
+def is_proper(a1, a2, max_insert: int) -> bool:
+    """FR proper-pair test (see module docstring)."""
+    if a1.ref_name != a2.ref_name or a1.strand == a2.strand:
+        return False
+    fwd, rev = (a1, a2) if a1.strand else (a2, a1)
+    fs, fe = _span(fwd)
+    rs, rend = _span(rev)
+    if fs > rend:  # forward mate starts past the reverse mate's end
+        return False
+    tlen = max(rend, fe) - min(fs, rs)
+    return 0 < tlen <= max_insert
+
+
+def template_len(a1, a2) -> int:
+    """Signed TLEN for mate 1 (mate 2 gets the negation): outer span,
+    positive for the leftmost mate (ties: positive for mate 1)."""
+    s1, e1 = _span(a1)
+    s2, e2 = _span(a2)
+    span = max(e1, e2) - min(s1, s2)
+    if (s1, e1) <= (s2, e2):
+        return span
+    return -span
+
+
+def select_pair(
+    alns1: List, alns2: List, max_insert: int
+) -> Tuple[Optional[int], Optional[int], bool]:
+    """Choose the output pair: indices into each mate's alignment list
+    plus the proper flag.  ``None`` marks an unmapped mate."""
+    if not alns1 or not alns2:
+        return (0 if alns1 else None), (0 if alns2 else None), False
+    best = None  # (score_sum, -i, -j) maximized
+    bi = bj = 0
+    for i, a1 in enumerate(alns1[:_MAX_CANDIDATES]):
+        for j, a2 in enumerate(alns2[:_MAX_CANDIDATES]):
+            if not is_proper(a1, a2, max_insert):
+                continue
+            key = (a1.gx_aln.score + a2.gx_aln.score, -i, -j)
+            if best is None or key > best:
+                best = key
+                bi, bj = i, j
+    if best is None:
+        return 0, 0, False
+    return bi, bj, True
+
+
+def _reorder_primary(alns: List, chosen: int) -> List:
+    """Move the chosen alignment to the front as primary; everything
+    else becomes secondary.  Copies the dataclasses so the per-mate
+    results stay untouched."""
+    from dataclasses import replace
+
+    out = []
+    order = [chosen] + [k for k in range(len(alns)) if k != chosen]
+    for rank, k in enumerate(order):
+        out.append(replace(alns[k], primary=(rank == 0)))
+    return out
+
+
+def pair_records(
+    index,
+    rec1,
+    rec2,
+    alns1: List,
+    alns2: List,
+    max_insert: int = 1000,
+) -> List[SamRecord]:
+    """All SAM records for one read pair, mate fields filled.
+
+    ``rec1``/``rec2`` are FASTX records (``.id``/``.seq``/``.qual``);
+    ``alns1``/``alns2`` the per-mate results from any engine.
+    """
+    i1, i2, proper = select_pair(alns1, alns2, max_insert)
+    out: List[SamRecord] = []
+
+    a1 = alns1[i1] if i1 is not None else None
+    a2 = alns2[i2] if i2 is not None else None
+    ordered1 = _reorder_primary(alns1, i1) if a1 is not None else []
+    ordered2 = _reorder_primary(alns2, i2) if a2 is not None else []
+    tlen = template_len(a1, a2) if proper else 0
+
+    for mate_flag, rec, ordered, mine, mate in (
+        (FLAG_READ1, rec1, ordered1, a1, a2),
+        (FLAG_READ2, rec2, ordered2, a2, a1),
+    ):
+        qual = rec.qual if rec.qual is not None else b""
+        base = FLAG_PAIRED | mate_flag
+        if mate is None:
+            base |= FLAG_MATE_UNMAPPED
+        elif not mate.strand:
+            base |= FLAG_MATE_REVERSE
+        if mine is None:
+            # unmapped mate: placed at the mapped partner's primary
+            # coordinates when one exists (see module docstring)
+            r = unmapped_sam_record(rec.id, rec.seq, qual)
+            r.flag |= base
+            if mate is not None:
+                r.rname = mate.ref_name
+                r.pos = mate.gx_aln.ystart + 1
+                r.rnext = "="
+                r.pnext = mate.gx_aln.ystart + 1
+            out.append(r)
+            continue
+        for k, aln in enumerate(ordered):
+            r = aln_to_sam_record(
+                index, rec.id, rec.seq, qual, aln, len(ordered), k + 1
+            )
+            r.flag |= base
+            if proper and k == 0:
+                r.flag |= FLAG_PROPER
+            if mate is not None:
+                r.rnext = "=" if mate.ref_name == aln.ref_name else mate.ref_name
+                r.pnext = mate.gx_aln.ystart + 1
+                if proper and k == 0:
+                    r.tlen = tlen if mate_flag == FLAG_READ1 else -tlen
+            else:
+                # mate unmapped: it is placed at THIS mate's primary
+                # position, so records point back at themselves
+                r.rnext = "="
+                r.pnext = aln.gx_aln.ystart + 1
+            out.append(r)
+    return out
+
+
+def iter_read_pairs(path1: str, path2: str):
+    """Lockstep iteration over the two mate files; raises on length
+    mismatch (a truncated R2 silently mispairing every later read is
+    the classic paired-FASTQ corruption)."""
+    from ..io.fastx import parse_fastx
+
+    it1 = parse_fastx(path1)
+    it2 = parse_fastx(path2)
+    sentinel = object()
+    n = 0
+    while True:
+        r1 = next(it1, sentinel)
+        r2 = next(it2, sentinel)
+        if r1 is sentinel and r2 is sentinel:
+            return
+        if r1 is sentinel or r2 is sentinel:
+            short = path1 if r1 is sentinel else path2
+            raise ValueError(
+                f"paired inputs differ in length: {short} ended after "
+                f"{n} records"
+            )
+        n += 1
+        yield r1, r2
+
+
+def align_paired_from_files(
+    index,
+    path1: str,
+    path2: str,
+    output_path: str,
+    output_fmt: str,
+    opts,
+    engine: str = "oracle",
+    batch_size: int = 16384,
+    max_insert: int = 1000,
+    verbose: bool = False,
+) -> None:
+    """Paired-end file driver: SAM/BAM out (PAF has no mate fields)."""
+    import sys
+
+    from ..io.bam import BamWriter
+    from ..io.sam import SamWriter
+    from .run import FORMAT_BAM, FORMAT_SAM
+
+    if output_fmt not in (FORMAT_SAM, FORMAT_BAM):
+        raise ValueError("paired mode writes SAM/BAM only")
+
+    binary = output_fmt == FORMAT_BAM
+    if output_path == "-":
+        fh = sys.stdout.buffer if binary else sys.stdout
+        close = False
+    else:
+        fh = open(output_path, "wb" if binary else "w")
+        close = True
+    try:
+        writer = (
+            BamWriter(fh, index) if binary else SamWriter(fh, index)
+        )
+        if engine == "oracle":
+            from .driver import OracleAligner
+
+            aligner = OracleAligner(index, opts)
+
+            def batches():
+                buf = []
+                for pair in iter_read_pairs(path1, path2):
+                    buf.append(pair)
+                    if len(buf) >= batch_size:
+                        yield buf
+                        buf = []
+                if buf:
+                    yield buf
+
+            for buf in batches():
+                for r1, r2 in buf:
+                    alns1 = aligner.align_read(r1.seq)
+                    alns2 = aligner.align_read(r2.seq)
+                    for rec in pair_records(
+                        index, r1, r2, alns1, alns2, max_insert
+                    ):
+                        writer.write(rec)
+        elif engine == "batch":
+            from .batch import BatchAligner
+
+            batcher = BatchAligner(index, opts)
+            buf = []
+
+            def flush():
+                # one interleaved device batch for both mates: R1 at
+                # even slots, R2 at odd — a single kernel dispatch per
+                # batch instead of two half-size ones
+                seqs = []
+                for r1, r2 in buf:
+                    seqs.append(r1.seq)
+                    seqs.append(r2.seq)
+                res = batcher.align_batch(seqs)
+                for k, (r1, r2) in enumerate(buf):
+                    for rec in pair_records(
+                        index, r1, r2, res[2 * k], res[2 * k + 1],
+                        max_insert,
+                    ):
+                        writer.write(rec)
+
+            for pair in iter_read_pairs(path1, path2):
+                buf.append(pair)
+                if len(buf) >= batch_size // 2:
+                    flush()
+                    buf = []
+            if buf:
+                flush()
+            if verbose:
+                print(batcher.stats.report(), file=sys.stderr)
+        else:
+            raise ValueError(
+                f"engine {engine!r} does not support paired mode "
+                "(oracle and batch do)"
+            )
+        writer.finish()
+    finally:
+        if close:
+            fh.close()

@@ -95,6 +95,18 @@ def main(argv=None) -> int:
         "cpp = all-native single-core baseline (SAM/BAM only)",
     )
     pa.add_argument("--batch-size", type=int, default=16384)
+    # paired-end (BEYOND reference parity — the reference is
+    # single-end; see align/paired.py)
+    pa.add_argument(
+        "--paired", action="store_true",
+        help="treat the two query files as R1/R2 mates (requires "
+        "exactly two inputs and SAM/BAM output; fills pair flags, "
+        "RNEXT/PNEXT/TLEN)",
+    )
+    pa.add_argument(
+        "--max-insert", type=int, default=1000, metavar="N",
+        help="max template length for a proper pair (paired mode)",
+    )
     pa.add_argument(
         "--profile", default=None, metavar="DIR",
         help="write a jax.profiler (XProf) trace of the run to DIR",
@@ -206,6 +218,17 @@ def main(argv=None) -> int:
         n = len(jax.local_devices()) if args.mesh < 0 else args.mesh
         mesh = make_mesh(n)
 
+    if args.paired:
+        # cheap usage validation before the (multi-GB) index load
+        if len(args.queries) != 2:
+            raise SystemExit("--paired requires exactly two query files (R1 R2)")
+        if fmt == FORMAT_PAF:
+            raise SystemExit("--paired writes SAM/BAM only (pass -a)")
+        if shard is not None or mesh is not None:
+            raise SystemExit(
+                "--paired does not combine with --num-hosts/--mesh yet"
+            )
+
     index = Index.load(args.index)
     opts = AlignOpts(
         min_seed_len=args.min_seed_len,
@@ -214,6 +237,22 @@ def main(argv=None) -> int:
         multimap_score_range=args.multimap_score_range,
         intron_mode=args.intron_mode,
     )
+    if args.paired:
+        from .align.paired import align_paired_from_files
+
+        align_paired_from_files(
+            index,
+            args.queries[0],
+            args.queries[1],
+            output,
+            fmt,
+            opts,
+            engine=args.engine,
+            batch_size=args.batch_size,
+            max_insert=args.max_insert,
+            verbose=args.verbose,
+        )
+        return 0
     align_reads_from_file(
         index,
         args.queries,

@@ -111,6 +111,12 @@ def encode_bam_record(rec: SamRecord, ref_ids: dict) -> bytes:
     bin_ = _reg2bin(pos, pos + ref_span) if pos >= 0 else _reg2bin(-1, 0)
 
     body = bytearray()
+    if rec.rnext == "*":
+        next_ref = -1
+    elif rec.rnext == "=":  # SAM shorthand: mate on this record's ref
+        next_ref = ref_id
+    else:
+        next_ref = ref_ids.get(rec.rnext, -1)
     body += struct.pack(
         "<iiBBHHHiiii",
         ref_id,
@@ -121,7 +127,7 @@ def encode_bam_record(rec: SamRecord, ref_ids: dict) -> bytes:
         len(cig),
         rec.flag,
         l_seq,
-        ref_ids.get(rec.rnext, -1) if rec.rnext != "*" else -1,
+        next_ref,
         rec.pnext - 1,
         rec.tlen,
     )
@@ -197,6 +203,10 @@ class BamRead:
     seq: str
     qual: str
     tags: dict = field(default_factory=dict)
+    # mate fields (paired-end; 0 defaults preserve old call sites)
+    next_ref_id: int = -1
+    next_pos: int = -1  # 0-based
+    tlen: int = 0
 
     @property
     def is_unmapped(self) -> bool:
@@ -286,9 +296,9 @@ def read_bam(path: str) -> Tuple[str, List[str], Iterator[BamRead]]:
                 n_cig,
                 flag,
                 l_seq,
-                _nref,
-                _npos,
-                _tlen,
+                nref,
+                npos,
+                tlen,
             ) = struct.unpack("<iiBBHHHiiii", body[:32])
             p = 32
             qname = body[p : p + l_name - 1].decode()
@@ -356,6 +366,9 @@ def read_bam(path: str) -> Tuple[str, List[str], Iterator[BamRead]]:
                 seq="".join(seq_chars) if l_seq else "*",
                 qual=qual if l_seq else "*",
                 tags=tags,
+                next_ref_id=nref,
+                next_pos=npos,
+                tlen=tlen,
             )
 
     return header_text, ref_names, records()

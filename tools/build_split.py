@@ -2,7 +2,11 @@
 (thermite_smems) vs full chunk build (seed + window/task/problem
 construction + transcript candidates).
 
-Usage: python tools/build_split.py [n_reads]
+Usage: python tools/build_split.py [n_reads] [artifact.npz]
+       (default artifact: the cached syn45 bench index; pass
+       data/out/genome_scale/wg_index.npz to measure against the
+       whole-genome packed table — loads via mmap, reads are
+       truth-synthesized from the loaded text)
 """
 
 import os
@@ -21,7 +25,11 @@ def main():
     from thermite_tpu.align.driver import AlignOpts
     from thermite_tpu.index.build import Index
 
-    art = os.path.join(OUT_DIR, f"bench_syn{SYN_BP // 1_000_000}.npz")
+    art = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(OUT_DIR, f"bench_syn{SYN_BP // 1_000_000}.npz")
+    )
     t0 = time.time()
     idx = Index.load(art)
     print(f"index loaded {time.time()-t0:.1f} s", file=sys.stderr)
@@ -29,9 +37,19 @@ def main():
         min_seed_len=20, min_aln_score_percent=0.0, min_aln_score=30,
         intron_mode=True,
     )
-    ba = BatchAligner(idx, opts, backend="xla", use_native=True)
-    chrom = idx.seq[idx.refs[0].start_idx : idx.refs[0].end_idx - 1]
-    reads = make_reads(chrom, n, seed=77)
+    # "pallas" here only names the backend the aligner WOULD dispatch
+    # to; this tool exercises just the host stages (seed, chunk build)
+    # and never touches a device — required for >2 GiB texts where the
+    # xla fallback is guarded off
+    be = "pallas" if len(sys.argv) > 2 else "xla"
+    ba = BatchAligner(idx, opts, backend=be, use_native=True)
+    if len(sys.argv) > 2:
+        from thermite_tpu.testing.synth import make_truth_reads
+
+        reads = [r[1] for r in make_truth_reads(idx, n, seed=77)]
+    else:
+        chrom = idx.seq[idx.refs[0].start_idx : idx.refs[0].end_idx - 1]
+        reads = make_reads(chrom, n, seed=77)
 
     # A: seeding only
     seeder = ba.seeder

@@ -1,0 +1,24 @@
+#!/bin/bash
+# Wait out a TPU backend outage, then finish the genome-scale align
+# phase from the saved artifact (tools/genome_scale.py --resume).
+# Probes cheaply every 8 min; exits after the resume run completes.
+# Refuses to start while a previous genome_scale.py process is alive.
+set -u
+cd /root/repo
+while pgrep -f "genome_scale.py" > /dev/null; do
+  echo "$(date -u +%H:%M:%S) previous genome_scale still running; waiting"
+  sleep 300
+done
+while true; do
+  if PYTHONPATH=/root/repo:/root/.axon_site timeout 240 python -c \
+      "import jax; assert jax.devices()" 2>/dev/null; then
+    echo "$(date -u +%H:%M:%S) TPU back; launching resume"
+    PYTHONPATH=/root/repo:/root/.axon_site timeout 7000 \
+      python tools/genome_scale.py --resume --table-s 647 \
+      > data/out/genome_scale_r03_resume.log 2>&1
+    echo "$(date -u +%H:%M:%S) resume exited: $?"
+    exit 0
+  fi
+  echo "$(date -u +%H:%M:%S) TPU still unavailable"
+  sleep 480
+done
