@@ -88,3 +88,30 @@ def test_wrapper_records_strip_tags(index_path, recs):
     # one+ record per read, AS/NH kept on mapped lines
     assert sam.count(b"\n") >= len(recs)
     assert b"AS:i:" in sam
+
+
+def test_wrapper_align_read_pair(index_path):
+    """Paired embedding surface: pair flags present, tags stripped,
+    and per-mate alignments identical to the single-end path."""
+    from thermite_tpu.align.paired import (
+        FLAG_PAIRED,
+        FLAG_PROPER,
+        FLAG_READ1,
+        FLAG_READ2,
+    )
+    from thermite_tpu.io.fastx import revcomp
+
+    w = _mk(index_path)
+    ref = w.index.refs[0]
+    chrom = w.index.seq[ref.start_idx : ref.end_idx - 1]
+    frag = chrom[4 : 4 + 60]
+    r1, r2 = frag[:30], revcomp(frag[-30:])
+    recs = w.align_read_pair(b"p0", r1, b"I" * 30, r2, b"I" * 30)
+    assert len(recs) >= 2
+    assert any(r.flag & FLAG_READ1 for r in recs)
+    assert any(r.flag & FLAG_READ2 for r in recs)
+    for r in recs:
+        assert r.flag & FLAG_PAIRED
+        assert all(t[0] not in ("TX", "GX", "GN", "RE") for t in r.tags)
+    prim = [r for r in recs if r.flag & FLAG_PROPER]
+    assert len(prim) == 2 and prim[0].tlen == -prim[1].tlen != 0

@@ -93,6 +93,42 @@ class ThermiteAligner:
         ]
         return self._batch.align_batch_emit(recs, fmt_bam, strip_tags=True)
 
+    def align_read_pair(
+        self,
+        name: bytes,
+        read1: bytes,
+        qual1: bytes,
+        read2: bytes,
+        qual2: bytes,
+        max_insert: int = 1000,
+    ) -> List[SamRecord]:
+        """Paired-end embedding surface (beyond reference parity — the
+        reference wrapper is single-end): both mates through the
+        aligner, FR pairing + mate fields via ``align.paired``,
+        TX/GX/GN/RE stripped as usual.  Always >= 2 records."""
+        from .align.paired import pair_records
+
+        if self._oracle is None:
+            self._oracle = OracleAligner(self.index, self.align_opts)
+
+        class _R:
+            __slots__ = ("id", "seq", "qual")
+
+            def __init__(self, rid, seq, qual):
+                self.id, self.seq, self.qual = rid, seq, qual
+
+        recs = pair_records(
+            self.index,
+            _R(name, read1, qual1),
+            _R(name, read2, qual2),
+            self._oracle.align_read(read1),
+            self._oracle.align_read(read2),
+            max_insert,
+        )
+        for rec in recs:
+            rec.tags = [t for t in rec.tags if t[0] not in _STRIP_TAGS]
+        return recs
+
     def _records(self, name, read, qual, alns) -> List[SamRecord]:
         if not alns:
             return [unmapped_sam_record(name, read, qual)]
