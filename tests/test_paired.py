@@ -243,3 +243,50 @@ def test_paired_rejects_bad_usage(index, tmp_path):
 
     with pytest.raises(SystemExit):
         cli.main(["align", "x.npz", "a.fq", "-o", "o.sam", "-a", "--paired"])
+
+
+def test_paired_shard_merge_identical(index, tmp_path):
+    """--paired with --num-hosts: pair-sharded host outputs merge to
+    the exact bytes of the unsharded run (both SAM and BAM)."""
+    from thermite_tpu import cli
+    from thermite_tpu.parallel.multihost import merge_shards
+
+    d = tmp_path
+    fasta, gtf = write_synth_genome(str(d), 60_000, seed=41, basename="pr")
+    pairs = make_pairs(index, 10, seed=33)
+    for which, path in ((0, d / "r1.fastq"), (1, d / "r2.fastq")):
+        with open(path, "w") as f:
+            for rec1, rec2, _, _ in pairs:
+                r = rec1 if which == 0 else rec2
+                f.write(
+                    f"@{r.id.decode()}\n{r.seq.decode()}\n+\n"
+                    f"{'I' * len(r.seq)}\n"
+                )
+    art = d / "pr.npz"
+    assert cli.main(["index", fasta, gtf, "-o", str(art)]) == 0
+    base = [
+        "align", str(art), str(d / "r1.fastq"), str(d / "r2.fastq"),
+        "-a", "--paired", "-k20", "-s0", "--intron-mode",
+        "--engine", "oracle",
+    ]
+    for ext, fmt in ((".sam", "sam"), (".bam", "bam")):
+        single = d / f"single{ext}"
+        assert cli.main(base + ["-o", str(single)]) == 0
+        shards = []
+        for h in range(2):
+            out = d / f"sh{ext}"
+            assert cli.main(
+                base
+                + ["-o", str(out), "--num-hosts", "2", "--host-id", str(h)]
+            ) == 0
+            shards.append(f"{out}.shard{h:03d}")
+        merged = d / f"merged{ext}"
+        merge_shards(shards, str(merged), fmt)
+        if fmt == "sam":
+            assert merged.read_bytes() == single.read_bytes()
+        else:
+            import gzip
+
+            assert gzip.open(merged, "rb").read() == gzip.open(
+                single, "rb"
+            ).read()

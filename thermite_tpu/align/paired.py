@@ -213,8 +213,15 @@ def align_paired_from_files(
     batch_size: int = 16384,
     max_insert: int = 1000,
     verbose: bool = False,
+    shard=None,
+    mesh=None,
 ) -> None:
-    """Paired-end file driver: SAM/BAM out (PAF has no mate fields)."""
+    """Paired-end file driver: SAM/BAM out (PAF has no mate fields).
+
+    ``shard=(host_id, num_hosts)`` block-shards the PAIRS (both mates
+    of a pair always land on the same host; order-preserving, so
+    ``thermite merge`` recombines shard outputs exactly like the
+    single-end path).  ``mesh`` passes through to ``BatchAligner``."""
     import sys
 
     from ..io.bam import BamWriter
@@ -223,6 +230,20 @@ def align_paired_from_files(
 
     if output_fmt not in (FORMAT_SAM, FORMAT_BAM):
         raise ValueError("paired mode writes SAM/BAM only")
+
+    lo, hi = 0, None
+    if shard is not None:
+        from ..parallel.multihost import shard_bounds
+        from .run import _count_records
+
+        host_id, num_hosts = shard
+        n = _count_records([path1])
+        lo, hi = shard_bounds(n, num_hosts, host_id)
+
+    def pairs_in_shard():
+        for i, pair in enumerate(iter_read_pairs(path1, path2)):
+            if i >= lo and (hi is None or i < hi):
+                yield pair
 
     binary = output_fmt == FORMAT_BAM
     if output_path == "-":
@@ -242,7 +263,7 @@ def align_paired_from_files(
 
             def batches():
                 buf = []
-                for pair in iter_read_pairs(path1, path2):
+                for pair in pairs_in_shard():
                     buf.append(pair)
                     if len(buf) >= batch_size:
                         yield buf
@@ -261,7 +282,7 @@ def align_paired_from_files(
         elif engine == "batch":
             from .batch import BatchAligner
 
-            batcher = BatchAligner(index, opts)
+            batcher = BatchAligner(index, opts, mesh=mesh)
             buf = []
 
             def flush():
@@ -280,7 +301,7 @@ def align_paired_from_files(
                     ):
                         writer.write(rec)
 
-            for pair in iter_read_pairs(path1, path2):
+            for pair in pairs_in_shard():
                 buf.append(pair)
                 if len(buf) >= batch_size // 2:
                     flush()

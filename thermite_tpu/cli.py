@@ -224,10 +224,6 @@ def main(argv=None) -> int:
             raise SystemExit("--paired requires exactly two query files (R1 R2)")
         if fmt == FORMAT_PAF:
             raise SystemExit("--paired writes SAM/BAM only (pass -a)")
-        if shard is not None or mesh is not None:
-            raise SystemExit(
-                "--paired does not combine with --num-hosts/--mesh yet"
-            )
 
     index = Index.load(args.index)
     opts = AlignOpts(
@@ -251,6 +247,8 @@ def main(argv=None) -> int:
             batch_size=args.batch_size,
             max_insert=args.max_insert,
             verbose=args.verbose,
+            shard=shard,
+            mesh=mesh,
         )
         return 0
     align_reads_from_file(
