@@ -290,3 +290,134 @@ def test_paired_shard_merge_identical(index, tmp_path):
             assert gzip.open(merged, "rb").read() == gzip.open(
                 single, "rb"
             ).read()
+
+
+# -- mate rescue ---------------------------------------------------------
+
+
+def _mutate_every(seq: bytes, step: int, start: int = 10) -> bytes:
+    """Flip one base every `step` positions: kills every 20-mer seed
+    while leaving clean >=12-base runs for the rescue seeder."""
+    out = bytearray(seq)
+    for p in range(start, len(out), step):
+        out[p] = {65: 67, 67: 71, 71: 84, 84: 65}[out[p]]  # A>C>G>T>A
+    return bytes(out)
+
+
+def test_mate_rescue_recovers_lost_mate(index, opts):
+    aligner = OracleAligner(index, opts)
+    n_rescued = 0
+    for rec1, rec2, p, frag_len in make_pairs(index, 10, seed=21):
+        lost = Rec(rec2.id, _mutate_every(rec2.seq, 15))
+        alns1 = aligner.align_read(rec1.seq)
+        alns2 = aligner.align_read(lost.seq)
+        if not alns1 or alns2:
+            continue  # only exercise the one-mate-lost shape
+        plain = pair_records(index, rec1, lost, alns1, alns2, 1000)
+        assert any(
+            r.flag & FLAG_UNMAPPED and r.flag & FLAG_READ2 for r in plain
+        )
+        recs = pair_records(
+            index, rec1, lost, alns1, alns2, 1000, rescue_opts=opts
+        )
+        mapped2 = [
+            r for r in recs
+            if r.flag & FLAG_READ2 and not r.flag & FLAG_UNMAPPED
+        ]
+        if not mapped2:
+            continue
+        n_rescued += 1
+        r2 = mapped2[0]
+        prim1 = next(
+            r for r in recs
+            if r.flag & FLAG_READ1 and not r.flag & 0x100
+        )
+        # rescued mate is a proper FR pair with the anchor
+        assert r2.flag & FLAG_PROPER and prim1.flag & FLAG_PROPER
+        assert r2.rname == prim1.rname
+        assert abs(r2.tlen) == frag_len
+        assert (r2.flag & FLAG_REVERSE) != (prim1.flag & FLAG_REVERSE)
+        # mate fields cross-link
+        assert r2.rnext == "=" and r2.pnext == prim1.pos
+        assert prim1.rnext == "=" and prim1.pnext == r2.pos
+        for r in recs:
+            assert not r.flag & FLAG_MATE_UNMAPPED
+    assert n_rescued >= 5  # most fixtures must actually exercise rescue
+
+
+def test_mate_rescue_rejects_junk(index, opts):
+    """A mate unrelated to the window must stay unmapped (no false
+    positives from the weaker rescue seed)."""
+    aligner = OracleAligner(index, opts)
+    rec1, _, _, _ = make_pairs(index, 1, seed=5)[0]
+    rng = np.random.default_rng(11)
+    junk = Rec(rec1.id, bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 90)))
+    alns1 = aligner.align_read(rec1.seq)
+    assert alns1
+    recs = pair_records(
+        index, rec1, junk, alns1, aligner.align_read(junk.seq), 1000,
+        rescue_opts=opts,
+    )
+    assert any(
+        r.flag & FLAG_UNMAPPED and r.flag & FLAG_READ2 for r in recs
+    )
+
+
+def test_mate_rescue_orientation_symmetry(index, opts):
+    """Rescue works whichever mate is lost and whichever strand the
+    anchor is on (make_pairs alternates orientation)."""
+    aligner = OracleAligner(index, opts)
+    hit = 0
+    for i, (rec1, rec2, p, frag_len) in enumerate(make_pairs(index, 8, seed=77)):
+        lost = Rec(rec1.id, _mutate_every(rec1.seq, 15))
+        alns2 = aligner.align_read(rec2.seq)
+        alns1 = aligner.align_read(lost.seq)
+        if not alns2 or alns1:
+            continue
+        recs = pair_records(
+            index, lost, rec2, alns1, alns2, 1000, rescue_opts=opts
+        )
+        mapped1 = [
+            r for r in recs
+            if r.flag & FLAG_READ1 and not r.flag & FLAG_UNMAPPED
+        ]
+        if mapped1:
+            hit += 1
+            assert mapped1[0].flag & FLAG_PROPER
+    assert hit >= 4
+
+
+def test_cli_no_mate_rescue_flag(index, opts, tmp_path):
+    """--no-mate-rescue leaves the lost mate unmapped; default rescues."""
+    from thermite_tpu import cli
+
+    d = tmp_path
+    fasta, gtf = write_synth_genome(str(d), 60_000, seed=41, basename="pr")
+    rec1, rec2, _, _ = make_pairs(index, 1, seed=21)[0]
+    lost = _mutate_every(rec2.seq, 15)
+    (d / "r1.fastq").write_text(
+        f"@p\n{rec1.seq.decode()}\n+\n{'I' * len(rec1.seq)}\n"
+    )
+    (d / "r2.fastq").write_text(
+        f"@p\n{lost.decode()}\n+\n{'I' * len(lost)}\n"
+    )
+    art = d / "pr.npz"
+    assert cli.main(["index", fasta, gtf, "-o", str(art)]) == 0
+    base = [
+        "align", str(art), str(d / "r1.fastq"), str(d / "r2.fastq"),
+        "-a", "--paired", "-k20", "-s0", "--intron-mode",
+        "--engine", "oracle",
+    ]
+    out_r = d / "rescued.sam"
+    out_n = d / "norescue.sam"
+    assert cli.main(base + ["-o", str(out_r)]) == 0
+    assert cli.main(base + ["-o", str(out_n), "--no-mate-rescue"]) == 0
+
+    def flags(path):
+        return [
+            int(line.split("\t")[1])
+            for line in path.read_text().splitlines()
+            if not line.startswith("@")
+        ]
+    assert all(not f & FLAG_UNMAPPED for f in flags(out_r))
+    assert any(f & FLAG_UNMAPPED for f in flags(out_n))

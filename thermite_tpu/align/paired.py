@@ -25,6 +25,19 @@ Pairing rules (the BWA/STAR-standard FR contract):
   coordinates (rname/pos equal, flag 0x4 set, cigar "*") so sorted
   BAMs keep pairs adjacent — the convention samtools/Cell Ranger
   expect.
+
+Mate rescue (``rescue_mate``): when one mate maps and the other finds
+no alignment at all (its seeds are shorter than ``min_seed_len``, e.g.
+a mutation every ~15 bp), the standard short-read move (BWA-MEM's
+mate-SW) is to look for the lost mate ONLY inside the mapped mate's
+FR insert window — a <= ``max_insert`` stretch where a much weaker
+seed (k = 12 here vs min_seed_len = 20) cannot produce genome-wide
+false hits.  The rescued alignment goes through the exact same
+``align_seed_hit`` extension/classification/threshold rules as the
+main pipeline, so downstream records are indistinguishable from a
+normally-found alignment.  Rescue is pure host-side post-processing of
+per-mate results, so every engine (oracle / batch / meshed batch)
+produces identical rescued output by construction.
 """
 
 from __future__ import annotations
@@ -99,6 +112,102 @@ def select_pair(
     return bi, bj, True
 
 
+# mate-rescue knobs: a deliberately weaker seed than the main pipeline
+# (the insert window is ~1 kb, so a 12-mer cannot hit genome-wide
+# repeats the way it would in full seeding), capped fan-out for repeaty
+# windows, and at most this many anchor alignments of the mapped mate
+_RESCUE_K = 12
+_RESCUE_MAX_SEEDS = 8
+_RESCUE_MAX_ANCHORS = 4
+
+
+def _window_seeds(window: bytes, read: bytes, k: int) -> List[Tuple[int, int, int]]:
+    """Maximal exact matches of the read inside a small window, one per
+    diagonal (longest wins): [(win_off, query_idx, len)], longest first."""
+    best = {}  # diagonal -> (len, win_off, q_idx)
+    n, m = len(window), len(read)
+    for q in range(0, m - k + 1):
+        kmer = read[q : q + k]
+        off = window.find(kmer)
+        while off >= 0:
+            diag = off - q
+            seen = best.get(diag)
+            if seen is None or not (seen[1] <= off < seen[1] + seen[0]):
+                # extend the exact match maximally both ways
+                lo = 0
+                while q - lo > 0 and off - lo > 0 and read[q - lo - 1] == window[off - lo - 1]:
+                    lo += 1
+                hi = k
+                while q + hi < m and off + hi < n and read[q + hi] == window[off + hi]:
+                    hi += 1
+                cand = (lo + hi, off - lo, q - lo)
+                if seen is None or cand[0] > seen[0]:
+                    best[diag] = cand
+            off = window.find(kmer, off + 1)
+    seeds = [(o, q, ln) for ln, o, q in best.values()]
+    seeds.sort(key=lambda s: (-s[2], s[0], s[1]))  # longest, then leftmost
+    return seeds[:_RESCUE_MAX_SEEDS]
+
+
+def rescue_mate(index, read: bytes, anchors: List, max_insert: int, opts):
+    """Find the lost mate inside a mapped mate's FR insert window.
+
+    ``anchors`` is the mapped mate's (score-ordered) alignment list;
+    the first ``_RESCUE_MAX_ANCHORS`` are each tried as the pair
+    anchor.  Returns the best ``GenomeAlignment`` meeting the
+    pipeline's score threshold (``max(pct*len, min_aln_score)``, the
+    same rule as ``align_read``) and, unless ``opts.intron_mode``, the
+    exonic-only rule — or None."""
+    from ..ops.swg_ref import SwgExtend
+    from .driver import align_seed_hit
+    from .types import EXONIC, Mem
+
+    read = read.upper()
+    if len(read) < _RESCUE_K:
+        return None
+    min_score = max(
+        int(opts.min_aln_score_percent * float(len(read))), opts.min_aln_score
+    )
+    band = max(len(read) - min_score, 0)
+    swg = SwgExtend(band)
+    copies = {(r.name, r.strand): r for r in index.refs}
+
+    best = None
+    for a in anchors[:_RESCUE_MAX_ANCHORS]:
+        # FR window on chromosome-forward coordinates
+        s, e = a.gx_aln.ystart, a.gx_aln.yend
+        L = a.gx_aln.ylen
+        if a.strand:  # anchor forward -> mate reverse, downstream
+            ws, we = s, min(L, s + max_insert)
+        else:  # anchor reverse -> mate forward, upstream
+            ws, we = max(0, e - max_insert), e
+        r = copies.get((a.ref_name, not a.strand))
+        if r is None or we - ws < _RESCUE_K:
+            continue
+        # map the window onto the mate's strand copy of the
+        # concatenated text (reads are always aligned forward against
+        # a copy; '-'-strand placement comes from hitting the rc copy)
+        if r.strand:
+            lo = r.start_idx + ws
+            hi = r.start_idx + we
+        else:
+            lo = r.start_idx + (L - we)
+            hi = r.start_idx + (L - ws)
+        window = index.seq_slice(lo, hi)
+        for off, q, ln in _window_seeds(window, read, _RESCUE_K):
+            hit = Mem(ref_idx=lo + off, query_idx=q, len=ln)
+            g = align_seed_hit(index, read, hit, swg, band, band)
+            if g.gx_aln.score < min_score:
+                continue
+            if not opts.intron_mode and g.aln_type != EXONIC:
+                continue
+            if best is None or g.gx_aln.score > best.gx_aln.score:
+                best = g
+    if best is not None:
+        best.primary = True
+    return best
+
+
 def _reorder_primary(alns: List, chosen: int) -> List:
     """Move the chosen alignment to the front as primary; everything
     else becomes secondary.  Copies the dataclasses so the per-mate
@@ -119,12 +228,24 @@ def pair_records(
     alns1: List,
     alns2: List,
     max_insert: int = 1000,
+    rescue_opts=None,
 ) -> List[SamRecord]:
     """All SAM records for one read pair, mate fields filled.
 
     ``rec1``/``rec2`` are FASTX records (``.id``/``.seq``/``.qual``);
-    ``alns1``/``alns2`` the per-mate results from any engine.
-    """
+    ``alns1``/``alns2`` the per-mate results from any engine.  With
+    ``rescue_opts`` (an ``AlignOpts``), a mate with no alignments is
+    searched for inside its mapped partner's insert window first
+    (``rescue_mate``)."""
+    if rescue_opts is not None:
+        if alns1 and not alns2:
+            r = rescue_mate(index, rec2.seq, alns1, max_insert, rescue_opts)
+            if r is not None:
+                alns2 = [r]
+        elif alns2 and not alns1:
+            r = rescue_mate(index, rec1.seq, alns2, max_insert, rescue_opts)
+            if r is not None:
+                alns1 = [r]
     i1, i2, proper = select_pair(alns1, alns2, max_insert)
     out: List[SamRecord] = []
 
@@ -215,6 +336,7 @@ def align_paired_from_files(
     verbose: bool = False,
     shard=None,
     mesh=None,
+    mate_rescue: bool = True,
 ) -> None:
     """Paired-end file driver: SAM/BAM out (PAF has no mate fields).
 
@@ -245,6 +367,7 @@ def align_paired_from_files(
             if i >= lo and (hi is None or i < hi):
                 yield pair
 
+    rescue_opts = opts if mate_rescue else None
     binary = output_fmt == FORMAT_BAM
     if output_path == "-":
         fh = sys.stdout.buffer if binary else sys.stdout
@@ -276,7 +399,8 @@ def align_paired_from_files(
                     alns1 = aligner.align_read(r1.seq)
                     alns2 = aligner.align_read(r2.seq)
                     for rec in pair_records(
-                        index, r1, r2, alns1, alns2, max_insert
+                        index, r1, r2, alns1, alns2, max_insert,
+                        rescue_opts=rescue_opts,
                     ):
                         writer.write(rec)
         elif engine == "batch":
@@ -297,7 +421,7 @@ def align_paired_from_files(
                 for k, (r1, r2) in enumerate(buf):
                     for rec in pair_records(
                         index, r1, r2, res[2 * k], res[2 * k + 1],
-                        max_insert,
+                        max_insert, rescue_opts=rescue_opts,
                     ):
                         writer.write(rec)
 

@@ -108,6 +108,11 @@ def main(argv=None) -> int:
         help="max template length for a proper pair (paired mode)",
     )
     pa.add_argument(
+        "--no-mate-rescue", action="store_true",
+        help="disable searching an unmapped mate inside its mapped "
+        "partner's insert window (paired mode)",
+    )
+    pa.add_argument(
         "--profile", default=None, metavar="DIR",
         help="write a jax.profiler (XProf) trace of the run to DIR",
     )
@@ -249,6 +254,7 @@ def main(argv=None) -> int:
             verbose=args.verbose,
             shard=shard,
             mesh=mesh,
+            mate_rescue=not args.no_mate_rescue,
         )
         return 0
     align_reads_from_file(

@@ -101,11 +101,13 @@ class ThermiteAligner:
         read2: bytes,
         qual2: bytes,
         max_insert: int = 1000,
+        mate_rescue: bool = True,
     ) -> List[SamRecord]:
         """Paired-end embedding surface (beyond reference parity — the
         reference wrapper is single-end): both mates through the
-        aligner, FR pairing + mate fields via ``align.paired``,
-        TX/GX/GN/RE stripped as usual.  Always >= 2 records."""
+        aligner, FR pairing + mate fields via ``align.paired``
+        (incl. mate rescue unless ``mate_rescue=False``), TX/GX/GN/RE
+        stripped as usual.  Always >= 2 records."""
         from .align.paired import pair_records
 
         if self._oracle is None:
@@ -124,6 +126,7 @@ class ThermiteAligner:
             self._oracle.align_read(read1),
             self._oracle.align_read(read2),
             max_insert,
+            rescue_opts=self.align_opts if mate_rescue else None,
         )
         for rec in recs:
             rec.tags = [t for t in rec.tags if t[0] not in _STRIP_TAGS]
