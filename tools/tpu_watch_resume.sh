@@ -16,7 +16,12 @@ while true; do
     PYTHONPATH=/root/repo:/root/.axon_site timeout 7000 \
       python tools/genome_scale.py --resume --table-s 647 \
       > data/out/genome_scale_r03_resume.log 2>&1
-    echo "$(date -u +%H:%M:%S) resume exited: $?"
+    rc=$?
+    echo "$(date -u +%H:%M:%S) resume exited: $rc"
+    if [ "$rc" -eq 0 ] && [ -f data/out/genome_scale/genome_scale.json ]; then
+      cp data/out/genome_scale/genome_scale.json data/genome_scale_r03.json
+      echo "$(date -u +%H:%M:%S) copied result to data/genome_scale_r03.json"
+    fi
     exit 0
   fi
   echo "$(date -u +%H:%M:%S) TPU still unavailable"
