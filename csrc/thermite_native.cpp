@@ -1149,6 +1149,20 @@ struct Chunk {
   std::vector<int64_t> tx_meta;               // (S, 5) ys, ye, xs, xe, txlen
   std::vector<uint8_t> fallback;              // per-selected host-redo flag
   std::vector<uint8_t> emit;                  // serialized SAM/BAM records
+  // paired-end state (thermite_chunk_pair): reads are interleaved
+  // R1/R2, pair p = reads (2p, 2p+1).  Per-READ decision of the FR
+  // pairing (mirrors thermite_tpu/align/paired.py, the parity referee).
+  bool paired = false;
+  std::vector<int64_t> sel_off;    // (n_reads+1) selected-row ranges
+  std::vector<int64_t> p_chosen;   // per read: chosen selected row, -1 none
+  std::vector<int32_t> p_flag;     // per read: base FLAG bits (0x1|0x40/..)
+  std::vector<uint8_t> p_proper;   // per read: proper pair
+  std::vector<int64_t> p_mrefid;   // per read: mate chosen refid, -1 none
+  std::vector<int64_t> p_mpos1;    // per read: mate chosen pos (1-based)
+  std::vector<int64_t> p_tlen;     // per read: signed TLEN at rank 0
+  std::vector<uint8_t> p_skip;     // per read: python splices this pair
+  std::vector<int64_t> splice_pair;  // per skipped pair: pair index
+  std::vector<int64_t> splice_off;   // per skipped pair: emit byte offset
   int64_t n_problems() const { return (int64_t)meta.size() / 9; }
   int64_t n_tasks() const { return (int64_t)tasks.size() / T_NCOL; }
 };
@@ -1441,9 +1455,12 @@ extern "C" {
 // consumed iff fewer than `problem_budget` problems precede it), so
 // output is bit-identical at any thread count (tests/test_native_seed
 // ::test_threaded_build_identity).
+// `paired` != 0: reads are interleaved R1/R2 and consumption only cuts
+// at PAIR boundaries (the budget check runs at even reads), so a mate
+// never lands in the next chunk.
 void* thermite_chunk_build(void* h, const uint8_t* reads, int64_t n_reads,
                            int64_t rpad, const int64_t* read_lens,
-                           int64_t problem_budget) {
+                           int64_t problem_budget, int64_t paired) {
   auto& E = *static_cast<Engine*>(h);
   auto* ch = new Chunk();
 
@@ -1454,7 +1471,8 @@ void* thermite_chunk_build(void* h, const uint8_t* reads, int64_t n_reads,
     BuildScratch S;
     ReadBuild rb;
     for (int64_t ri = 0; ri < n_reads; ++ri) {
-      if (ch->n_problems() >= problem_budget) break;
+      if ((!paired || (ri & 1) == 0) && ch->n_problems() >= problem_budget)
+        break;
       build_one_read(E, reads + ri * rpad, read_lens[ri], ri * rpad, S, &rb);
       merge_read(ch, ri, rb);
     }
@@ -1482,7 +1500,8 @@ void* thermite_chunk_build(void* h, const uint8_t* reads, int64_t n_reads,
   for (auto& th : pool) th.join();
 
   for (int64_t ri = 0; ri < n_reads; ++ri) {
-    if (ch->n_problems() >= problem_budget) break;
+    if ((!paired || (ri & 1) == 0) && ch->n_problems() >= problem_budget)
+      break;
     merge_read(ch, ri, built[ri]);
   }
   ch->read_task_off.push_back(ch->n_tasks());
@@ -2198,7 +2217,8 @@ void* thermite_chunk_align_cpu(void* eh, const uint8_t* reads,
                                const int64_t* read_lens,
                                int64_t problem_budget,
                                int64_t wpad, int64_t pw,
-                               int64_t narrow_band, int64_t* cert_patches) {
+                               int64_t narrow_band, int64_t* cert_patches,
+                               int64_t paired) {
   auto& E = *static_cast<Engine*>(eh);
   const uint8_t* ref_bytes = E.ref_text;
   const int64_t ref_len = E.ref_text_len;
@@ -2209,7 +2229,8 @@ void* thermite_chunk_align_cpu(void* eh, const uint8_t* reads,
     ReadBuild rb;
     ch = new Chunk();
     for (int64_t ri = 0; ri < n_reads; ++ri) {
-      if (ch->n_problems() >= problem_budget) break;
+      if ((!paired || (ri & 1) == 0) && ch->n_problems() >= problem_budget)
+        break;
       build_one_read(E, reads + ri * rpad, read_lens[ri], ri * rpad, S, &rb);
       merge_read(ch, ri, rb);
     }
@@ -2351,6 +2372,18 @@ inline StrRef blob_str(const Engine& E, const std::vector<int64_t>& off,
   return {E.str_blob.data() + off[i], off[i + 1] - off[i]};
 }
 
+// mate context for paired-end records (thermite_chunk_emit_paired);
+// mirrors the SamRecord mate fields the Python writers serialize
+// (io/sam.py SamRecord, io/bam.py encode_bam_record)
+struct MateCtx {
+  int32_t flag_or = 0;       // OR'd into FLAG (0x1/0x2/0x8/0x20/0x40/0x80)
+  int64_t rnext = -9;        // -9 absent ('*'), -2 '=', else a refid
+  int64_t pnext1 = 0;        // 1-based mate POS; 0 = unset
+  int64_t tlen = 0;          // signed template length
+  int64_t place_refid = -1;  // >=0: place an unmapped record here
+  int64_t place_pos1 = 0;    //      (partner's coordinates)
+};
+
 // one SAM text line (with trailing newline)
 void emit_sam_record(const Engine& E, std::vector<uint8_t>& o,
                      const uint8_t* name, int64_t name_len,
@@ -2362,23 +2395,28 @@ void emit_sam_record(const Engine& E, std::vector<uint8_t>& o,
                      int64_t score, int64_t nh, int64_t hi, int64_t nmm,
                      int type, int64_t tx, int64_t tx_ys,
                      const std::vector<std::pair<char, int64_t>>& tx_cig,
-                     int64_t gene, bool strip_tags = false) {
+                     int64_t gene, bool strip_tags = false,
+                     const MateCtx* mc = nullptr) {
   // name truncated at first space
   int64_t nl = 0;
   while (nl < name_len && name[nl] != ' ') ++nl;
   put_bytes(o, name, nl);
   o.push_back('\t');
   int flag = mapped ? ((fwd_strand ? 0 : 16) | (primary ? 0 : 256)) : 4;
+  if (mc) flag |= mc->flag_or;
   put_int(o, flag);
   o.push_back('\t');
-  if (mapped) {
-    StrRef rn = blob_str(E, E.ref_name_off, refid);
+  // an unmapped mate with a mapped partner is PLACED at the partner's
+  // coordinates (paired.py pair_records; samtools convention)
+  const bool placed = !mapped && mc && mc->place_refid >= 0;
+  if (mapped || placed) {
+    StrRef rn = blob_str(E, E.ref_name_off, mapped ? refid : mc->place_refid);
     put_bytes(o, rn.p, rn.n);
   } else {
     o.push_back('*');
   }
   o.push_back('\t');
-  put_int(o, mapped ? pos1 : 0);
+  put_int(o, mapped ? pos1 : placed ? mc->place_pos1 : 0);
   o.push_back('\t');
   put_int(o, mapq);
   o.push_back('\t');
@@ -2387,7 +2425,22 @@ void emit_sam_record(const Engine& E, std::vector<uint8_t>& o,
   } else {
     o.push_back('*');
   }
-  put_str(o, "\t*\t0\t0\t");
+  o.push_back('\t');
+  if (!mc || mc->rnext == -9) {
+    put_str(o, "*\t0\t0");
+  } else {
+    if (mc->rnext == -2) {
+      o.push_back('=');
+    } else {
+      StrRef rn = blob_str(E, E.ref_name_off, mc->rnext);
+      put_bytes(o, rn.p, rn.n);
+    }
+    o.push_back('\t');
+    put_int(o, mc->pnext1);
+    o.push_back('\t');
+    put_int(o, mc->tlen);
+  }
+  o.push_back('\t');
   if (seq_len == 0) {
     o.push_back('*');
   } else if (!mapped || fwd_strand) {
@@ -2445,30 +2498,41 @@ void emit_bam_record(const Engine& E, std::vector<uint8_t>& o,
                      int64_t score, int64_t nh, int64_t hi, int64_t nmm,
                      int type, int64_t tx, int64_t tx_ys,
                      const std::vector<std::pair<char, int64_t>>& tx_cig,
-                     int64_t gene, bool strip_tags = false) {
+                     int64_t gene, bool strip_tags = false,
+                     const MateCtx* mc = nullptr) {
   int64_t nl = 0;
   while (nl < name_len && name[nl] != ' ') ++nl;
   if (nl > 254) nl = 254;  // BAM l_read_name is uint8 (incl. NUL)
-  int64_t pos0 = mapped ? pos1 - 1 : -1;
+  const bool placed = !mapped && mc && mc->place_refid >= 0;
+  int64_t eref = mapped ? refid : placed ? mc->place_refid : -1;
+  int64_t pos0 = mapped ? pos1 - 1 : placed ? mc->place_pos1 - 1 : -1;
   int64_t ref_span = 0;
   for (auto& c : cig)
     if (c.first == 'M' || c.first == 'D' || c.first == 'N')
       ref_span += c.second;
-  int bin = mapped ? reg2bin(pos0, pos0 + ref_span) : reg2bin(-1, 0);
+  int bin = pos0 >= 0 ? reg2bin(pos0, pos0 + ref_span) : reg2bin(-1, 0);
   size_t start = o.size();
   put_i32le(o, 0);  // placeholder block_size
-  put_i32le(o, mapped ? E.bam_ref[refid] : -1);
+  put_i32le(o, eref >= 0 ? E.bam_ref[eref] : -1);
   put_i32le(o, (int32_t)pos0);
   o.push_back((uint8_t)(nl + 1));
   o.push_back((uint8_t)mapq);
   put_u16le(o, (uint16_t)bin);
   put_u16le(o, (uint16_t)(mapped ? cig.size() : 0));
   int flag = mapped ? ((fwd_strand ? 0 : 16) | (primary ? 0 : 256)) : 4;
+  if (mc) flag |= mc->flag_or;
   put_u16le(o, (uint16_t)flag);
   put_i32le(o, (int32_t)seq_len);
-  put_i32le(o, -1);               // next_refID
-  put_i32le(o, -1);               // next_pos (pnext 0 -> -1)
-  put_i32le(o, 0);                // tlen
+  // next_refID / next_pos / tlen (io/bam.py encode_bam_record: '='
+  // resolves to this record's own ref id; pnext is stored 0-based)
+  int32_t nref = -1;
+  if (mc && mc->rnext == -2)
+    nref = eref >= 0 ? E.bam_ref[eref] : -1;
+  else if (mc && mc->rnext >= 0)
+    nref = E.bam_ref[mc->rnext];
+  put_i32le(o, nref);
+  put_i32le(o, (int32_t)((mc ? mc->pnext1 : 0) - 1));
+  put_i32le(o, (int32_t)(mc ? mc->tlen : 0));
   put_bytes(o, name, nl);
   o.push_back(0);
   if (mapped)
@@ -2563,6 +2627,114 @@ void thermite_engine_set_strings(
   E.bam_ref.assign(bam_ref, bam_ref + n_refs);
 }
 
+// FR pairing decision for an interleaved R1/R2 chunk (mirrors
+// thermite_tpu/align/paired.py select_pair/template_len/pair_records,
+// the byte-identity referee; see that module for the pairing rules).
+// `rescue` != 0 marks every pair with exactly ONE unmapped mate for
+// the Python mate-rescue + splice path (rescue re-seeds the lost mate
+// inside the partner's insert window — host-side by design).
+void thermite_chunk_pair(void* eh, void* chh, int64_t max_insert,
+                         int rescue) {
+  auto& E = *static_cast<Engine*>(eh);
+  auto& ch = *static_cast<Chunk*>(chh);
+  const int64_t S = (int64_t)ch.selected.size() / S_NCOL;
+  const int64_t R = ch.n_reads;
+  ch.paired = true;
+  ch.sel_off.assign(R + 1, 0);
+  {
+    // selected rows are read-ordered (arbitrate loops reads ascending)
+    int64_t s = 0;
+    for (int64_t r = 0; r < R; ++r) {
+      ch.sel_off[r] = s;
+      while (s < S && ch.selected[s * S_NCOL + S_READ] == r) ++s;
+    }
+    ch.sel_off[R] = s;
+  }
+  ch.p_chosen.assign(R, -1);
+  ch.p_flag.assign(R, 0);
+  ch.p_proper.assign(R, 0);
+  ch.p_mrefid.assign(R, -1);
+  ch.p_mpos1.assign(R, 0);
+  ch.p_tlen.assign(R, 0);
+  ch.p_skip.assign(R, 0);
+  auto row = [&](int64_t s, int c) { return ch.selected[s * S_NCOL + c]; };
+  // R is even by contract: paired builds cut only at pair boundaries
+  constexpr int64_t kMaxCand = 64;  // paired.py _MAX_CANDIDATES
+  for (int64_t p = 0; 2 * p + 1 < R; ++p) {
+    const int64_t r1 = 2 * p, r2 = 2 * p + 1;
+    const int64_t a0 = ch.sel_off[r1], n1 = ch.sel_off[r1 + 1] - a0;
+    const int64_t b0 = ch.sel_off[r2], n2 = ch.sel_off[r2 + 1] - b0;
+    if (rescue && (n1 > 0) != (n2 > 0)) {
+      // exactly one mate unmapped: Python tries mate rescue, then
+      // pair_records; the emit leaves a splice point for this pair
+      ch.p_skip[r1] = ch.p_skip[r2] = 1;
+      continue;
+    }
+    // select_pair: maximize (score sum, -i, -j) over proper combos;
+    // ascending (i, j) iteration + strict > realizes the tie rule
+    int64_t ci = n1 ? 0 : -1, cj = n2 ? 0 : -1;
+    bool proper = false;
+    if (n1 && n2) {
+      int64_t best = INT64_MIN;
+      const int64_t ni = std::min(n1, kMaxCand), nj = std::min(n2, kMaxCand);
+      for (int64_t i = 0; i < ni; ++i) {
+        const int64_t sa = a0 + i;
+        const int64_t ra = E.ref_rank[row(sa, S_REFID)];
+        const int sta = E.ref_strand[row(sa, S_REFID)];
+        const int64_t ys_a = row(sa, S_YS), ye_a = row(sa, S_YE);
+        for (int64_t j = 0; j < nj; ++j) {
+          const int64_t sb = b0 + j;
+          if (E.ref_rank[row(sb, S_REFID)] != ra) continue;
+          if ((int)E.ref_strand[row(sb, S_REFID)] == sta) continue;
+          const int64_t ys_b = row(sb, S_YS), ye_b = row(sb, S_YE);
+          int64_t fs, fe, rs, re;
+          if (sta) { fs = ys_a; fe = ye_a; rs = ys_b; re = ye_b; }
+          else     { fs = ys_b; fe = ye_b; rs = ys_a; re = ye_a; }
+          if (fs > re) continue;  // fwd mate starts past rev mate's end
+          const int64_t tl = std::max(re, fe) - std::min(fs, rs);
+          if (tl <= 0 || tl > max_insert) continue;
+          const int64_t sum = row(sa, S_SCORE) + row(sb, S_SCORE);
+          if (sum > best) { best = sum; ci = i; cj = j; proper = true; }
+        }
+      }
+    }
+    const int64_t sa = ci >= 0 ? a0 + ci : -1;
+    const int64_t sb = cj >= 0 ? b0 + cj : -1;
+    int64_t tl = 0;
+    if (proper) {  // signed TLEN: outer span, + for the leftmost mate
+      const int64_t s1 = row(sa, S_YS), e1 = row(sa, S_YE);
+      const int64_t s2 = row(sb, S_YS), e2 = row(sb, S_YE);
+      const int64_t span = std::max(e1, e2) - std::min(s1, s2);
+      tl = (s1 < s2 || (s1 == s2 && e1 <= e2)) ? span : -span;
+    }
+    for (int m = 0; m < 2; ++m) {
+      const int64_t r = m ? r2 : r1;
+      const int64_t mine = m ? sb : sa, mate = m ? sa : sb;
+      int32_t base = 0x1 | (m ? 0x80 : 0x40);  // PAIRED | READ1/READ2
+      if (mate < 0) base |= 0x8;               // MATE_UNMAPPED
+      else if (!E.ref_strand[row(mate, S_REFID)]) base |= 0x20;
+      ch.p_chosen[r] = mine;
+      ch.p_flag[r] = base;
+      ch.p_proper[r] = proper ? 1 : 0;
+      if (mate >= 0) {
+        ch.p_mrefid[r] = row(mate, S_REFID);
+        ch.p_mpos1[r] = row(mate, S_YS) + 1;
+      }
+      ch.p_tlen[r] = m ? -tl : tl;
+    }
+  }
+}
+
+int64_t thermite_chunk_n_splices(void* chh) {
+  return (int64_t)static_cast<Chunk*>(chh)->splice_pair.size();
+}
+const int64_t* thermite_chunk_splice_pairs(void* chh) {
+  return static_cast<Chunk*>(chh)->splice_pair.data();
+}
+const int64_t* thermite_chunk_splice_offs(void* chh) {
+  return static_cast<Chunk*>(chh)->splice_off.data();
+}
+
 // Emit all records of a finalized chunk in read order (fmt 0 = SAM
 // text, 1 = BAM record blobs; bit 8 set strips the TX/GX/GN/RE tags —
 // the embedding wrapper surface, reference src/wrapper.rs:136-139).
@@ -2583,12 +2755,30 @@ int64_t thermite_chunk_emit(void* eh, void* chh, int fmt,
   auto& o = ch.emit;
   o.clear();
   o.reserve(1 << 20);
+  ch.splice_pair.clear();
+  ch.splice_off.clear();
   std::vector<std::pair<char, int64_t>> cig, tx_cig;
+  MateCtx mc;
   int64_t s = 0;
   for (int64_t r = 0; r < ch.n_reads; ++r) {
-    int64_t s0 = s;
-    while (s < S && ch.selected[s * S_NCOL + S_READ] == r) ++s;
-    int64_t nh = s - s0;
+    int64_t s0, s1;
+    if (ch.paired) {
+      s0 = ch.sel_off[r];
+      s1 = ch.sel_off[r + 1];
+    } else {
+      s0 = s;
+      while (s < S && ch.selected[s * S_NCOL + S_READ] == r) ++s;
+      s1 = s;
+    }
+    if (ch.paired && ch.p_skip[r]) {
+      // Python splices this pair's records here (mate rescue path)
+      if ((r & 1) == 0) {
+        ch.splice_pair.push_back(r >> 1);
+        ch.splice_off.push_back((int64_t)o.size());
+      }
+      continue;
+    }
+    int64_t nh = s1 - s0;
     const uint8_t* nm = names + name_off[r];
     int64_t nml = name_off[r + 1] - name_off[r];
     const uint8_t* sq = seqs + seq_off[r];
@@ -2596,21 +2786,44 @@ int64_t thermite_chunk_emit(void* eh, void* chh, int fmt,
     const uint8_t* ql = quals + qual_off[r];
     int64_t qll = qual_off[r + 1] - qual_off[r];
     if (nh == 0) {
+      const MateCtx* mcp = nullptr;
+      if (ch.paired) {
+        mc = MateCtx{};
+        mc.flag_or = ch.p_flag[r];
+        if (ch.p_mrefid[r] >= 0) {
+          // placed at the mapped partner's coordinates (paired.py
+          // pair_records; keeps sorted-BAM pairs adjacent)
+          mc.place_refid = ch.p_mrefid[r];
+          mc.place_pos1 = ch.p_mpos1[r];
+          mc.rnext = -2;
+          mc.pnext1 = ch.p_mpos1[r];
+        }
+        mcp = &mc;
+      }
       tx_cig.clear();
       cig.clear();
       if (fmt == 0)
         emit_sam_record(E, o, nm, nml, sq, sql, ql, qll, false, true, true,
                         0, 0, 255, cig, 0, 0, 0, 0, 0, -1, 0, tx_cig, -1,
-                        strip);
+                        strip, mcp);
       else
         emit_bam_record(E, o, nm, nml, sq, sql, ql, qll, false, true, true,
                         0, 0, 255, cig, 0, 0, 0, 0, 0, -1, 0, tx_cig, -1,
-                        strip);
+                        strip, mcp);
       continue;
     }
     int mq = mapq_of(nh);
+    // paired: the chosen alignment emits first as primary, the rest in
+    // original rank order (paired.py _reorder_primary)
+    const int64_t chosen = ch.paired ? ch.p_chosen[r] : -1;
     for (int64_t i = 0; i < nh; ++i) {
-      int64_t si = s0 + i;
+      int64_t si;
+      if (chosen >= 0) {
+        if (i == 0) si = chosen;
+        else si = (s0 + i - 1 < chosen) ? s0 + i - 1 : s0 + i;
+      } else {
+        si = s0 + i;
+      }
       const int64_t* row = ch.selected.data() + si * S_NCOL;
       const int64_t* tk = ch.tasks.data() + row[S_TASK] * T_NCOL;
       cigar_merge(ch.fin_runs.data() + ch.fin_off[si],
@@ -2628,16 +2841,38 @@ int64_t thermite_chunk_emit(void* eh, void* chh, int fmt,
                     ch.tx_off_runs[si + 1] - ch.tx_off_runs[si], &tx_cig);
       }
       bool fwd = E.ref_strand[row[S_REFID]] != 0;
+      const MateCtx* mcp = nullptr;
+      bool primary = row[S_PRIMARY] != 0;
+      if (ch.paired) {
+        primary = i == 0;  // rank-reordered (paired.py _reorder_primary)
+        mc = MateCtx{};
+        mc.flag_or = ch.p_flag[r];
+        if (ch.p_proper[r] && i == 0) mc.flag_or |= 0x2;  // PROPER_PAIR
+        if (ch.p_mrefid[r] >= 0) {
+          // '=' iff the mate's chromosome NAME matches this record's
+          // (ref_rank is the name-rank: fwd/rc copies share it)
+          mc.rnext = E.ref_rank[ch.p_mrefid[r]] == E.ref_rank[row[S_REFID]]
+                         ? -2 : ch.p_mrefid[r];
+          mc.pnext1 = ch.p_mpos1[r];
+          if (ch.p_proper[r] && i == 0) mc.tlen = ch.p_tlen[r];
+        } else {
+          // mate unmapped: it is placed at THIS mate's position, so
+          // each record points at its own coordinates
+          mc.rnext = -2;
+          mc.pnext1 = row[S_YS] + 1;
+        }
+        mcp = &mc;
+      }
       if (fmt == 0)
         emit_sam_record(E, o, nm, nml, sq, sql, ql, qll, true, fwd,
-                        row[S_PRIMARY] != 0, row[S_REFID], row[S_YS] + 1, mq,
+                        primary, row[S_REFID], row[S_YS] + 1, mq,
                         cig, row[S_SCORE], nh, i + 1, nmm, type, tx, tx_ys,
-                        tx_cig, row[S_GENE], strip);
+                        tx_cig, row[S_GENE], strip, mcp);
       else
         emit_bam_record(E, o, nm, nml, sq, sql, ql, qll, true, fwd,
-                        row[S_PRIMARY] != 0, row[S_REFID], row[S_YS] + 1, mq,
+                        primary, row[S_REFID], row[S_YS] + 1, mq,
                         cig, row[S_SCORE], nh, i + 1, nmm, type, tx, tx_ys,
-                        tx_cig, row[S_GENE], strip);
+                        tx_cig, row[S_GENE], strip, mcp);
     }
   }
   return (int64_t)o.size();

@@ -363,6 +363,130 @@ class BatchAligner:
         self._pipeline([r[1] for r in recs], fin)
         return b"".join(chunks)
 
+    def align_paired_emit(
+        self, pair_recs, fmt_bam: bool, max_insert: int = 1000,
+        mate_rescue: bool = True,
+    ) -> bytes:
+        """Paired-end serialize-as-you-go alignment through the C++
+        emitter.  ``pair_recs`` is a list of ((name, seq, qual) R1,
+        (name, seq, qual) R2) byte-tuple pairs; returns concatenated
+        SAM/BAM record bytes (no header) in input-pair order with mate
+        fields filled (FLAG 0x1/0x2/0x8/0x20/0x40/0x80, RNEXT/PNEXT/
+        TLEN — align/paired.py pair_records semantics).
+
+        Both mates ride ONE interleaved device batch; the FR pairing
+        decision runs in C++ (``thermite_chunk_pair``, the twin of
+        paired.py select_pair) and records are serialized by the C++
+        emitter.  Pairs needing mate rescue (exactly one unmapped mate
+        — re-seeding is host-side by design) come back as splice
+        points: their records are computed by pair_records + the
+        Python writers and spliced into the C++ byte stream.  Output is
+        byte-identical to the pure-Python paired path by
+        tests/test_paired_emit.py."""
+        from collections import namedtuple
+
+        from ..io.sam import unique_refs
+        from .paired import pair_records as _pair_records
+
+        Rec = namedtuple("Rec", ["id", "seq", "qual"])
+        recs: List = []
+        for r1, r2 in pair_recs:
+            recs.append(r1)
+            recs.append(r2)
+        rescue_opts = self.opts if mate_rescue else None
+        ref_ids = {n: i for i, (n, _) in enumerate(unique_refs(self.index))}
+        chunks: List[bytes] = []
+
+        def ser_pair(rec1, rec2, alns1, alns2) -> bytes:
+            from ..io.bam import encode_bam_record
+
+            out = []
+            for rec in _pair_records(
+                self.index, Rec(*rec1), Rec(*rec2), alns1, alns2,
+                max_insert, rescue_opts=rescue_opts,
+            ):
+                out.append(
+                    encode_bam_record(rec, ref_ids) if fmt_bam
+                    else (rec.to_line() + "\n").encode()
+                )
+            return b"".join(out)
+
+        def fin(st, start):
+            if (
+                st.native_ch is not None
+                and self.backend == "pallas"
+                and st.tb_full is not None
+            ):
+                tb_out, st.tb_full = st.tb_full, None
+                fin_data = self.native.finalize(
+                    st.native_ch, tb_out, st.meta_all
+                )
+                self.native.pair_chunk(st.native_ch, max_insert, mate_rescue)
+                sl = recs[start : start + len(st.reads)]
+                raw = self.native.emit_chunk(
+                    st.native_ch, fmt_bam,
+                    [r[0] for r in sl], [r[1] for r in sl],
+                    [r[2] or b"" for r in sl],
+                )
+                if raw is not None:
+                    pairs_idx, offs = self.native.splices(st.native_ch)
+                    self.native.free_chunk(st.native_ch)
+                    st.native_ch = None
+                    # test/telemetry counters: C++-emitted chunks and
+                    # Python-spliced (mate rescue) pairs
+                    self.stats.emit_cpp_chunks = (
+                        getattr(self.stats, "emit_cpp_chunks", 0) + 1
+                    )
+                    self.stats.spliced_pairs = (
+                        getattr(self.stats, "spliced_pairs", 0)
+                        + len(pairs_idx)
+                    )
+                    if len(pairs_idx) == 0:
+                        chunks.append(raw)
+                        return
+                    # materialize objects ONLY for the spliced pairs
+                    want = set()
+                    for p in pairs_idx.tolist():
+                        want.add(2 * p)
+                        want.add(2 * p + 1)
+                    results = [[] for _ in st.reads]
+                    self._objects_from_native(st, fin_data, results, want)
+                    base = start // 2
+                    parts: List[bytes] = []
+                    prev = 0
+                    for p, off in zip(pairs_idx.tolist(), offs.tolist()):
+                        parts.append(raw[prev:off])
+                        r1, r2 = pair_recs[base + p]
+                        parts.append(
+                            ser_pair(
+                                r1, r2, results[2 * p], results[2 * p + 1]
+                            )
+                        )
+                        prev = off
+                    parts.append(raw[prev:])
+                    chunks.append(b"".join(parts))
+                    return
+                st.tb_full = tb_out  # fall back to the object path
+            results = self._finalize_chunk(st)
+            self.stats.emit_py_chunks = (
+                getattr(self.stats, "emit_py_chunks", 0) + 1
+            )
+            base = start // 2
+            out = []
+            for p in range(len(results) // 2):
+                r1, r2 = pair_recs[base + p]
+                out.append(
+                    ser_pair(r1, r2, results[2 * p], results[2 * p + 1])
+                )
+            chunks.append(b"".join(out))
+
+        self._paired_build = True
+        try:
+            self._pipeline([r[1] for r in recs], fin)
+        finally:
+            self._paired_build = False
+        return b"".join(chunks)
+
     def _pin_shapes(self, reads: List[bytes]) -> None:
         """Raise every sticky kernel-shape bucket to its batch
         worst-case UP FRONT, so one aligner configuration compiles
@@ -572,6 +696,11 @@ class BatchAligner:
         # uppercasing/packing far more reads than will be consumed
         est = getattr(self, "_est_chunk_reads", self.PROBLEM_BUDGET // 4)
         take = min(len(all_reads) - start, max(256, (est * 5) // 4))
+        paired = getattr(self, "_paired_build", False)
+        if paired and take % 2:
+            # never OFFER a half pair: with an even offer and pair-
+            # boundary budget cuts, consumption is always even too
+            take += 1 if start + take < len(all_reads) else -1
         reads = [all_reads[start + i].upper() for i in range(max(take, 0))]
         RPAD = self._RPAD
         reads_pad = np.zeros(
@@ -583,7 +712,8 @@ class BatchAligner:
             read_lens[ri] = len(r)
         t0 = time.time()
         ch, consumed, meta, tasks = self.native.build_chunk(
-            reads_pad, read_lens, len(reads), self.PROBLEM_BUDGET
+            reads_pad, read_lens, len(reads), self.PROBLEM_BUDGET,
+            paired=paired,
         )
         if self.pipeline_depth is None and consumed >= 1024:
             # very expensive builds (genome-scale seed lookups,
@@ -761,9 +891,22 @@ class BatchAligner:
         # single-pass: pid-indexed stream rows captured at arbitration
         tb_out = st.tb_full
         st.tb_full = None
-        fin_runs, fin_off, tx_runs, tx_off, tx_meta, fallback = (
-            self.native.finalize(st.native_ch, tb_out, st.meta_all)
-        )
+        fin_data = self.native.finalize(st.native_ch, tb_out, st.meta_all)
+        self._objects_from_native(st, fin_data, results)
+        self.native.free_chunk(st.native_ch)
+        st.native_ch = None
+        return results
+
+    def _objects_from_native(
+        self, st: "_ChunkState", fin_data, results, want=None
+    ) -> None:
+        """Build GenomeAlignment objects from native finalize outputs
+        into ``results`` (one list per chunk read).  ``want`` (a set of
+        chunk-local read indices) restricts the work to those reads —
+        the paired emit path only materializes objects for the few
+        pairs the C++ emitter left for Python mate rescue."""
+        sel = st.selected_arr
+        fin_runs, fin_off, tx_runs, tx_off, tx_meta, fallback = fin_data
         refs = self.index.refs
         # bulk C-level conversions: one tolist() per array instead of
         # per-element int() casts in the hot loop
@@ -778,6 +921,8 @@ class BatchAligner:
         runs_to_ops = self._runs_to_ops
         for s, row in enumerate(sel_rows):
             (ri, ti, atype, gene, refid, score, ys, ye, xs, xe, prim) = row
+            if want is not None and ri not in want:
+                continue
             ref = refs[refid]
             read = st.reads[ri]
             if fallback[s]:
@@ -815,9 +960,6 @@ class BatchAligner:
                     gene_idx=gene if atype == 1 else None,
                 )
             )
-        self.native.free_chunk(st.native_ch)
-        st.native_ch = None
-        return results
 
     @staticmethod
     def _task_from_row(ri: int, t) -> _Task:

@@ -83,7 +83,7 @@ class CppAligner:
             lib.thermite_chunk_align_cpu.argtypes = [
                 ctypes.c_void_p, _u8p, ctypes.c_int64, ctypes.c_int64,
                 _i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-                ctypes.c_int64, _i64p,
+                ctypes.c_int64, _i64p, ctypes.c_int64,
             ]
             patches = ctypes.c_int64(0)
             ch = lib.thermite_chunk_align_cpu(
@@ -91,7 +91,7 @@ class CppAligner:
                 reads_pad.ctypes.data_as(_u8p), take, rpad,
                 lens.ctypes.data_as(_i64p), self.PROBLEM_BUDGET,
                 _WPAD, pw, self.narrow_band,
-                ctypes.cast(ctypes.byref(patches), _i64p),
+                ctypes.cast(ctypes.byref(patches), _i64p), 0,
             )
             self.stats.cert_patches += patches.value
             if not ch:

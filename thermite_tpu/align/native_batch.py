@@ -50,8 +50,19 @@ def _setup(lib):
     lib.thermite_chunk_build.restype = ctypes.c_void_p
     lib.thermite_chunk_build.argtypes = [
         ctypes.c_void_p, _u8p, ctypes.c_int64, ctypes.c_int64, _i64p,
-        ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
     ]
+    lib.thermite_chunk_pair.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+    ]
+    for name, res in [
+        ("thermite_chunk_n_splices", ctypes.c_int64),
+        ("thermite_chunk_splice_pairs", _i64p),
+        ("thermite_chunk_splice_offs", _i64p),
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = res
+        fn.argtypes = [ctypes.c_void_p]
     lib.thermite_chunk_free.argtypes = [ctypes.c_void_p]
     for name, res in [
         ("thermite_chunk_n_reads", ctypes.c_int64),
@@ -273,9 +284,12 @@ class NativeBatchEngine:
 
     def build_chunk(
         self, reads_pad: np.ndarray, read_lens: np.ndarray, n_reads: int,
-        budget: int,
+        budget: int, paired: bool = False,
     ) -> Tuple[object, int, np.ndarray, np.ndarray]:
-        """-> (chunk handle, n_consumed, meta (P,8) i32, tasks (T,10) i64)."""
+        """-> (chunk handle, n_consumed, meta (P,8) i32, tasks (T,10) i64).
+
+        ``paired``: reads are interleaved R1/R2 and the budget only cuts
+        at pair boundaries, so both mates always share a chunk."""
         lib = self._lib
         rpad = reads_pad.shape[1]
         if reads_pad.size >= (1 << 31):
@@ -285,7 +299,7 @@ class NativeBatchEngine:
             )
         ch = lib.thermite_chunk_build(
             self._h, _arr(reads_pad, _u8p), n_reads, rpad,
-            _arr(read_lens, _i64p), budget,
+            _arr(read_lens, _i64p), budget, 1 if paired else 0,
         )
         n_consumed = lib.thermite_chunk_n_reads(ch)
         P = lib.thermite_chunk_n_problems(ch)
@@ -375,6 +389,31 @@ class NativeBatchEngine:
             raise AssertionError(
                 f"native SWG patch: {rc} walk overflows (pw={pw} too small)"
             )
+
+    def pair_chunk(self, ch, max_insert: int, rescue: bool) -> None:
+        """FR pairing decision over an interleaved R1/R2 chunk (the C++
+        twin of align/paired.py select_pair; must run between finalize
+        and emit_chunk).  ``rescue`` marks one-mate-unmapped pairs for
+        the Python mate-rescue + splice path."""
+        self._lib.thermite_chunk_pair(
+            self._h, ch, int(max_insert), 1 if rescue else 0
+        )
+
+    def splices(self, ch) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (pair indices, emit byte offsets) of pairs the C++ emitter
+        skipped for Python handling (valid after emit_chunk)."""
+        lib = self._lib
+        n = lib.thermite_chunk_n_splices(ch)
+        if not n:
+            z = np.zeros(0, np.int64)
+            return z, z
+        pairs = np.ctypeslib.as_array(
+            lib.thermite_chunk_splice_pairs(ch), (n,)
+        ).copy()
+        offs = np.ctypeslib.as_array(
+            lib.thermite_chunk_splice_offs(ch), (n,)
+        ).copy()
+        return pairs, offs
 
     def free_chunk(self, ch) -> None:
         self._lib.thermite_chunk_free(ch)

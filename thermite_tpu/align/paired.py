@@ -404,9 +404,45 @@ def align_paired_from_files(
                     ):
                         writer.write(rec)
         elif engine == "batch":
+            import os
+
             from .batch import BatchAligner
 
             batcher = BatchAligner(index, opts, mesh=mesh)
+            if batcher.can_emit() and not os.environ.get("THERMITE_NO_EMIT"):
+                # fast path: pairing decided and records serialized by
+                # the C++ engine (align_paired_emit); mate-rescue pairs
+                # are spliced in from the Python writers — byte-
+                # identical to the object path by test
+                ebuf = []
+
+                def flush_emit():
+                    raw = batcher.align_paired_emit(
+                        [
+                            (
+                                (r1.id, r1.seq, r1.qual),
+                                (r2.id, r2.seq, r2.qual),
+                            )
+                            for r1, r2 in ebuf
+                        ],
+                        binary,
+                        max_insert=max_insert,
+                        mate_rescue=mate_rescue,
+                    )
+                    writer.write_raw(raw)
+
+                for pair in pairs_in_shard():
+                    ebuf.append(pair)
+                    if len(ebuf) >= batch_size // 2:
+                        flush_emit()
+                        ebuf = []
+                if ebuf:
+                    flush_emit()
+                writer.finish()
+                if verbose:
+                    print(batcher.stats.report(), file=sys.stderr)
+                return
+
             buf = []
 
             def flush():
