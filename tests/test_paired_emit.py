@@ -144,6 +144,52 @@ def test_paired_emit_chunk_boundary(index, opts):
     assert raw == want
 
 
+def test_cpp_engine_paired_matches(index, opts):
+    """--engine cpp paired output == the batch/Python referee bytes
+    (same composition: C++ pairing + emit, oracle-recomputed rescue
+    splices)."""
+    from thermite_tpu.align.cpu import CppAligner
+
+    pairs = make_mixed_pairs(index, n=18, seed=3)
+    try:
+        cpp = CppAligner(index, opts)
+    except RuntimeError:
+        pytest.skip("native library unavailable")
+    raw = cpp.align_records_paired(
+        [((r1.id, r1.seq, r1.qual), (r2.id, r2.seq, r2.qual))
+         for r1, r2 in pairs],
+        False, max_insert=1000, mate_rescue=True,
+    )
+    want = _expected_bytes(index, opts, pairs, False, True)
+    assert raw == want
+
+
+def test_wrapper_paired_records(index, opts, tmp_path):
+    """align_read_pairs_records == per-pair align_read_pair objects
+    serialized with the Python writer (tags stripped both sides)."""
+    from thermite_tpu.wrapper import ThermiteAligner
+
+    idxp = str(tmp_path / "w.npz")
+    index.save(idxp)
+    w = ThermiteAligner(idxp)
+    w.set_opts(opts)
+    pairs = make_mixed_pairs(index, n=8, seed=21)
+    raw = w.align_read_pairs_records(
+        [r1.id for r1, _ in pairs],
+        [r1.seq for r1, _ in pairs],
+        [r1.qual for r1, _ in pairs],
+        [r2.seq for _, r2 in pairs],
+        [r2.qual for _, r2 in pairs],
+    )
+    want = []
+    for r1, r2 in pairs:
+        for rec in w.align_read_pair(
+            r1.id, r1.seq, r1.qual, r2.seq, r2.qual
+        ):
+            want.append((rec.to_line() + "\n").encode())
+    assert raw == b"".join(want)
+
+
 def test_paired_cli_uses_emit_path(index, opts, tmp_path, monkeypatch):
     """align_paired_from_files routes through align_paired_emit and
     produces the same bytes as the object path (THERMITE_NO_EMIT)."""
@@ -179,3 +225,11 @@ def test_paired_cli_uses_emit_path(index, opts, tmp_path, monkeypatch):
         index, fq1, fq2, out_obj, "sam", opts, engine="batch",
     )
     assert open(out_emit).read() == open(out_obj).read()
+
+    # the all-native single-core engine writes the same records
+    monkeypatch.delenv("THERMITE_NO_EMIT")
+    out_cpp = str(tmp_path / "cpp.sam")
+    align_paired_from_files(
+        index, fq1, fq2, out_cpp, "sam", opts, engine="cpp",
+    )
+    assert open(out_cpp).read() == open(out_emit).read()

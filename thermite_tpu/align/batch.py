@@ -365,7 +365,7 @@ class BatchAligner:
 
     def align_paired_emit(
         self, pair_recs, fmt_bam: bool, max_insert: int = 1000,
-        mate_rescue: bool = True,
+        mate_rescue: bool = True, strip_tags: bool = False,
     ) -> bytes:
         """Paired-end serialize-as-you-go alignment through the C++
         emitter.  ``pair_recs`` is a list of ((name, seq, qual) R1,
@@ -397,6 +397,8 @@ class BatchAligner:
         ref_ids = {n: i for i, (n, _) in enumerate(unique_refs(self.index))}
         chunks: List[bytes] = []
 
+        _STRIP = {"TX", "GX", "GN", "RE"}
+
         def ser_pair(rec1, rec2, alns1, alns2) -> bytes:
             from ..io.bam import encode_bam_record
 
@@ -405,6 +407,8 @@ class BatchAligner:
                 self.index, Rec(*rec1), Rec(*rec2), alns1, alns2,
                 max_insert, rescue_opts=rescue_opts,
             ):
+                if strip_tags:
+                    rec.tags = [t for t in rec.tags if t[0] not in _STRIP]
                 out.append(
                     encode_bam_record(rec, ref_ids) if fmt_bam
                     else (rec.to_line() + "\n").encode()
@@ -427,6 +431,7 @@ class BatchAligner:
                     st.native_ch, fmt_bam,
                     [r[0] for r in sl], [r[1] for r in sl],
                     [r[2] or b"" for r in sl],
+                    strip_tags=strip_tags,
                 )
                 if raw is not None:
                     pairs_idx, offs = self.native.splices(st.native_ch)

@@ -470,10 +470,38 @@ def align_paired_from_files(
                 flush()
             if verbose:
                 print(batcher.stats.report(), file=sys.stderr)
+        elif engine == "cpp":
+            # all-native single-core paired pipeline (cpu.py)
+            from .cpu import CppAligner
+
+            cpp = CppAligner(index, opts)
+            cbuf = []
+
+            def flush_cpp():
+                raw = cpp.align_records_paired(
+                    [
+                        ((r1.id, r1.seq, r1.qual), (r2.id, r2.seq, r2.qual))
+                        for r1, r2 in cbuf
+                    ],
+                    binary,
+                    max_insert=max_insert,
+                    mate_rescue=mate_rescue,
+                )
+                writer.write_raw(raw)
+
+            for pair in pairs_in_shard():
+                cbuf.append(pair)
+                if len(cbuf) >= batch_size // 2:
+                    flush_cpp()
+                    cbuf = []
+            if cbuf:
+                flush_cpp()
+            if verbose:
+                print(cpp.stats.report(), file=sys.stderr)
         else:
             raise ValueError(
                 f"engine {engine!r} does not support paired mode "
-                "(oracle and batch do)"
+                "(oracle, batch and cpp do)"
             )
         writer.finish()
     finally:

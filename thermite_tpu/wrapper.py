@@ -93,6 +93,39 @@ class ThermiteAligner:
         ]
         return self._batch.align_batch_emit(recs, fmt_bam, strip_tags=True)
 
+    def align_read_pairs_records(
+        self,
+        names: List[bytes],
+        reads1: List[bytes],
+        quals1: List[bytes],
+        reads2: List[bytes],
+        quals2: List[bytes],
+        fmt_bam: bool = False,
+        max_insert: int = 1000,
+        mate_rescue: bool = True,
+    ) -> bytes:
+        """Production paired batch surface: serialized record bytes
+        from the C++ paired emitter (``BatchAligner.align_paired_emit``)
+        — FR pairing + mate fields (flags 0x1/0x2/..., RNEXT/PNEXT/
+        TLEN), mate rescue, TX/GX/GN/RE stripped like the single-end
+        wrapper surface.  Input-pair order; >= 2 records per pair.
+        Byte-identical to serializing ``align_read_pair`` output with
+        the Python writers (tests/test_wrapper.py)."""
+        if self._batch is None:
+            from .align.batch import BatchAligner
+
+            self._batch = BatchAligner(self.index, self.align_opts)
+        pair_recs = [
+            ((n, r1, q1 or b""), (n, r2, q2 or b""))
+            for n, r1, q1, r2, q2 in zip(
+                names, reads1, quals1, reads2, quals2
+            )
+        ]
+        return self._batch.align_paired_emit(
+            pair_recs, fmt_bam, max_insert=max_insert,
+            mate_rescue=mate_rescue, strip_tags=True,
+        )
+
     def align_read_pair(
         self,
         name: bytes,
