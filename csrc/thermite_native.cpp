@@ -138,6 +138,7 @@ struct SeedIndex {
   const int64_t* uniq_keys = nullptr;
   const int64_t* offsets = nullptr;
   const int64_t* positions = nullptr;
+  const int32_t* positions32 = nullptr;  // narrow adopted form (see pos_at)
   int64_t n_keys = 0, n_pos = 0;
 
   // ---- packed mode (genome scale): kv IS the table ----
@@ -274,9 +275,13 @@ struct SeedIndex {
     return true;
   }
 
-  // reference position for posting-array index i
+  // reference position for posting-array index i.  positions32 serves
+  // artifacts saved with int32 positions (<2 GiB texts) zero-copy —
+  // widening 720 MB at load costs ~a minute in this deployment's
+  // throttled fresh-page windows.
   inline int64_t pos_at(int64_t i) const {
-    return packed ? (int64_t)(kvp[i] & pmask_p) * stride_p : positions[i];
+    if (packed) return (int64_t)(kvp[i] & pmask_p) * stride_p;
+    return positions32 ? (int64_t)positions32[i] : positions[i];
   }
 
   // bucket for key, or -1
@@ -827,7 +832,11 @@ void thermite_seed_index_export(void* h, int64_t* keys, int64_t* offsets,
   auto* idx = static_cast<SeedIndex*>(h);
   std::memcpy(keys, idx->uniq_keys, idx->n_keys * sizeof(int64_t));
   std::memcpy(offsets, idx->offsets, (idx->n_keys + 1) * sizeof(int64_t));
-  std::memcpy(positions, idx->positions, idx->n_pos * sizeof(int64_t));
+  if (idx->positions32)  // widen the narrow adopted form
+    for (int64_t i = 0; i < idx->n_pos; ++i)
+      positions[i] = idx->positions32[i];
+  else
+    std::memcpy(positions, idx->positions, idx->n_pos * sizeof(int64_t));
 }
 
 // zero-copy views of the posting arrays (valid while the handle
@@ -841,7 +850,10 @@ void thermite_seed_index_views(void* h, const int64_t** keys,
   auto* idx = static_cast<SeedIndex*>(h);
   *keys = idx->uniq_keys;
   *offsets = idx->offsets;
-  *positions = idx->positions;
+  // a narrow (int32-positions) adopted table has no int64 view; the
+  // caller already owns the artifact arrays, so nullptr is a loud "use
+  // what you adopted from" (export_table checks)
+  *positions = idx->positions32 ? nullptr : idx->positions;
 }
 
 // ---- packed-mode persistence: the sorted u64 entries + MSD bucket
@@ -920,6 +932,27 @@ void* thermite_seed_index_new_from_arrays(const uint8_t* text, int64_t n,
   return idx;
 }
 
+// int32-position variant: adopts an artifact's narrow posting array
+// zero-copy (Index.save stores int32 positions for <2 GiB texts)
+void* thermite_seed_index_new_from_arrays32(const uint8_t* text, int64_t n,
+                                            int k, const int64_t* keys,
+                                            int64_t m, const int64_t* offsets,
+                                            const int32_t* positions32,
+                                            int64_t total) {
+  if (k < 1 || k > kMaxAnchorK) return nullptr;
+  auto* idx = new SeedIndex();
+  idx->text = text;
+  idx->n = n;
+  idx->k = k;
+  idx->uniq_keys = keys;
+  idx->offsets = offsets;
+  idx->positions32 = positions32;
+  idx->n_keys = m;
+  idx->n_pos = total;
+  idx->build_hash();
+  return idx;
+}
+
 // SMEM search for one read.  Returns the number of mems written, or
 // -(required capacity) if out buffers are too small.
 // Output arrays: (qpos, tpos, len) sorted by (-len, qpos, tpos).
@@ -965,7 +998,9 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
     rhi[q] = hi;
     // warm the posting range for the main pass
     __builtin_prefetch(idx->packed ? (const void*)&idx->kvp[lo]
-                                   : (const void*)&idx->positions[lo]);
+                       : idx->positions32
+                           ? (const void*)&idx->positions32[lo]
+                           : (const void*)&idx->positions[lo]);
   }
 
   // per-diagonal coverage dedupe: remember last covered query end per

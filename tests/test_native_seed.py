@@ -111,6 +111,9 @@ def test_persisted_seed_table_roundtrip(tmp_path):
     idx2 = Index.load(p)
     assert idx2.seed_table is not None
     assert idx2.seed_table[0] == 20  # default anchor k
+    # the artifact's narrow positions are adopted as-is: widening
+    # first-touches ~0.7 GB of fresh pages at chromosome scale
+    assert idx2.seed_table[3].dtype == np.int32
 
     # table-restored seeder == fresh seeder at the persisted k
     fresh = make_seeder(idx.seq_arr, 20)

@@ -380,7 +380,10 @@ class Index:
         meta["seed_k"] = int(sk)
         common["meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
         # positions fit int32 for any <2 GiB text: halve disk + IO
-        spos_disk = spos.astype(np.int32) if len(self.seq) < (1 << 31) else spos
+        spos_disk = (
+            spos.astype(np.int32, copy=False)
+            if len(self.seq) < (1 << 31) else spos
+        )
         # uncompressed savez: zlib on a chromosome-scale posting table
         # costs minutes on one core and slows every load; disk is cheap
         np.savez(
@@ -463,10 +466,14 @@ class Index:
                 sp["pos_bits"], big("seed_bucket_off"), big("seed_kv"),
             )
         elif "seed_keys" in z.files and "seed_k" in meta:
+            # positions stay in their stored dtype (int32 for <2 GiB
+            # texts): the native seeder adopts the narrow form zero-copy
+            # (seed/native.py); widening here first-touched ~0.7 GB of
+            # fresh pages — ~a minute in throttled windows
             idx.seed_table = (
                 int(meta["seed_k"]),
                 big("seed_keys"),
                 big("seed_offsets"),
-                big("seed_positions").astype(np.int64, copy=False),
+                big("seed_positions"),
             )
         return idx

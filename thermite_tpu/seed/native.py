@@ -127,6 +127,12 @@ def _try_load():
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
         _i64p, ctypes.c_int64, _i64p, _i64p, ctypes.c_int64,
     ]
+    _i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.thermite_seed_index_new_from_arrays32.restype = ctypes.c_void_p
+    lib.thermite_seed_index_new_from_arrays32.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+        _i64p, ctypes.c_int64, _i64p, _i32p, ctypes.c_int64,
+    ]
     lib.thermite_smems.restype = ctypes.c_int64
     lib.thermite_smems.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
@@ -183,15 +189,31 @@ class NativeSmemEngine:
             _, keys, offsets, positions = table
             keys = np.ascontiguousarray(keys, np.int64)
             offsets = np.ascontiguousarray(offsets, np.int64)
-            positions = np.ascontiguousarray(positions, np.int64)
-            self._table_keep = (keys, offsets, positions)
             p = ctypes.POINTER(ctypes.c_int64)
-            self._h = lib.thermite_seed_index_new_from_arrays(
-                text_p, n, self.k,
-                keys.ctypes.data_as(p), len(keys),
-                offsets.ctypes.data_as(p),
-                positions.ctypes.data_as(p), len(positions),
-            )
+            if positions.dtype == np.int32 and positions.flags.c_contiguous:
+                # artifact's narrow form (Index.save stores int32 for
+                # <2 GiB texts): adopt zero-copy — widening first-touches
+                # ~0.7 GB of fresh pages, which this deployment throttles
+                # to minutes in bad windows
+                self._table_keep = (keys, offsets, positions)
+                self._h = lib.thermite_seed_index_new_from_arrays32(
+                    text_p, n, self.k,
+                    keys.ctypes.data_as(p), len(keys),
+                    offsets.ctypes.data_as(p),
+                    positions.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_int32)
+                    ),
+                    len(positions),
+                )
+            else:
+                positions = np.ascontiguousarray(positions, np.int64)
+                self._table_keep = (keys, offsets, positions)
+                self._h = lib.thermite_seed_index_new_from_arrays(
+                    text_p, n, self.k,
+                    keys.ctypes.data_as(p), len(keys),
+                    offsets.ctypes.data_as(p),
+                    positions.ctypes.data_as(p), len(positions),
+                )
         else:
             self._h = lib.thermite_seed_index_new_stride(
                 text_p, n, self.k, stride
@@ -245,6 +267,14 @@ class NativeSmemEngine:
             lib.thermite_seed_index_views(
                 self._h, ctypes.byref(kp), ctypes.byref(op), ctypes.byref(pp)
             )
+            if not pp:
+                # narrow (int32-positions) adopted table: no int64 view
+                # exists; the caller already holds the adopted arrays
+                raise ValueError(
+                    "export_table(views=True) unsupported for a table "
+                    "adopted from int32 positions — reuse the arrays "
+                    "the table was constructed from"
+                )
             out = []
             for ptr, size in ((kp, m), (op, m + 1), (pp, total)):
                 arr = np.ctypeslib.as_array(ptr, shape=(size,))
