@@ -144,6 +144,23 @@ def test_paired_emit_chunk_boundary(index, opts):
     assert raw == want
 
 
+def test_paired_emit_python_build_no_split(index, opts):
+    """Without the native engine the pure-Python chunk build must also
+    cut only at pair boundaries (object-path pairing would silently
+    mispair otherwise)."""
+    pairs = make_mixed_pairs(index, n=12, seed=37)
+    emitter = BatchAligner(index, opts, backend="xla", use_native=False)
+    emitter.PROBLEM_BUDGET = 7  # force several odd-sized budget cuts
+    raw = emitter.align_paired_emit(
+        [((r1.id, r1.seq, r1.qual), (r2.id, r2.seq, r2.qual))
+         for r1, r2 in pairs],
+        False, max_insert=1000, mate_rescue=True,
+    )
+    assert emitter.stats.chunks >= 3
+    want = _expected_bytes(index, opts, pairs, False, True)
+    assert raw == want
+
+
 def test_cpp_engine_paired_matches(index, opts):
     """--engine cpp paired output == the batch/Python referee bytes
     (same composition: C++ pairing + emit, oracle-recomputed rescue

@@ -476,6 +476,9 @@ class BatchAligner:
             self.stats.emit_py_chunks = (
                 getattr(self.stats, "emit_py_chunks", 0) + 1
             )
+            # pair-aligned consumption guarantees both (C++ and Python
+            # builds); a violation here would silently mispair the rest
+            assert start % 2 == 0 and len(results) % 2 == 0
             base = start // 2
             out = []
             for p in range(len(results) // 2):
@@ -605,7 +608,14 @@ class BatchAligner:
         per_read_tasks = st.per_read_tasks
 
         pos = start
-        while pos < len(all_reads) and len(problems) < self.PROBLEM_BUDGET:
+        # paired builds only cut at pair boundaries (align_paired_emit
+        # relies on both mates sharing a chunk; the native build applies
+        # the same rule in C++)
+        paired = getattr(self, "_paired_build", False)
+        while pos < len(all_reads) and (
+            len(problems) < self.PROBLEM_BUDGET
+            or (paired and len(reads) % 2)
+        ):
             read = all_reads[pos].upper()
             pos += 1
             reads.append(read)
