@@ -132,6 +132,37 @@ def _emit_rps(batch, reads):
     return best
 
 
+def _paired_rps(batch, chrom, n_pairs, seed=51):
+    """Paired-end emit throughput (reads/s counting both mates): FR
+    pairs through align_paired_emit — C++ pairing + record emission.
+    The interleaved mates share the single-end kernel shapes, so this
+    costs no extra compiles."""
+    from thermite_tpu.io.fastx import revcomp
+
+    if not batch.can_emit():
+        return 0.0
+    rng = np.random.default_rng(seed)
+    pairs = []
+    for i in range(n_pairs):
+        p = int(rng.integers(0, len(chrom) - 300))
+        frag = chrom[p : p + 300]
+        q = b"I" * 90
+        pairs.append(
+            (
+                (b"p%d" % i, frag[:90], q),
+                (b"p%d" % i, revcomp(frag[-90:]), q),
+            )
+        )
+    batch.align_paired_emit(pairs[:1024], True)  # warmup
+    best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        raw = batch.align_paired_emit(pairs, True)
+        best = max(best, 2 * len(pairs) / (time.time() - t0))
+    assert len(raw) > len(pairs) * 100
+    return best
+
+
 def _syn45_index():
     """Build-or-load the cached 45 Mbp synthetic index (the artifact
     carries the seed table, so cached loads skip the ~40 s build)."""
@@ -218,6 +249,7 @@ def main():
     print(syn_batch.stats.report(), file=sys.stderr)
     print(f"syn45 oracle baseline: {syn_oracle:.1f} reads/s", file=sys.stderr)
     syn_emit = _emit_rps(syn_batch, make_reads(syn_chrom, N, seed=33))
+    syn_paired = _paired_rps(syn_batch, syn_chrom, N // 2)
 
     # ---- secondary: GRCh38 chrM ----
     idx = Index.create_from_files(
@@ -263,6 +295,7 @@ def main():
                 "syn45_oracle_reads_per_s": round(syn_oracle, 1),
                 "syn45_cpp_1core_reads_per_s": round(syn_cpp, 1),
                 "syn45_emit_bam_reads_per_s": round(syn_emit, 1),
+                "syn45_paired_emit_reads_per_s": round(syn_paired, 1),
                 "chrM_median_reads_per_s": round(chrM_rps, 1),
                 "chrM_spread_reads_per_s": [round(chrM_lo, 1), round(chrM_best, 1)],
                 "chrM_gcups_effective": round(chrM_gcups, 2),
