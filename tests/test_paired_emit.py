@@ -207,6 +207,52 @@ def test_wrapper_paired_records(index, opts, tmp_path):
     assert raw == b"".join(want)
 
 
+def test_cross_chromosome_mates(opts, tmp_path):
+    """Mates landing on DIFFERENT chromosomes (orphan pair): RNEXT is
+    the partner's NAME, not '=' — exercises the named-mate branch of
+    the C++ SAM/BAM emitters, byte-identical to the Python writers."""
+    fasta, gtf = write_synth_genome(
+        str(tmp_path), 80_000, seed=47, n_chroms=2, basename="xc"
+    )
+    idx = Index.create_from_files(fasta, gtf)
+    fwd = [r for r in idx.refs if r.strand]
+    assert len(fwd) == 2
+    c1 = idx.seq[fwd[0].start_idx : fwd[0].end_idx - 1]
+    c2 = idx.seq[fwd[1].start_idx : fwd[1].end_idx - 1]
+    rng = np.random.default_rng(8)
+    pairs = []
+    for i in range(12):
+        p1 = int(rng.integers(0, len(c1) - 90))
+        p2 = int(rng.integers(0, len(c2) - 90))
+        pairs.append(
+            (Rec(b"x%d" % i, c1[p1 : p1 + 90]),
+             Rec(b"x%d" % i, revcomp(c2[p2 : p2 + 90])))
+        )
+    emitter = BatchAligner(idx, opts, backend="pallas", interpret=True)
+    if not emitter.can_emit():
+        pytest.skip("native engine unavailable")
+    for fmt_bam in (False, True):
+        raw = emitter.align_paired_emit(
+            [((r1.id, r1.seq, r1.qual), (r2.id, r2.seq, r2.qual))
+             for r1, r2 in pairs],
+            fmt_bam, max_insert=1000, mate_rescue=True,
+        )
+        want = _expected_bytes(idx, opts, pairs, fmt_bam, True)
+        assert raw == want
+    # the SAM text really carries named RNEXT fields (not '=' / '*')
+    raw_sam = emitter.align_paired_emit(
+        [((r1.id, r1.seq, r1.qual), (r2.id, r2.seq, r2.qual))
+         for r1, r2 in pairs],
+        False, max_insert=1000, mate_rescue=True,
+    )
+    named = [
+        l.split("\t")[6]
+        for l in raw_sam.decode().splitlines()
+        if l.split("\t")[6] not in ("=", "*")
+    ]
+    assert len(named) >= 12  # cross-chrom mates point at the other name
+
+
 def test_paired_cli_uses_emit_path(index, opts, tmp_path, monkeypatch):
     """align_paired_from_files routes through align_paired_emit and
     produces the same bytes as the object path (THERMITE_NO_EMIT)."""
