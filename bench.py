@@ -205,6 +205,22 @@ def _require_backend(timeout_s: float = 300.0) -> None:
             state["error"] = e
         done.set()
 
+    def abort(reason: str) -> None:
+        # leave an explicit record instead of an empty capture: the
+        # driver stores this line as the round's bench result
+        print(
+            json.dumps(
+                {
+                    "metric": "e2e_align_reads_per_s_syn45Mbp_90bp",
+                    "value": 0,
+                    "unit": "reads/s",
+                    "vs_baseline": 0,
+                    "error": reason,
+                }
+            )
+        )
+        os._exit(3)
+
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     if not done.wait(timeout_s):
@@ -213,10 +229,10 @@ def _require_backend(timeout_s: float = 300.0) -> None:
             f"{timeout_s:.0f}s (TPU outage?); aborting",
             file=sys.stderr,
         )
-        os._exit(3)
+        abort(f"device backend init hang > {timeout_s:.0f}s (TPU outage)")
     if "error" in state:
         print(f"bench: backend init failed: {state['error']!r}", file=sys.stderr)
-        os._exit(3)
+        abort(f"backend init failed: {type(state['error']).__name__}")
     print(f"bench: devices {state['devices']}", file=sys.stderr)
 
 
