@@ -13,7 +13,7 @@ while true; do
   if PYTHONPATH=/root/repo:/root/.axon_site timeout 240 python -c \
       "import jax; assert jax.devices()" 2>/dev/null; then
     echo "$(date -u +%H:%M:%S) TPU back; launching resume"
-    PYTHONPATH=/root/repo:/root/.axon_site timeout 7000 \
+    PYTHONPATH=/root/repo:/root/.axon_site timeout 10800 \
       python tools/genome_scale.py --resume --table-s 647 \
       > data/out/genome_scale_r03_resume.log 2>&1
     rc=$?
