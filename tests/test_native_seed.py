@@ -251,6 +251,42 @@ def test_mmap_artifact_load_identity(tmp_path):
     assert sa == sb and len(sa) > 0
 
 
+def test_artifact_ref_text_reused_by_aligner(tmp_path):
+    """Current artifacts store genome+tx text as one `ref_text` member;
+    the aligner must reuse that mapping (no multi-GB concat at load)
+    and produce identical alignments to an in-memory index."""
+    import numpy as np
+
+    from tests.fixtures import write_fixture
+
+    from thermite_tpu.align.batch import BatchAligner
+    from thermite_tpu.align.driver import AlignOpts
+    from thermite_tpu.index.build import Index
+
+    fasta, gtf, _ = write_fixture(tmp_path)
+    idx = Index.create_from_files(fasta, gtf)
+    art = tmp_path / "rt.npz"
+    idx.save(str(art))
+    idx2 = Index.load(str(art))
+    assert idx2.ref_text_arr is not None
+    assert len(idx2.ref_text_arr) == len(idx.seq) + sum(
+        len(t.seq) for t in idx.txome.txs
+    )
+    opts = AlignOpts(
+        min_seed_len=3, min_aln_score_percent=0.0, min_aln_score=0,
+        intron_mode=True,
+    )
+    ba = BatchAligner(idx2, opts, backend="xla")
+    assert np.shares_memory(ba._ref_text_host, idx2.ref_text_arr)
+    ba_mem = BatchAligner(idx, opts, backend="xla")
+    read = idx.seq[4:60]
+    a = ba.align_batch([read])[0]
+    b = ba_mem.align_batch([read])[0]
+    assert [(g.ref_name, g.gx_aln.ystart, g.gx_aln.score) for g in a] == [
+        (g.ref_name, g.gx_aln.ystart, g.gx_aln.score) for g in b
+    ] and len(a) > 0
+
+
 def test_export_views_match_copies():
     """export_table(views=True) — the zero-copy path the genome-scale
     index build uses — must be element-identical to the copying

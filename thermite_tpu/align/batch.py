@@ -214,9 +214,17 @@ class BatchAligner:
             self.tx_off[i] = base
             base += len(tx.seq)
         self.tx_off[len(txs)] = base
-        self._ref_text_host = np.concatenate(
-            [index.seq_arr] + [np.frombuffer(tx.seq, np.uint8) for tx in txs]
-        )
+        rt = getattr(index, "ref_text_arr", None)
+        if rt is not None and len(rt) == self.tx_off[len(txs)]:
+            # artifact-resident text (genome + txs, exactly this
+            # layout): reuse the mmap view — at genome scale the
+            # concatenate below is a ~6.5 GB first-touch copy
+            self._ref_text_host = np.asarray(rt)
+        else:
+            self._ref_text_host = np.concatenate(
+                [index.seq_arr]
+                + [np.frombuffer(tx.seq, np.uint8) for tx in txs]
+            )
         self._ref_text_dev = None  # device copy, uploaded once on first use
         if self.backend != "pallas" and len(self._ref_text_host) >= (1 << 31):
             # the XLA test backend reconstructs byte offsets in int32

@@ -339,7 +339,7 @@ class Index:
             [(e.start, e.end) for t in self.txome.txs for e in t.exons],
             dtype=np.int64,
         ).reshape(-1, 2)
-        tx_seq_blob = b"".join(t.seq for t in self.txome.txs)
+        meta["text_len"] = int(len(self.seq))
         tx_seq_lens = np.array([len(t.seq) for t in self.txome.txs], dtype=np.int64)
         ett = self.txome.exon_to_tx
         gi = self.txome.gene_intervals
@@ -350,11 +350,15 @@ class Index:
             self.build_seed_table(
                 stride=1 if len(self.seq) < (512 << 20) else 4
             )
+        # the genome text and the transcript spliced seqs are stored as
+        # ONE member, `ref_text` — exactly the resident-text layout the
+        # aligner needs (genome fwd+rc then every tx, batch.py tx_off).
+        # Loads then serve BOTH Index.seq (a prefix view) and
+        # BatchAligner._ref_text_host (the whole member) straight from
+        # the mmap: no 6.5 GB first-touch concat at genome scale.
         common = dict(
             meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
-            text=self.seq_arr,
             tx_exons=tx_exon_flat,
-            tx_seq_blob=np.frombuffer(tx_seq_blob, dtype=np.uint8),
             tx_seq_lens=tx_seq_lens,
             exon_to_tx=np.stack([ett.starts, ett.ends, ett.data]) if len(ett) else np.zeros((3, 0), np.int64),
             gene_intervals=np.stack([gi.starts, gi.ends, gi.data]) if len(gi) else np.zeros((3, 0), np.int64),
@@ -375,6 +379,7 @@ class Index:
             )
             np.savez(path, seed_kv=t.kv, seed_bucket_off=t.bucket_off,
                      **common)
+            self._append_ref_text(path)
             return
         sk, skeys, soff, spos = self.seed_table
         meta["seed_k"] = int(sk)
@@ -393,6 +398,34 @@ class Index:
             seed_positions=spos_disk,
             **common,
         )
+        self._append_ref_text(path)
+
+    def _append_ref_text(self, path: str) -> None:
+        """Append the `ref_text` member (genome text + every tx spliced
+        seq, batch.py resident layout) to the saved .npz, STREAMED —
+        never materializing the multi-GB concatenation this member
+        exists to eliminate from loads."""
+        import zipfile
+
+        total = len(self.seq) + sum(len(t.seq) for t in self.txome.txs)
+        with zipfile.ZipFile(
+            path, "a", compression=zipfile.ZIP_STORED
+        ) as zf:
+            with zf.open("ref_text.npy", "w", force_zip64=True) as f:
+                np.lib.format.write_array_header_1_0(
+                    f,
+                    {
+                        "descr": "|u1",
+                        "fortran_order": False,
+                        "shape": (int(total),),
+                    },
+                )
+                mv = memoryview(self.seq_arr)
+                step = 64 << 20
+                for off in range(0, len(mv), step):
+                    f.write(mv[off : off + step])
+                for t in self.txome.txs:
+                    f.write(t.seq)
 
     @classmethod
     def load(cls, path: str, mmap: bool = True) -> "Index":
@@ -420,11 +453,26 @@ class Index:
             Ref(m["name"], m["strand"], m["len"], m["start_idx"], m["end_idx"])
             for m in meta["refs"]
         ]
-        seq = big("text") if mm is not None else z["text"].tobytes()
+        # current artifacts store `ref_text` (genome text + tx spliced
+        # seqs, the aligner's resident-text layout) as one member:
+        # Index.seq is its prefix view and the aligner reuses the whole
+        # member, so a genome-scale load touches no anonymous pages.
+        # Older artifacts (`text` + `tx_seq_blob` members) still load.
+        ref_text = None
+        if "ref_text" in z.files:
+            text_len = int(meta["text_len"])
+            ref_text = big("ref_text")
+            seq = ref_text[:text_len]
+            tx_blob = ref_text[text_len:]
+        else:
+            seq = big("text") if mm is not None else z["text"].tobytes()
+            tx_blob = (
+                big("tx_seq_blob") if mm is not None
+                else np.frombuffer(z["tx_seq_blob"].tobytes(), np.uint8)
+            )
         genes = [Gene(m["id"], m["name"]) for m in meta["genes"]]
 
         tx_exons = z["tx_exons"]
-        tx_seq_blob = z["tx_seq_blob"].tobytes()
         tx_seq_lens = z["tx_seq_lens"]
         txs: List[Tx] = []
         eoff = 0
@@ -442,7 +490,7 @@ class Index:
                     chrom=m["chrom"],
                     strand=m["strand"],
                     exons=exons,
-                    seq=tx_seq_blob[soff : soff + slen],
+                    seq=bytes(tx_blob[soff : soff + slen]),
                     gene_idx=m["gene_idx"],
                 )
             )
@@ -457,6 +505,9 @@ class Index:
             gene_intervals=IntervalTable(gi[0], gi[1], gi[2]),
         )
         idx = cls(refs, seq, txome)
+        # whole resident text (genome + txs) as loaded — BatchAligner
+        # reuses it instead of concatenating a fresh copy
+        idx.ref_text_arr = ref_text
         if "seed_kv" in z.files and "seed_packed" in meta:
             from ..seed.native import PackedSeedTable
 
