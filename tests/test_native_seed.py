@@ -278,6 +278,13 @@ def test_artifact_ref_text_reused_by_aligner(tmp_path):
     )
     ba = BatchAligner(idx2, opts, backend="xla")
     assert np.shares_memory(ba._ref_text_host, idx2.ref_text_arr)
+    # the artifact's packed device text must equal a fresh pack
+    from thermite_tpu.ops.swg_pallas import pack_text_nib_host
+
+    assert idx2.text_nib_arr is not None
+    assert np.array_equal(
+        idx2.text_nib_arr, pack_text_nib_host(np.asarray(idx2.ref_text_arr))
+    )
     ba_mem = BatchAligner(idx, opts, backend="xla")
     read = idx.seq[4:60]
     a = ba.align_batch([read])[0]

@@ -106,3 +106,25 @@ def test_gather_windows_packed_pairs_with_ascii_path():
         for i in range(int(xl)):
             want_x[i + 1] = _NIB_LUT[flat[int(xb) + int(xd) * i]]
         assert (x[r] == want_x).all(), r
+
+
+def test_iter_text_nib_words_matches_one_shot():
+    """The streaming packer (artifact text_nib member) must be
+    element-exact vs pack_text_nib_host across chunk boundaries and
+    ragged tails."""
+    from thermite_tpu.ops.swg_pallas import (
+        iter_text_nib_words,
+        pack_text_nib_host,
+    )
+
+    rng = np.random.default_rng(4)
+    for L in (1, 7, 8191, 100_003):
+        text = rng.choice(np.frombuffer(b"ACGTN$", np.uint8), L).astype(
+            np.uint8
+        )
+        one = pack_text_nib_host(text)
+        for cw in (97, 1 << 12):
+            chunks = np.concatenate(
+                list(iter_text_nib_words(text, chunk_words=cw))
+            )
+            assert np.array_equal(chunks, one), (L, cw)

@@ -286,10 +286,13 @@ class BatchAligner:
         if self._ref_text_dev is None:
             from ..ops.swg_pallas import nib_lw, pack_text_nib_host
 
-            words = jax.device_put(
-                pack_text_nib_host(self._ref_text_host), self._sharding_repl()
-            )
             lw = nib_lw(len(self._ref_text_host))
+            nib = getattr(self.index, "text_nib_arr", None)
+            if nib is None or len(nib) != lw:
+                # artifact carries no packed form (or a stale pad):
+                # pack on the host — a ~L/2-byte fresh buffer
+                nib = pack_text_nib_host(self._ref_text_host)
+            words = jax.device_put(nib, self._sharding_repl())
             self._ref_text_dev = (words, np.int32(lw))
         return self._ref_text_dev
 

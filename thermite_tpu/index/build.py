@@ -340,6 +340,9 @@ class Index:
             dtype=np.int64,
         ).reshape(-1, 2)
         meta["text_len"] = int(len(self.seq))
+        from ..ops.swg_pallas import _WPAD
+
+        meta["nib_wpad"] = int(_WPAD)
         tx_seq_lens = np.array([len(t.seq) for t in self.txome.txs], dtype=np.int64)
         ett = self.txome.exon_to_tx
         gi = self.txome.gene_intervals
@@ -402,10 +405,14 @@ class Index:
 
     def _append_ref_text(self, path: str) -> None:
         """Append the `ref_text` member (genome text + every tx spliced
-        seq, batch.py resident layout) to the saved .npz, STREAMED —
-        never materializing the multi-GB concatenation this member
-        exists to eliminate from loads."""
+        seq, batch.py resident layout) and its nibble-packed device
+        form `text_nib` to the saved .npz, STREAMED — never
+        materializing the multi-GB buffers these members exist to
+        eliminate from loads (loads mmap both; engine start then packs
+        and concatenates nothing)."""
         import zipfile
+
+        from ..ops.swg_pallas import iter_text_nib_words, nib_lw
 
         total = len(self.seq) + sum(len(t.seq) for t in self.txome.txs)
         with zipfile.ZipFile(
@@ -426,6 +433,30 @@ class Index:
                     f.write(mv[off : off + step])
                 for t in self.txome.txs:
                     f.write(t.seq)
+        # the packed form reads ref_text back from the file just
+        # written (file-backed pages, not fresh anonymous memory)
+        mm = _npz_mmap_views(path)
+        rt = mm["ref_text"] if mm is not None else None
+        with zipfile.ZipFile(
+            path, "a", compression=zipfile.ZIP_STORED
+        ) as zf:
+            with zf.open("text_nib.npy", "w", force_zip64=True) as f:
+                np.lib.format.write_array_header_1_0(
+                    f,
+                    {
+                        "descr": "<i4",
+                        "fortran_order": False,
+                        "shape": (int(nib_lw(int(total))),),
+                    },
+                )
+                if rt is None:  # fallback: materialize (small indexes)
+                    rt = np.concatenate(
+                        [self.seq_arr]
+                        + [np.frombuffer(t.seq, np.uint8)
+                           for t in self.txome.txs]
+                    )
+                for chunk in iter_text_nib_words(rt):
+                    f.write(memoryview(chunk))
 
     @classmethod
     def load(cls, path: str, mmap: bool = True) -> "Index":
@@ -508,6 +539,16 @@ class Index:
         # whole resident text (genome + txs) as loaded — BatchAligner
         # reuses it instead of concatenating a fresh copy
         idx.ref_text_arr = ref_text
+        # its nibble-packed device form, reused iff the pad constant
+        # still matches (else the aligner repacks)
+        idx.text_nib_arr = None
+        if ref_text is not None and mm is not None and "text_nib" in mm:
+            from ..ops.swg_pallas import _WPAD, nib_lw
+
+            if meta.get("nib_wpad") == _WPAD and len(
+                mm["text_nib"]
+            ) == nib_lw(len(ref_text)):
+                idx.text_nib_arr = mm["text_nib"]
         if "seed_kv" in z.files and "seed_packed" in meta:
             from ..seed.native import PackedSeedTable
 

@@ -695,6 +695,30 @@ def pack_text_nib_host(text_u8: "np.ndarray") -> "np.ndarray":
     return w.view(np.int32)
 
 
+def iter_text_nib_words(text_u8: "np.ndarray", chunk_words: int = 1 << 26):
+    """Yield ``pack_text_nib_host(text_u8)`` in int32 chunks.
+
+    Streaming form for persisting a genome-scale packed text (the
+    artifact's ``text_nib`` member): the whole-array pack transiently
+    allocates ~2.5x the text in fresh pages, which throttled hosts pay
+    in minutes; chunks keep the transient at ~0.6 GB.  Element-exact
+    equality with the one-shot pack is pinned by test."""
+    L = int(text_u8.shape[0])
+    Lw = nib_lw(L)
+    for a in range(0, Lw, chunk_words):
+        b = min(a + chunk_words, Lw)
+        padded = np.zeros((b - a) * 8, np.uint8)
+        lo = 8 * a - _WPAD  # text coordinate of padded-chunk byte 0
+        s = max(lo, 0)
+        e = min(8 * b - _WPAD, L)
+        if e > s:
+            padded[s - lo : e - lo] = text_u8[s:e]
+        w = np.zeros(b - a, np.uint32)
+        for i in range(8):
+            w |= _NIB_LUT[padded[i::8]].astype(np.uint32) << np.uint32(4 * i)
+        yield w.view(np.int32)
+
+
 def meta_row(y_base, y_dir, ylen, x_base, x_dir, xlen, band, x_drop):
     """Build one META_COLS row from a byte-coordinate y anchor (test /
     dry-run helper; the batch builders inline this)."""
