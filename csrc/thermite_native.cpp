@@ -192,8 +192,22 @@ struct SeedIndex {
   // bucket whose key's top kPfxBits bits are >= p (~5 probe steps).
   static constexpr int64_t kHashMaxKeys = (int64_t)1 << 27;
   static constexpr int kPfxBits = 26;
-  std::vector<int64_t> pfx;
+  std::vector<int64_t> pfx;           // owned storage (built in-process)
+  const int64_t* pfxp = nullptr;      // lookup pointer: owned or adopted
+  int64_t pfxn = 0;                   // pfx length (cells + 1)
   int key_shift = 0;
+
+  // deterministic pfx geometry for anchor length k (adoption must
+  // reproduce exactly what build_hash computes)
+  static void pfx_geometry(int k, int* key_shift_out, int64_t* cells_out) {
+    int key_bits = 1;
+    int64_t max_key = 1;
+    for (int t = 0; t < k; ++t) max_key *= 5;
+    while ((max_key >> key_bits) != 0) ++key_bits;
+    int pfx_bits = key_bits > kPfxBits ? kPfxBits : key_bits;
+    *key_shift_out = key_bits > pfx_bits ? key_bits - pfx_bits : 0;
+    *cells_out = (int64_t)1 << pfx_bits;
+  }
 
   void build_hash() {
     if (packed) {
@@ -201,13 +215,8 @@ struct SeedIndex {
       // inside one MSD bucket (kPfxBits >= top_bits always — top_bits
       // caps at 18), so a range's entries share their bucket and
       // compare by rem_key alone.
-      int key_bits = 1;
-      int64_t max_key = 1;
-      for (int t = 0; t < k; ++t) max_key *= 5;
-      while ((max_key >> key_bits) != 0) ++key_bits;
-      int pfx_bits = key_bits > kPfxBits ? kPfxBits : key_bits;
-      key_shift = key_bits > pfx_bits ? key_bits - pfx_bits : 0;
-      int64_t nb = (int64_t)1 << pfx_bits;
+      int64_t nb;
+      pfx_geometry(k, &key_shift, &nb);
       pfx.assign(nb + 1, 0);
       // count entries per pfx cell (full key reconstructed from the
       // bucket id + packed rem_key), then exclusive scan.  The count
@@ -241,6 +250,8 @@ struct SeedIndex {
         for (int64_t b = 0; b < n_top_packed; ++b) count_bucket(b);
       }
       for (int64_t p = 0; p < nb; ++p) pfx[p + 1] += pfx[p];
+      pfxp = pfx.data();
+      pfxn = nb + 1;
       return;
     }
     if (n_keys > kHashMaxKeys) {
@@ -255,6 +266,8 @@ struct SeedIndex {
       for (int64_t b = 0; b < n_keys; ++b)
         pfx[(uniq_keys[b] >> key_shift) + 1]++;
       for (int64_t p = 0; p < nb; ++p) pfx[p + 1] += pfx[p];
+      pfxp = pfx.data();
+      pfxn = nb + 1;
       return;
     }
     size_t cap = 64;
@@ -274,7 +287,7 @@ struct SeedIndex {
   inline bool find_range(int64_t key, int64_t* lo, int64_t* hi) const {
     if (packed) {
       int64_t p = key >> key_shift;
-      int64_t a = pfx[p], b = pfx[p + 1];
+      int64_t a = pfxp[p], b = pfxp[p + 1];
       const uint64_t want = (uint64_t)key & ((rem_shift_p
           ? (((uint64_t)1 << rem_shift_p) - 1) : 0));
       // lower bound on rem_key
@@ -282,9 +295,9 @@ struct SeedIndex {
         int64_t mid = (a + b) >> 1;
         if ((kvp[mid] >> pos_bits_p) < want) a = mid + 1; else b = mid;
       }
-      if (a >= pfx[p + 1] || (kvp[a] >> pos_bits_p) != want) return false;
+      if (a >= pfxp[p + 1] || (kvp[a] >> pos_bits_p) != want) return false;
       *lo = a;
-      int64_t c = a + 1, d = pfx[p + 1];
+      int64_t c = a + 1, d = pfxp[p + 1];
       while (c < d) {
         int64_t mid = (c + d) >> 1;
         if ((kvp[mid] >> pos_bits_p) == want) c = mid + 1; else d = mid;
@@ -310,14 +323,14 @@ struct SeedIndex {
 
   // bucket for key, or -1
   inline int64_t find_bucket(int64_t key) const {
-    if (!pfx.empty()) {
+    if (pfxp) {
       int64_t p = key >> key_shift;
-      int64_t lo = pfx[p], hi = pfx[p + 1];
+      int64_t lo = pfxp[p], hi = pfxp[p + 1];
       while (lo < hi) {
         int64_t mid = (lo + hi) >> 1;
         if (uniq_keys[mid] < key) lo = mid + 1; else hi = mid;
       }
-      return (lo < pfx[p + 1] && uniq_keys[lo] == key) ? lo : -1;
+      return (lo < pfxp[p + 1] && uniq_keys[lo] == key) ? lo : -1;
     }
     uint64_t slot = ((uint64_t)key * 0x9E3779B97F4A7C15ull) & hmask;
     uint64_t want = (uint64_t)key + 1;
@@ -906,12 +919,19 @@ void thermite_seed_index_packed_views(void* h, const uint64_t** kv,
   *bucket_off = idx->bucket_off;
 }
 
+// `pfx_ext`/`pfx_len` optionally adopt a persisted pfx prefix array
+// (the artifact's seed_pfx member) and skip the full-kv count pass —
+// ~4 min single-core at genome scale.  The caller keeps it alive; a
+// length mismatch with this build's pfx geometry returns nullptr (the
+// caller rebuilds without it).
 void* thermite_seed_index_new_from_kv(const uint8_t* text, int64_t n, int k,
                                       int64_t stride, int32_t top_bits,
                                       int32_t pos_bits, const uint64_t* kv,
                                       int64_t total,
                                       const int64_t* bucket_off,
-                                      int64_t n_top) {
+                                      int64_t n_top,
+                                      const int64_t* pfx_ext,
+                                      int64_t pfx_len) {
   if (k < 1 || k > kMaxAnchorK) return nullptr;
   auto* idx = new SeedIndex();
   idx->text = text;
@@ -932,8 +952,27 @@ void* thermite_seed_index_new_from_kv(const uint8_t* text, int64_t n, int k,
   while ((max_key >> key_bits) != 0) ++key_bits;
   idx->rem_shift_p = key_bits - top_bits;
   idx->n_pos = total;
-  idx->build_hash();  // pfx over the packed entries
+  if (pfx_ext) {
+    int64_t cells;
+    SeedIndex::pfx_geometry(k, &idx->key_shift, &cells);
+    if (pfx_len != cells + 1 || pfx_ext[pfx_len - 1] != total) {
+      delete idx;
+      return nullptr;
+    }
+    idx->pfxp = pfx_ext;
+    idx->pfxn = pfx_len;
+  } else {
+    idx->build_hash();  // pfx over the packed entries
+  }
   return idx;
+}
+
+// pfx view for persistence (packed tables; valid while the handle
+// lives).  *p is null when no pfx exists (small classic tables).
+void thermite_seed_index_pfx(void* h, const int64_t** p, int64_t* n) {
+  auto* idx = static_cast<SeedIndex*>(h);
+  *p = idx->pfxp;
+  *n = idx->pfxn;
 }
 
 void* thermite_seed_index_new_from_arrays(const uint8_t* text, int64_t n,
@@ -1007,8 +1046,8 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
     if (valid) {
       keys[q] = key;
       // hide the (likely) cache miss of this anchor's first probe
-      if (idx->packed || !idx->pfx.empty())
-        __builtin_prefetch(&idx->pfx[key >> idx->key_shift]);
+      if (idx->pfxp)
+        __builtin_prefetch(&idx->pfxp[key >> idx->key_shift]);
       else
         __builtin_prefetch(
             &idx->hkeys[((uint64_t)key * 0x9E3779B97F4A7C15ull) & idx->hmask]);

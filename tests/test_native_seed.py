@@ -210,6 +210,11 @@ def test_packed_mode_search_and_roundtrip(monkeypatch, tmp_path):
     assert isinstance(idx2.seed_table, PackedSeedTable)
     assert (np.asarray(idx2.seed_table.kv)
             == np.asarray(idx.seed_table.kv)).all()
+    # the persisted pfx prefix rides along and equals the built one
+    # (its adoption skips the full-kv count pass at engine start)
+    assert idx2.seed_table.pfx is not None
+    assert (np.asarray(idx2.seed_table.pfx)
+            == np.asarray(idx.seed_table.pfx)).all()
     from thermite_tpu.seed.native import make_seeder
 
     monkeypatch.setenv("THERMITE_PACKED_MIN", "999999999999")

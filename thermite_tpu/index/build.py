@@ -380,8 +380,13 @@ class Index:
             common["meta"] = np.frombuffer(
                 json.dumps(meta).encode(), dtype=np.uint8
             )
+            extra = {}
+            if t.pfx is not None:
+                # persisted pfx prefix: engine start skips the full-kv
+                # count pass (~4 min single-core at genome scale)
+                extra["seed_pfx"] = t.pfx
             np.savez(path, seed_kv=t.kv, seed_bucket_off=t.bucket_off,
-                     **common)
+                     **extra, **common)
             self._append_ref_text(path)
             return
         sk, skeys, soff, spos = self.seed_table
@@ -556,6 +561,7 @@ class Index:
             idx.seed_table = PackedSeedTable(
                 int(meta["seed_k"]), sp["stride"], sp["top_bits"],
                 sp["pos_bits"], big("seed_bucket_off"), big("seed_kv"),
+                pfx=big("seed_pfx") if "seed_pfx" in z.files else None,
             )
         elif "seed_keys" in z.files and "seed_k" in meta:
             # positions stay in their stored dtype (int32 for <2 GiB

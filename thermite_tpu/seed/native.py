@@ -41,16 +41,19 @@ class PackedSeedTable:
     """
 
     __slots__ = ("k", "stride", "top_bits", "pos_bits", "bucket_off",
-                 "kv", "keepalive")
+                 "kv", "pfx", "keepalive")
 
     def __init__(self, k, stride, top_bits, pos_bits, bucket_off, kv,
-                 keepalive=None):
+                 pfx=None, keepalive=None):
         self.k = int(k)
         self.stride = int(stride)
         self.top_bits = int(top_bits)
         self.pos_bits = int(pos_bits)
         self.bucket_off = bucket_off
         self.kv = kv
+        # optional persisted pfx prefix (seed_pfx artifact member):
+        # adopting it skips the full-kv count pass at engine start
+        self.pfx = pfx
         self.keepalive = keepalive
 
     def __getitem__(self, i):
@@ -120,7 +123,10 @@ def _try_load():
     lib.thermite_seed_index_new_from_kv.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, _u64p, ctypes.c_int64,
-        _i64p, ctypes.c_int64,
+        _i64p, ctypes.c_int64, _i64p, ctypes.c_int64,
+    ]
+    lib.thermite_seed_index_pfx.argtypes = [
+        ctypes.c_void_p, _i64pp, ctypes.POINTER(ctypes.c_int64),
     ]
     lib.thermite_seed_index_new_from_arrays.restype = ctypes.c_void_p
     lib.thermite_seed_index_new_from_arrays.argtypes = [
@@ -172,15 +178,32 @@ class NativeSmemEngine:
             # only the pfx prefix (one streaming pass)
             kv = np.ascontiguousarray(table.kv, np.uint64)
             boff = np.ascontiguousarray(table.bucket_off, np.int64)
-            self._table_keep = (kv, boff, table)
+            pfx = table.pfx
+            if pfx is not None:
+                pfx = np.ascontiguousarray(pfx, np.int64)
+            self._table_keep = (kv, boff, pfx, table)
+            i64 = ctypes.POINTER(ctypes.c_int64)
             self._h = lib.thermite_seed_index_new_from_kv(
                 text_p, n, self.k, table.stride, table.top_bits,
                 table.pos_bits,
                 kv.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
                 len(kv),
-                boff.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                boff.ctypes.data_as(i64),
                 len(boff) - 1,
+                pfx.ctypes.data_as(i64) if pfx is not None else None,
+                len(pfx) if pfx is not None else 0,
             )
+            if not self._h and pfx is not None:
+                # stale/incompatible persisted pfx: rebuild without it
+                self._h = lib.thermite_seed_index_new_from_kv(
+                    text_p, n, self.k, table.stride, table.top_bits,
+                    table.pos_bits,
+                    kv.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                    len(kv),
+                    boff.ctypes.data_as(i64),
+                    len(boff) - 1,
+                    None, 0,
+                )
         elif table is not None and table[0] == self.k:
             # persisted posting arrays: skip the radix-sort build (~42 s
             # at chromosome scale).  The C++ side BORROWS these arrays
@@ -250,14 +273,25 @@ class NativeSmemEngine:
             )
             kv = np.ctypeslib.as_array(kvp, shape=(tot.value,))
             boff = np.ctypeslib.as_array(bop, shape=(n_top.value + 1,))
+            pfx = None
+            pp = ctypes.POINTER(ctypes.c_int64)()
+            pn = ctypes.c_int64()
+            lib.thermite_seed_index_pfx(
+                self._h, ctypes.byref(pp), ctypes.byref(pn)
+            )
+            if pp and pn.value:
+                pfx = np.ctypeslib.as_array(pp, shape=(pn.value,))
             if views:
                 kv.flags.writeable = False
                 boff.flags.writeable = False
+                if pfx is not None:
+                    pfx.flags.writeable = False
             else:
                 kv, boff = kv.copy(), boff.copy()
+                pfx = pfx.copy() if pfx is not None else None
             return PackedSeedTable(
                 self.k, st.value, tb.value, pb.value, boff, kv,
-                keepalive=self if views else None,
+                pfx=pfx, keepalive=self if views else None,
             )
         m = lib.thermite_seed_index_n_keys(self._h)
         total = lib.thermite_seed_index_size(self._h)
