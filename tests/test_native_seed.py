@@ -299,6 +299,39 @@ def test_artifact_ref_text_reused_by_aligner(tmp_path):
     ] and len(a) > 0
 
 
+def test_acgtn_guard_and_saved_scan(tmp_path):
+    """The pallas nibble-safety guard still fires for dirty texts, and
+    a clean artifact's save-time scan spares the aligner's own pass."""
+    import numpy as np
+    import pytest
+
+    from tests.fixtures import write_fixture
+
+    from thermite_tpu.align.batch import BatchAligner
+    from thermite_tpu.align.driver import AlignOpts
+    from thermite_tpu.index.build import Index
+
+    fasta, gtf, _ = write_fixture(tmp_path)
+    idx = Index.create_from_files(fasta, gtf)
+    art = tmp_path / "ok.npz"
+    idx.save(str(art))
+    idx2 = Index.load(str(art))
+    assert idx2.text_acgtn_ok  # clean fixture: scan recorded at save
+    opts = AlignOpts(
+        min_seed_len=3, min_aln_score_percent=0.0, min_aln_score=0,
+        intron_mode=True,
+    )
+    BatchAligner(idx2, opts, backend="pallas", interpret=True)  # no raise
+
+    # a dirty text must still be refused by the pallas path
+    dirty = tmp_path / "dirty.fasta"
+    dirty.write_text(">c1\n" + "ACGTR" * 40 + "\n")
+    idx3 = Index.create_from_files(str(dirty), gtf)
+    assert not getattr(idx3, "text_acgtn_ok", False)
+    with pytest.raises(NotImplementedError, match="non-ACGTN"):
+        BatchAligner(idx3, opts, backend="pallas", interpret=True)
+
+
 def test_export_views_match_copies():
     """export_table(views=True) — the zero-copy path the genome-scale
     index build uses — must be element-identical to the copying

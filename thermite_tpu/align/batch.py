@@ -234,11 +234,15 @@ class BatchAligner:
                 "the xla backend is limited to <2 GiB reference text; "
                 "use the TPU (pallas) backend for whole-genome scale"
             )
-        if self.backend == "pallas":
+        if self.backend == "pallas" and not getattr(
+            index, "text_acgtn_ok", False
+        ):
             # the nibble-packed device text has 4-bit codes for ACGTN$
             # only; any other byte would lose its identity (the
             # reference's byte compare would let e.g. R match R).  Real
-            # genomes are ACGTN — fail loudly on anything else.
+            # genomes are ACGTN — fail loudly on anything else.  An
+            # artifact whose save-time scan passed records that in meta
+            # (text_acgtn_ok), sparing the full-text pass here.
             counts = np.bincount(self._ref_text_host, minlength=256)
             counts[list(b"ACGTN$") + [0]] = 0
             if counts.sum():

@@ -343,6 +343,15 @@ class Index:
         from ..ops.swg_pallas import _WPAD
 
         meta["nib_wpad"] = int(_WPAD)
+        # one save-time ACGTN$ scan spares every pallas engine start
+        # the same full-text pass (batch.py's nibble-safety check)
+        counts = np.bincount(self.seq_arr, minlength=256)
+        for t in self.txome.txs:
+            counts += np.bincount(
+                np.frombuffer(t.seq, np.uint8), minlength=256
+            )
+        counts[list(b"ACGTN$") + [0]] = 0
+        meta["text_acgtn_ok"] = bool(counts.sum() == 0)
         tx_seq_lens = np.array([len(t.seq) for t in self.txome.txs], dtype=np.int64)
         ett = self.txome.exon_to_tx
         gi = self.txome.gene_intervals
@@ -544,6 +553,8 @@ class Index:
         # whole resident text (genome + txs) as loaded — BatchAligner
         # reuses it instead of concatenating a fresh copy
         idx.ref_text_arr = ref_text
+        # save-time ACGTN$ scan result (spares the aligner's own pass)
+        idx.text_acgtn_ok = bool(meta.get("text_acgtn_ok", False))
         # its nibble-packed device form, reused iff the pad constant
         # still matches (else the aligner repacks)
         idx.text_nib_arr = None
