@@ -179,12 +179,19 @@ struct SeedIndex {
     }
     n_keys = (int64_t)uniq_keys_v.size();
   }
-  // open-addressing key -> bucket hash (2 probes typical vs ~14 for
-  // the binary search; seeding is the host pipeline's hottest loop).
-  // Split layout: the probe loop touches only the 8-byte key array
-  // (key+1, 0 = empty); the bucket index is read once on a hit.
-  std::vector<uint64_t> hkeys;
-  std::vector<int32_t> hbuckets;
+  // open-addressing key -> posting-range hash (2 probes typical vs ~14
+  // for the binary search; seeding is the host pipeline's hottest
+  // loop).  One 16-byte slot carries (key+1, lo, count) so a probe hit
+  // resolves the whole posting range from a single (prefetched) cache
+  // line — the earlier split key/bucket/offsets layout cost three
+  // dependent misses per anchor, and the miss chain, not the probe
+  // count, dominated chunk-build wall time.
+  struct HSlot {
+    uint64_t key1;  // key + 1; 0 = empty
+    uint32_t lo;    // posting range start
+    uint32_t cnt;   // posting range length
+  };
+  std::vector<HSlot> hslots;
   uint64_t hmask = 0;
   // genome-scale tables (>kHashMaxKeys keys) skip the open-addressing
   // hash (12 B/slot at 2x load would reach tens of GB) and use a
@@ -254,7 +261,7 @@ struct SeedIndex {
       pfxn = nb + 1;
       return;
     }
-    if (n_keys > kHashMaxKeys) {
+    if (n_keys > kHashMaxKeys || n_pos > (int64_t)UINT32_MAX) {
       int key_bits = 1;
       int64_t max_key = 1;
       for (int t = 0; t < k; ++t) max_key *= 5;
@@ -272,14 +279,13 @@ struct SeedIndex {
     }
     size_t cap = 64;
     while ((int64_t)cap < n_keys * 2) cap <<= 1;
-    hkeys.assign(cap, 0);
-    hbuckets.assign(cap, -1);
+    hslots.assign(cap, HSlot{0, 0, 0});
     hmask = cap - 1;
     for (int64_t b = 0; b < n_keys; ++b) {
       uint64_t slot = ((uint64_t)uniq_keys[b] * 0x9E3779B97F4A7C15ull) & hmask;
-      while (hkeys[slot] != 0) slot = (slot + 1) & hmask;
-      hkeys[slot] = (uint64_t)uniq_keys[b] + 1;
-      hbuckets[slot] = (int32_t)b;
+      while (hslots[slot].key1 != 0) slot = (slot + 1) & hmask;
+      hslots[slot] = {(uint64_t)uniq_keys[b] + 1, (uint32_t)offsets[b],
+                      (uint32_t)(offsets[b + 1] - offsets[b])};
     }
   }
   // posting range [*lo, *hi) for key; false when absent.  Unified
@@ -305,11 +311,30 @@ struct SeedIndex {
       *hi = c;
       return true;
     }
-    int64_t b = find_bucket(key);
-    if (b < 0) return false;
-    *lo = offsets[b];
-    *hi = offsets[b + 1];
-    return true;
+    if (pfxp) {
+      int64_t p = key >> key_shift;
+      int64_t a = pfxp[p], b = pfxp[p + 1];
+      while (a < b) {
+        int64_t mid = (a + b) >> 1;
+        if (uniq_keys[mid] < key) a = mid + 1; else b = mid;
+      }
+      if (a >= pfxp[p + 1] || uniq_keys[a] != key) return false;
+      *lo = offsets[a];
+      *hi = offsets[a + 1];
+      return true;
+    }
+    uint64_t slot = ((uint64_t)key * 0x9E3779B97F4A7C15ull) & hmask;
+    uint64_t want = (uint64_t)key + 1;
+    while (true) {
+      const HSlot& e = hslots[slot];
+      if (e.key1 == 0) return false;
+      if (e.key1 == want) {
+        *lo = (int64_t)e.lo;
+        *hi = (int64_t)e.lo + e.cnt;
+        return true;
+      }
+      slot = (slot + 1) & hmask;
+    }
   }
 
   // reference position for posting-array index i.  positions32 serves
@@ -321,41 +346,7 @@ struct SeedIndex {
     return positions32 ? (int64_t)positions32[i] : positions[i];
   }
 
-  // bucket for key, or -1
-  inline int64_t find_bucket(int64_t key) const {
-    if (pfxp) {
-      int64_t p = key >> key_shift;
-      int64_t lo = pfxp[p], hi = pfxp[p + 1];
-      while (lo < hi) {
-        int64_t mid = (lo + hi) >> 1;
-        if (uniq_keys[mid] < key) lo = mid + 1; else hi = mid;
-      }
-      return (lo < pfxp[p + 1] && uniq_keys[lo] == key) ? lo : -1;
-    }
-    uint64_t slot = ((uint64_t)key * 0x9E3779B97F4A7C15ull) & hmask;
-    uint64_t want = (uint64_t)key + 1;
-    while (true) {
-      uint64_t e = hkeys[slot];
-      if (e == 0) return -1;
-      if (e == want) return hbuckets[slot];
-      slot = (slot + 1) & hmask;
-    }
-  }
 };
-
-int64_t pack_key(const uint8_t* s, int k, bool* valid) {
-  int64_t key = 0;
-  *valid = true;
-  for (int t = 0; t < k; ++t) {
-    uint8_t c = kCodes.code[s[t]];
-    if (c == 255) {
-      *valid = false;
-      return 0;
-    }
-    key = key * 5 + c;
-  }
-  return key;
-}
 
 }  // namespace
 
@@ -1040,17 +1031,36 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
   const int64_t n_anchor = rlen - k + 1;
   std::vector<int64_t> rlo(n_anchor, 0), rhi(n_anchor, 0);
   std::vector<int64_t> keys(n_anchor, -1);
-  for (int64_t q = 0; q < n_anchor; ++q) {
-    bool valid;
-    int64_t key = pack_key(read + q, k, &valid);
-    if (valid) {
-      keys[q] = key;
-      // hide the (likely) cache miss of this anchor's first probe
-      if (idx->pfxp)
-        __builtin_prefetch(&idx->pfxp[key >> idx->key_shift]);
-      else
-        __builtin_prefetch(
-            &idx->hkeys[((uint64_t)key * 0x9E3779B97F4A7C15ull) & idx->hmask]);
+  {
+    // rolling base-5 anchor keys: one code lookup per read byte
+    // instead of k per anchor; anchor q is valid iff no invalid byte
+    // lands in its window [q, q+k)
+    int64_t pow = 1;  // 5^(k-1)
+    for (int t = 0; t < k - 1; ++t) pow *= 5;
+    int64_t key = 0;
+    int64_t last_bad = -1;
+    for (int64_t i = 0; i < rlen; ++i) {
+      uint8_t c = kCodes.code[read[i]];
+      if (c == 255) {
+        last_bad = i;
+        c = 0;
+      }
+      if (i >= k) {
+        uint8_t c0 = kCodes.code[read[i - k]];
+        key -= (int64_t)(c0 == 255 ? 0 : c0) * pow;
+      }
+      key = key * 5 + c;
+      int64_t q = i - k + 1;
+      if (q >= 0 && last_bad < q) {
+        keys[q] = key;
+        // hide the (likely) cache miss of this anchor's first probe
+        if (idx->pfxp)
+          __builtin_prefetch(&idx->pfxp[key >> idx->key_shift]);
+        else
+          __builtin_prefetch(
+              &idx->hslots[((uint64_t)key * 0x9E3779B97F4A7C15ull) &
+                           idx->hmask]);
+      }
     }
   }
   for (int64_t q = 0; q < n_anchor; ++q) {
@@ -1453,6 +1463,38 @@ struct ReadBuild {
   int64_t rlen = 0, min_aln = 0;
 };
 
+// THERMITE_BUILD_DEBUG=1: per-chunk phase wall times (seed / genome
+// task construction / transcript candidates) to stderr — profiling aid
+// only, off by default so the hot loop carries no clock calls.
+struct BuildProf {
+  std::atomic<int64_t> seed_ns{0}, gx_ns{0}, tx_ns{0}, reads{0}, mems{0};
+  static bool on() {
+    static bool v = [] {
+      const char* e = std::getenv("THERMITE_BUILD_DEBUG");
+      return e && *e && *e != '0';
+    }();
+    return v;
+  }
+  void report(int64_t n_reads) {
+    double r = (double)(reads.load());
+    if (r == 0) return;
+    std::fprintf(stderr,
+                 "[build] reads=%lld mems/read=%.2f seed=%.1fus/read "
+                 "gx=%.1fus/read tx=%.1fus/read\n",
+                 (long long)n_reads, (double)mems.load() / r,
+                 seed_ns.load() / r / 1e3, gx_ns.load() / r / 1e3,
+                 tx_ns.load() / r / 1e3);
+    seed_ns = gx_ns = tx_ns = reads = mems = 0;
+  }
+};
+BuildProf g_build_prof;
+
+inline int64_t prof_now() {
+  return std::chrono::duration_cast<std::chrono::nanoseconds>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
+
 struct BuildScratch {
   std::vector<int64_t> mq, mt, ml, tx_cands;
   BuildScratch() { mq.resize(4096); mt.resize(4096); ml.resize(4096); }
@@ -1470,6 +1512,8 @@ void build_one_read(const Engine& E, const uint8_t* read, int64_t rlen,
 
   // local problem emitter (Chunk::meta layout, read-local ids)
   Chunk local;
+  const bool prof = BuildProf::on();
+  int64_t t_seed = prof ? prof_now() : 0;
   int64_t nm = thermite_smems(E.seeds, read, rlen, E.min_seed_len,
                               S.mq.data(), S.mt.data(), S.ml.data(),
                               (int64_t)S.mq.size());
@@ -1477,6 +1521,13 @@ void build_one_read(const Engine& E, const uint8_t* read, int64_t rlen,
     S.mq.resize(-nm); S.mt.resize(-nm); S.ml.resize(-nm);
     nm = thermite_smems(E.seeds, read, rlen, E.min_seed_len, S.mq.data(),
                         S.mt.data(), S.ml.data(), (int64_t)S.mq.size());
+  }
+  if (prof) {
+    int64_t now = prof_now();
+    g_build_prof.seed_ns += now - t_seed;
+    g_build_prof.reads += 1;
+    g_build_prof.mems += nm;
+    t_seed = now;
   }
 
   for (int64_t m = 0; m < nm; ++m) {
@@ -1493,6 +1544,11 @@ void build_one_read(const Engine& E, const uint8_t* read, int64_t rlen,
                            lp,       rp, seq_end - seq_start,
                            seq_start, -1};
     local.tasks.insert(local.tasks.end(), row, row + T_NCOL);
+    if (prof) {
+      int64_t now = prof_now();
+      g_build_prof.gx_ns += now - t_seed;
+      t_seed = now;
+    }
 
     // transcriptome candidates (src/aligner.rs:230-258), ascending tx
     E.e2t.find(href, href + hlen, &S.tx_cands);
@@ -1512,6 +1568,11 @@ void build_one_read(const Engine& E, const uint8_t* read, int64_t rlen,
                       read_off, sq, rlen, band, xdrop, &lp, &rp);
       int64_t trow[T_NCOL] = {0, 1, sref, sq, slen, lp, rp, tlen, 0, tx};
       local.tasks.insert(local.tasks.end(), trow, trow + T_NCOL);
+    }
+    if (prof) {
+      int64_t now = prof_now();
+      g_build_prof.tx_ns += now - t_seed;
+      t_seed = now;
     }
   }
   out->meta.swap(local.meta);
@@ -1575,6 +1636,7 @@ void* thermite_chunk_build(void* h, const uint8_t* reads, int64_t n_reads,
       merge_read(ch, ri, rb);
     }
     ch->read_task_off.push_back(ch->n_tasks());
+    if (BuildProf::on()) g_build_prof.report(ch->n_reads);
     return ch;
   }
 
@@ -1603,6 +1665,7 @@ void* thermite_chunk_build(void* h, const uint8_t* reads, int64_t n_reads,
     merge_read(ch, ri, built[ri]);
   }
   ch->read_task_off.push_back(ch->n_tasks());
+  if (BuildProf::on()) g_build_prof.report(ch->n_reads);
   return ch;
 }
 
