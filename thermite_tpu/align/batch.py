@@ -55,6 +55,7 @@ from .types import (
     INTERGENIC,
     INTRONIC,
     Mem,
+    RunOps,
 )
 
 
@@ -892,21 +893,12 @@ class BatchAligner:
         return results
 
     _ALN_TYPES = (EXONIC, INTRONIC, INTERGENIC)
-    _RUN_CHARS = ("M", "S", "D", "I")
 
-    @classmethod
-    def _runs_to_ops(cls, runs) -> List:
-        ops: List = []
-        for r in runs:
-            op = int(r) >> 32
-            ln = int(r) & 0xFFFFFFFF
-            if op < 4:
-                ops.extend([cls._RUN_CHARS[op]] * ln)
-            elif op == 4:
-                ops.append(("SC", ln))
-            else:
-                ops.append(("N", ln))
-        return ops
+    @staticmethod
+    def _runs_to_ops(runs) -> List:
+        from .types import runs_to_ops
+
+        return runs_to_ops(runs)
 
     def _finalize_chunk_native_fast(
         self, st: "_ChunkState"
@@ -948,7 +940,7 @@ class BatchAligner:
         tx_meta = tx_meta.tolist()
         task_tx = st.tasks_arr[:, 9].tolist()
         aln_types = self._ALN_TYPES
-        runs_to_ops = self._runs_to_ops
+        lazy_ops = RunOps  # writers read op_runs; expand only on access
         for s, row in enumerate(sel_rows):
             (ri, ti, atype, gene, refid, score, ys, ye, xs, xe, prim) = row
             if want is not None and ri not in want:
@@ -964,7 +956,7 @@ class BatchAligner:
             gruns = fin_runs[fin_off[s] : fin_off[s + 1]]
             gx_aln = Alignment(
                 score=score, ystart=ys, xstart=xs, yend=ye, xend=xe,
-                ylen=ref.len, xlen=len(read), operations=runs_to_ops(gruns),
+                ylen=ref.len, xlen=len(read), operations=lazy_ops(gruns),
                 op_runs=gruns,
             )
             tx_aln = None
@@ -975,7 +967,7 @@ class BatchAligner:
                     score=score, ystart=tm[0], xstart=tm[2],
                     yend=tm[1], xend=tm[3], ylen=tm[4],
                     xlen=len(read),
-                    operations=runs_to_ops(truns),
+                    operations=lazy_ops(truns),
                     op_runs=truns,
                 )
             results[ri].append(

@@ -33,6 +33,76 @@ YCLIP = "N"  # reference skip (introns)
 
 Op = Union[str, Tuple[str, int]]
 
+_RUN_CHARS = (OP_MATCH, OP_SUBST, OP_DEL, OP_INS)
+
+
+def runs_to_ops(runs) -> List[Op]:
+    """Expand RLE op runs ((code << 32) | length; codes 0..3 =
+    M/S/D/I, 4 = SC, 5 = N) into the per-cell op list."""
+    ops: List[Op] = []
+    for r in runs:
+        op = int(r) >> 32
+        ln = int(r) & 0xFFFFFFFF
+        if op < 4:
+            ops.extend([_RUN_CHARS[op]] * ln)
+        elif op == 4:
+            ops.append((XCLIP, ln))
+        else:
+            ops.append((YCLIP, ln))
+    return ops
+
+
+class RunOps:
+    """Lazy list view of an RLE ``op_runs`` list.
+
+    The batch pipeline's native finalize produces alignments whose op
+    streams arrive run-length encoded; most consumers (the SAM/BAM/PAF
+    writers, span logic) read the RLE ``op_runs`` fast path and never
+    touch per-cell ``operations`` — expanding ~90 per-cell ops per
+    alignment eagerly was ~half the object-construction cost of
+    ``align_batch``.  This view materializes on first sequence access
+    and compares equal to the expanded list.
+    """
+
+    __slots__ = ("_runs", "_ops")
+
+    def __init__(self, runs):
+        self._runs = runs
+        self._ops = None
+
+    def _mat(self) -> List[Op]:
+        if self._ops is None:
+            self._ops = runs_to_ops(self._runs)
+        return self._ops
+
+    def __iter__(self):
+        return iter(self._mat())
+
+    def __len__(self):
+        return len(self._mat())
+
+    def __getitem__(self, i):
+        return self._mat()[i]
+
+    def __eq__(self, other):
+        if isinstance(other, RunOps):
+            other = other._mat()
+        return self._mat() == other
+
+    def __ne__(self, other):
+        return not self.__eq__(other)
+
+    def __add__(self, other):
+        if isinstance(other, RunOps):
+            other = other._mat()
+        return self._mat() + other
+
+    def __radd__(self, other):
+        return other + self._mat()
+
+    def __repr__(self):
+        return repr(self._mat())
+
 
 def xclip(n: int) -> Tuple[str, int]:
     return (XCLIP, n)
@@ -42,7 +112,7 @@ def yclip(n: int) -> Tuple[str, int]:
     return (YCLIP, n)
 
 
-@dataclass
+@dataclass(slots=True)
 class Alignment:
     """A pairwise alignment of query x against reference y.
 
@@ -79,7 +149,7 @@ class Alignment:
         )
 
 
-@dataclass
+@dataclass(slots=True)
 class Mem:
     """A maximal exact match seed (reference src/index.rs:383-388)."""
 
@@ -94,7 +164,7 @@ INTRONIC = "intronic"
 INTERGENIC = "intergenic"
 
 
-@dataclass
+@dataclass(slots=True)
 class GenomeAlignment:
     """An alignment placed on a chromosome (reference src/txome.rs:54-61)."""
 
