@@ -191,7 +191,9 @@ struct SeedIndex {
     uint32_t lo;    // posting range start
     uint32_t cnt;   // posting range length
   };
-  std::vector<HSlot> hslots;
+  // hugepage-backed: the table is GBs and every anchor probe lands on
+  // a fresh page, so 4 KB pages pay a TLB walk per probe
+  HugeVec<HSlot> hslots;
   uint64_t hmask = 0;
   // genome-scale tables (>kHashMaxKeys keys) skip the open-addressing
   // hash (12 B/slot at 2x load would reach tens of GB) and use a
