@@ -244,7 +244,16 @@ class BatchAligner:
             # genomes are ACGTN — fail loudly on anything else.  An
             # artifact whose save-time scan passed records that in meta
             # (text_acgtn_ok), sparing the full-text pass here.
-            counts = np.bincount(self._ref_text_host, minlength=256)
+            # chunked: np.bincount casts its input to int64 first, so a
+            # single call over a genome-scale text materializes 8x the
+            # text in fresh anonymous pages (52 GB at 6.5 GB — measured
+            # as a ~40 min stall under this deployment's fresh-page
+            # throttle); 64 MB chunks reuse one small temp instead
+            counts = np.zeros(256, np.int64)
+            text = self._ref_text_host
+            for ofs in range(0, len(text), 1 << 26):
+                counts += np.bincount(text[ofs : ofs + (1 << 26)],
+                                      minlength=256)
             counts[list(b"ACGTN$") + [0]] = 0
             if counts.sum():
                 bad = [chr(b) for b in np.flatnonzero(counts)[:5]]

@@ -231,6 +231,13 @@ def main(argv=None) -> int:
             raise SystemExit("--paired writes SAM/BAM only (pass -a)")
 
     index = Index.load(args.index)
+    if getattr(index, "seed_table", None) is not None and not isinstance(
+        index.seed_table, tuple
+    ):
+        # genome-scale packed-table artifact: stream the mmap members in
+        # once — seeding/extension otherwise cold-fault them 4 KB at a
+        # time at random offsets (measured ~1000x slower on chunk one)
+        index.warm_mmap()
     opts = AlignOpts(
         min_seed_len=args.min_seed_len,
         min_aln_score_percent=args.min_aln_score_percent,

@@ -344,8 +344,16 @@ class Index:
 
         meta["nib_wpad"] = int(_WPAD)
         # one save-time ACGTN$ scan spares every pallas engine start
-        # the same full-text pass (batch.py's nibble-safety check)
-        counts = np.bincount(self.seq_arr, minlength=256)
+        # the same full-text pass (batch.py's nibble-safety check).
+        # Chunked: bincount casts to int64 internally, so one call over
+        # a genome-scale text would materialize 8x the text in fresh
+        # anonymous pages (a ~40 min stall under this deployment's
+        # fresh-page throttle)
+        counts = np.zeros(256, np.int64)
+        for ofs in range(0, len(self.seq_arr), 1 << 26):
+            counts += np.bincount(
+                self.seq_arr[ofs : ofs + (1 << 26)], minlength=256
+            )
         for t in self.txome.txs:
             counts += np.bincount(
                 np.frombuffer(t.seq, np.uint8), minlength=256
@@ -586,3 +594,41 @@ class Index:
                 big("seed_positions"),
             )
         return idx
+
+    def warm_mmap(self) -> float:
+        """Sequentially fault in the memmap-backed artifact members.
+
+        Seeding bisects the packed posting table and extension walks
+        the text at effectively random offsets; on a cold mmap every
+        probe is a 4 KB random disk fault (measured 32 ms/read on the
+        first genome-scale chunk vs 33 us warm).  One streaming pass
+        per member turns that into sequential IO at disk bandwidth
+        (~40 s for a 13 GB table).  Near-free when already page-cached.
+        Returns the wall seconds spent."""
+        import time as _time
+
+        t0 = _time.time()
+
+        def touch(a) -> None:
+            if a is None or not isinstance(a, np.memmap):
+                return
+            x = a.reshape(-1).view(np.uint8)
+            for ofs in range(0, len(x), 1 << 25):
+                # one byte per page faults the whole range with
+                # kernel fault-around/readahead, no big temporaries
+                int(x[ofs : ofs + (1 << 25) : 4096].astype(np.int64).sum())
+
+        st = getattr(self, "seed_table", None)
+        if st is not None:
+            from ..seed.native import PackedSeedTable
+
+            if isinstance(st, PackedSeedTable):
+                touch(st.kv)
+                touch(st.bucket_off)
+                touch(st.pfx)
+            elif isinstance(st, tuple):
+                for a in st[1:]:
+                    touch(a)
+        touch(getattr(self, "ref_text_arr", None))
+        touch(getattr(self, "text_nib_arr", None))
+        return _time.time() - t0

@@ -89,6 +89,8 @@ def main():
         idx = Index.load(art)
         load_s = time.time() - t
         log(f"artifact reloaded in {load_s:.0f} s")
+        warm_s = idx.warm_mmap()
+        log(f"mmap members warmed in {warm_s:.0f} s")
         text_len = len(idx.seq)
         total_bp = sum(r.len for r in idx.refs if r.strand)
     else:
@@ -139,6 +141,7 @@ def main():
             idx = Index.load(art)
             load_s = time.time() - t
             log(f"artifact reloaded in {load_s:.0f} s")
+            log(f"mmap members warmed in {idx.warm_mmap():.0f} s")
 
     opts = AlignOpts(
         min_seed_len=20, min_aln_score_percent=0.0, min_aln_score=30,
