@@ -2375,17 +2375,24 @@ int64_t thermite_swg_stream_adaptive(const uint8_t* x, int64_t xlen,
 // `narrow_band` > 0 enables the same adaptive narrow-band pass the
 // device pipeline runs (certificate-gated, bit-identical outputs);
 // certificate failures are counted into *cert_patches (nullable).
-void* thermite_chunk_align_cpu(void* eh, const uint8_t* reads,
-                               int64_t n_reads, int64_t rpad,
-                               const int64_t* read_lens,
-                               int64_t problem_budget,
-                               int64_t wpad, int64_t pw,
-                               int64_t narrow_band, int64_t* cert_patches,
-                               int64_t paired) {
+// `nthreads` <= 1 keeps everything on one thread — the honest
+// "thermite-equivalent single core" baseline bench.py measures.
+// nthreads > 1 parallelizes the DP loop over problems (independent by
+// construction; each writes its own row/score slots) — the production
+// CPU mode for multi-core hosts, where the reference's own contract is
+// caller-threading over a shared index (src/wrapper.rs:20-27), which a
+// GIL-bound Python caller cannot deliver.  Output is bit-identical at
+// any thread count (tests/test_cpu_engine.py).
+void* thermite_chunk_align_cpu_mt(void* eh, const uint8_t* reads,
+                                  int64_t n_reads, int64_t rpad,
+                                  const int64_t* read_lens,
+                                  int64_t problem_budget,
+                                  int64_t wpad, int64_t pw,
+                                  int64_t narrow_band, int64_t* cert_patches,
+                                  int64_t paired, int64_t nthreads) {
   auto& E = *static_cast<Engine*>(eh);
   const uint8_t* ref_bytes = E.ref_text;
   const int64_t ref_len = E.ref_text_len;
-  // sequential build (1 thread: this is the single-core baseline)
   Chunk* ch;
   {
     BuildScratch S;
@@ -2402,10 +2409,15 @@ void* thermite_chunk_align_cpu(void* eh, const uint8_t* reads,
   const int64_t P = ch->n_problems();
   std::vector<int32_t> rows((size_t)(P * (4 + pw)), 0);
   std::vector<int32_t> scores(P), mi(P), mj(P);
-  {
+  std::atomic<int64_t> patches_total(0);
+  std::atomic<bool> failed(false);
+  auto dp_range = [&](std::atomic<int64_t>& next) {
     SwgScratch S;
     std::vector<uint8_t> xbuf, ybuf;
-    for (int64_t p = 0; p < P; ++p) {
+    int64_t patches_local = 0;
+    while (true) {
+      int64_t p = next.fetch_add(1, std::memory_order_relaxed);
+      if (p >= P || failed.load(std::memory_order_relaxed)) break;
       const int32_t* m = ch->meta.data() + p * 9;
       int64_t ylen = m[3], xlen = m[6];
       int32_t* row = rows.data() + p * (4 + pw);
@@ -2421,16 +2433,32 @@ void* thermite_chunk_align_cpu(void* eh, const uint8_t* reads,
         }
         if (swg_stream_row_adaptive(S, xbuf.data(), xlen, ybuf.data(), ylen,
                                     m[7], narrow_band, m[8], row, pw,
-                                    cert_patches) != 0) {
-          delete ch;
-          return nullptr;
+                                    &patches_local) != 0) {
+          failed.store(true, std::memory_order_relaxed);
+          break;
         }
       }
       scores[p] = row[0];
       mi[p] = row[1];
       mj[p] = row[2];
     }
+    patches_total += patches_local;
+  };
+  std::atomic<int64_t> next(0);
+  if (nthreads > 1 && P >= 64) {
+    std::vector<std::thread> pool;
+    for (int64_t t = 0; t < nthreads - 1; ++t)
+      pool.emplace_back([&]() { dp_range(next); });
+    dp_range(next);
+    for (auto& th : pool) th.join();
+  } else {
+    dp_range(next);
   }
+  if (failed.load()) {
+    delete ch;
+    return nullptr;
+  }
+  if (cert_patches) *cert_patches += patches_total.load();
   thermite_chunk_arbitrate(eh, ch, scores.data(), mi.data(), mj.data());
   int64_t rc = thermite_chunk_finalize(eh, ch, rows.data(), P, pw,
                                        ch->meta.data());
@@ -2439,6 +2467,19 @@ void* thermite_chunk_align_cpu(void* eh, const uint8_t* reads,
     return nullptr;
   }
   return ch;
+}
+
+// single-core entry (kept as the stable ABI bench.py's baseline uses)
+void* thermite_chunk_align_cpu(void* eh, const uint8_t* reads,
+                               int64_t n_reads, int64_t rpad,
+                               const int64_t* read_lens,
+                               int64_t problem_budget,
+                               int64_t wpad, int64_t pw,
+                               int64_t narrow_band, int64_t* cert_patches,
+                               int64_t paired) {
+  return thermite_chunk_align_cpu_mt(eh, reads, n_reads, rpad, read_lens,
+                                     problem_budget, wpad, pw, narrow_band,
+                                     cert_patches, paired, 1);
 }
 
 }  // extern "C"

@@ -77,3 +77,23 @@ def test_cpu_engine_narrow_band_identity(index, recs, monkeypatch):
         pytest.skip("native library unavailable")
     assert full.narrow_band == 0 and narrow.narrow_band == 4
     assert full.align_records(recs, False) == narrow.align_records(recs, False)
+
+
+def test_cpu_engine_thread_count_invariance(index, recs):
+    """threads>1 parallelizes the scalar-DP loop over problems; every
+    problem writes its own row/score slots, so the emitted records are
+    bit-identical at any thread count (the production multi-core CPU
+    mode vs the 1-thread baseline bench.py measures)."""
+    opts = AlignOpts(
+        min_seed_len=3, min_aln_score_percent=0.0, min_aln_score=0,
+        intron_mode=True,
+    )
+    try:
+        one = CppAligner(index, opts, threads=1)
+    except RuntimeError:
+        pytest.skip("native library unavailable")
+    four = CppAligner(index, opts, threads=4)
+    assert four.threads == 4
+    want = one.align_records(recs, True)
+    assert four.align_records(recs, True) == want
+    assert one.stats.cert_patches == four.stats.cert_patches

@@ -28,7 +28,7 @@ def _round_up(v: int, m: int) -> int:
 class CppAligner:
     PROBLEM_BUDGET = 32768 - 1024
 
-    def __init__(self, index: Index, opts: AlignOpts):
+    def __init__(self, index: Index, opts: AlignOpts, threads: int = 1):
         # reuse the batch pipeline's engine assembly (seeder, interval
         # tables, string tables) — the device side stays untouched
         from .batch import BatchAligner
@@ -41,6 +41,21 @@ class CppAligner:
         self.native = self._ba.native
         self.index = index
         self.opts = opts
+        # threads=1 is the honest single-core baseline (what bench.py
+        # measures); threads>1 parallelizes the scalar-DP loop over
+        # problems — the production CPU mode (the reference's own
+        # concurrency contract is caller-threading over a shared index,
+        # src/wrapper.rs:20-27, which a GIL-bound caller cannot give
+        # the C++ engine).  threads<=0 = auto: THERMITE_THREADS, else
+        # hardware concurrency.  Output is thread-count-invariant
+        # (tests/test_cpu_engine.py).
+        import os
+
+        if threads <= 0:
+            threads = int(
+                os.environ.get("THERMITE_THREADS", os.cpu_count() or 1)
+            )
+        self.threads = max(threads, 1)
         # same adaptive narrow-band pass as the device pipeline
         # (certificate-gated, bit-identical; THERMITE_NARROW_BAND=0
         # disables) — keeps the single-core baseline algorithmically
@@ -81,12 +96,12 @@ class CppAligner:
             _i64p = ctypes.POINTER(ctypes.c_int64)
             # restype/argtypes are declared in native_batch._setup
             patches = ctypes.c_int64(0)
-            ch = lib.thermite_chunk_align_cpu(
+            ch = lib.thermite_chunk_align_cpu_mt(
                 self.native._h,
                 reads_pad.ctypes.data_as(_u8p), take, rpad,
                 lens.ctypes.data_as(_i64p), self.PROBLEM_BUDGET,
                 _WPAD, pw, self.narrow_band,
-                ctypes.cast(ctypes.byref(patches), _i64p), 0,
+                ctypes.cast(ctypes.byref(patches), _i64p), 0, self.threads,
             )
             self.stats.cert_patches += patches.value
             if not ch:
@@ -192,12 +207,12 @@ class CppAligner:
                 reads_pad[i, : len(r)] = np.frombuffer(r, np.uint8)
                 lens[i] = len(r)
             patches = ctypes.c_int64(0)
-            ch = lib.thermite_chunk_align_cpu(
+            ch = lib.thermite_chunk_align_cpu_mt(
                 self.native._h,
                 reads_pad.ctypes.data_as(_u8p), take, rpad,
                 lens.ctypes.data_as(_i64p), self.PROBLEM_BUDGET,
                 _WPAD, pw, self.narrow_band,
-                ctypes.cast(ctypes.byref(patches), _i64p), 1,
+                ctypes.cast(ctypes.byref(patches), _i64p), 1, self.threads,
             )
             self.stats.cert_patches += patches.value
             if not ch:

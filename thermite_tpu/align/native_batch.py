@@ -124,6 +124,10 @@ def _setup(lib):
         _i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, _i64p, ctypes.c_int64,
     ]
+    lib.thermite_chunk_align_cpu_mt.restype = ctypes.c_void_p
+    lib.thermite_chunk_align_cpu_mt.argtypes = (
+        lib.thermite_chunk_align_cpu.argtypes + [ctypes.c_int64]
+    )
     lib.thermite_swg_patch_rows.restype = ctypes.c_int64
     lib.thermite_swg_patch_rows.argtypes = [
         _u8p, ctypes.c_int64, _u8p, ctypes.c_int64,

@@ -474,7 +474,7 @@ def align_paired_from_files(
             # all-native single-core paired pipeline (cpu.py)
             from .cpu import CppAligner
 
-            cpp = CppAligner(index, opts)
+            cpp = CppAligner(index, opts, threads=0)  # auto: all cores
             cbuf = []
 
             def flush_cpp():

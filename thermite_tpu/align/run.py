@@ -173,7 +173,7 @@ def align_reads_from_file(
                 raise ValueError("--engine cpp writes SAM/BAM only")
             from .cpu import CppAligner
 
-            cpp = CppAligner(index, opts)
+            cpp = CppAligner(index, opts, threads=0)  # auto: all cores
             buf = []
 
             def flush_cpp():
