@@ -11,6 +11,7 @@ Output format selection matches src/main.rs:51-61: PAF by default,
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from .align.driver import AlignOpts
@@ -95,6 +96,12 @@ def main(argv=None) -> int:
         "cpp = all-native single-core baseline (SAM/BAM only)",
     )
     pa.add_argument("--batch-size", type=int, default=16384)
+    pa.add_argument(
+        "--threads", type=int, default=0, metavar="N",
+        help="host worker threads for chunk build / table build / the "
+        "cpp engine's DP loop (0 = auto: THERMITE_THREADS env, else "
+        "all cores); output is thread-count-invariant",
+    )
     # paired-end (BEYOND reference parity — the reference is
     # single-end; see align/paired.py)
     pa.add_argument(
@@ -230,6 +237,10 @@ def main(argv=None) -> int:
         if fmt == FORMAT_PAF:
             raise SystemExit("--paired writes SAM/BAM only (pass -a)")
 
+    if args.threads:
+        # one knob for every native host stage (chunk build, table
+        # build, cpp-engine DP): they all read THERMITE_THREADS
+        os.environ["THERMITE_THREADS"] = str(args.threads)
     index = Index.load(args.index)
     if getattr(index, "seed_table", None) is not None and not isinstance(
         index.seed_table, tuple
