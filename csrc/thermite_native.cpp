@@ -2588,6 +2588,32 @@ struct MateCtx {
   int64_t place_pos1 = 0;    //      (partner's coordinates)
 };
 
+// one PAF row (reference src/aln_writer.rs:32-115 semantics via
+// io/paf.py): full (untruncated) query name, a trailing tab before the
+// newline, and the match/block-length columns counting op ELEMENTS —
+// a soft clip is 1 element regardless of length, an intron skip is 0
+void emit_paf_record(const Engine& E, std::vector<uint8_t>& o,
+                     const uint8_t* name, int64_t name_len,
+                     int64_t seq_len, bool fwd_strand, int64_t refid,
+                     int64_t ys, int64_t ye, int64_t xs, int64_t xe,
+                     int64_t num_match, int64_t num_match_gap, int mapq) {
+  put_bytes(o, name, name_len);
+  o.push_back('\t');
+  put_int(o, seq_len); o.push_back('\t');
+  put_int(o, xs); o.push_back('\t');
+  put_int(o, xe); o.push_back('\t');
+  o.push_back(fwd_strand ? '+' : '-'); o.push_back('\t');
+  StrRef rn = blob_str(E, E.ref_name_off, refid);
+  put_bytes(o, rn.p, rn.n); o.push_back('\t');
+  put_int(o, E.ref_len[refid]); o.push_back('\t');
+  put_int(o, ys); o.push_back('\t');
+  put_int(o, ye); o.push_back('\t');
+  put_int(o, num_match); o.push_back('\t');
+  put_int(o, num_match_gap); o.push_back('\t');
+  put_int(o, mapq); o.push_back('\t');
+  o.push_back('\n');
+}
+
 // one SAM text line (with trailing newline)
 void emit_sam_record(const Engine& E, std::vector<uint8_t>& o,
                      const uint8_t* name, int64_t name_len,
@@ -2990,6 +3016,7 @@ int64_t thermite_chunk_emit(void* eh, void* chh, int fmt,
     const uint8_t* ql = quals + qual_off[r];
     int64_t qll = qual_off[r + 1] - qual_off[r];
     if (nh == 0) {
+      if (fmt == 2) continue;  // PAF has no unmapped records
       const MateCtx* mcp = nullptr;
       if (ch.paired) {
         mc = MateCtx{};
@@ -3030,6 +3057,23 @@ int64_t thermite_chunk_emit(void* eh, void* chh, int fmt,
       }
       const int64_t* row = ch.selected.data() + si * S_NCOL;
       const int64_t* tk = ch.tasks.data() + row[S_TASK] * T_NCOL;
+      if (fmt == 2) {
+        // element-count accounting (codes 0..3 per-cell, 4 = SC as one
+        // element, 5 = N skipped) — io/paf.py's runs fast path
+        int64_t num_match = 0, num_match_gap = 0;
+        for (int64_t k = ch.fin_off[si]; k < ch.fin_off[si + 1]; ++k) {
+          int64_t code = ch.fin_runs[k] >> 32;
+          int64_t ln = ch.fin_runs[k] & 0xFFFFFFFF;
+          if (code == 0) num_match += ln;
+          if (code < 4) num_match_gap += ln;
+          else if (code == 4) num_match_gap += 1;
+        }
+        emit_paf_record(E, o, nm, nml, sql,
+                        E.ref_strand[row[S_REFID]] != 0, row[S_REFID],
+                        row[S_YS], row[S_YE], row[S_XS], row[S_XE],
+                        num_match, num_match_gap, mq);
+        continue;
+      }
       cigar_merge(ch.fin_runs.data() + ch.fin_off[si],
                   ch.fin_off[si + 1] - ch.fin_off[si], &cig);
       int64_t nmm = 0;

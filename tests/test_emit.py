@@ -35,7 +35,7 @@ def recs():
     return out
 
 
-@pytest.mark.parametrize("fmt_bam", [False, True])
+@pytest.mark.parametrize("fmt_bam", [False, True, 2])  # SAM, BAM, PAF
 def test_emit_matches_python_writers(fixture_index, recs, fmt_bam):
     opts = AlignOpts(
         min_seed_len=3, min_aln_score_percent=0.0, min_aln_score=0,

@@ -1498,12 +1498,25 @@ class BatchAligner:
 
 
 def _serialize_records(
-    index, recs, results, fmt_bam: bool, strip_tags: bool = False
+    index, recs, results, fmt_bam, strip_tags: bool = False
 ) -> bytes:
     """Python-writer serialization of one chunk's records (the emit
-    fallback and parity referee)."""
+    fallback and parity referee).  ``fmt_bam``: False = SAM, True =
+    BAM, 2 = PAF (unmapped reads emit nothing, matching the CLI's
+    object path and reference src/aligner.rs:58-115)."""
     from ..io.bam import encode_bam_record
     from ..io.sam import aln_to_sam_record, unique_refs, unmapped_sam_record
+
+    if fmt_bam == 2:
+        from ..io.paf import paf_line
+
+        parts: List[bytes] = []
+        for (name, seq, qual), alns in zip(recs, results):
+            for aln in alns:
+                parts.append(
+                    (paf_line(name, seq, aln, len(alns)) + "\n").encode()
+                )
+        return b"".join(parts)
 
     ref_ids = {name: i for i, (name, _) in enumerate(unique_refs(index))}
     out: List[bytes] = []

@@ -268,19 +268,23 @@ class NativeBatchEngine:
         )
         self._strings_set = True
 
-    def emit_chunk(self, ch, fmt_bam: bool, names, seqs, quals,
+    def emit_chunk(self, ch, fmt_bam, names, seqs, quals,
                    strip_tags: bool = False):
         """Serialize every record of a finalized chunk in C++ (SAM text
-        or BAM record blobs) — returns bytes, or None if any selected
-        hit the stream fallback (caller uses the Python object path).
-        ``strip_tags`` drops TX/GX/GN/RE (the embedding wrapper
-        surface, reference src/wrapper.rs:136-139)."""
+        lines, BAM record blobs, or PAF rows) — returns bytes, or None
+        if any selected hit the stream fallback (caller uses the Python
+        object path).  ``fmt_bam``: False = SAM, True = BAM, 2 = PAF
+        (unmapped reads emit nothing).  ``strip_tags`` drops
+        TX/GX/GN/RE (the embedding wrapper surface, reference
+        src/wrapper.rs:136-139)."""
         if not getattr(self, "_strings_set", False):
             self.set_strings()
         nb, noff = _blob(names)
         sb, soff = _blob(seqs)
         qb, qoff = _blob(quals)
-        fmt = (1 if fmt_bam else 0) | (0x100 if strip_tags else 0)
+        fmt = (2 if fmt_bam == 2 else 1 if fmt_bam else 0) | (
+            0x100 if strip_tags else 0
+        )
         n = self._lib.thermite_chunk_emit(
             self._h, ch, fmt,
             _arr(nb, _u8p), _arr(noff, _i64p),

@@ -126,22 +126,24 @@ def align_reads_from_file(
 
             import os
 
-            if (
-                output_fmt in (FORMAT_SAM, FORMAT_BAM)
-                and batcher.can_emit()
-                and not os.environ.get("THERMITE_NO_EMIT")
-            ):
+            if batcher.can_emit() and not os.environ.get("THERMITE_NO_EMIT"):
                 # fast path: records serialized by the C++ emitter
                 # straight from the finalize runs (byte-identical to
-                # the Python writers by test)
+                # the Python writers by test); PAF rows included
+                fmt_code = (
+                    2 if output_fmt == FORMAT_PAF
+                    else output_fmt == FORMAT_BAM
+                )
                 buf = []
 
                 def flush():
                     raw = batcher.align_batch_emit(
-                        [(r.id, r.seq, r.qual) for r in buf],
-                        output_fmt == FORMAT_BAM,
+                        [(r.id, r.seq, r.qual) for r in buf], fmt_code
                     )
-                    writer.write_raw(raw)
+                    if writer is not None:
+                        writer.write_raw(raw)
+                    else:  # PAF: text handle, no header
+                        fh.write(raw.decode())
 
                 for rec in records():
                     buf.append(rec)
@@ -150,7 +152,8 @@ def align_reads_from_file(
                         buf = []
                 if buf:
                     flush()
-                writer.finish()
+                if writer is not None:
+                    writer.finish()
                 if verbose:
                     print(batcher.stats.report(), file=sys.stderr)
                 return
