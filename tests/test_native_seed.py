@@ -381,3 +381,36 @@ def test_strided_table_parity_and_recall():
             }
             have = {(m.query_idx, m.ref_idx, m.len) for m in got}
             assert want <= have, (start, rlen)
+
+
+def test_warm_mmap_roundtrip(monkeypatch, tmp_path):
+    """Index.warm_mmap streams every memmap-backed member (seed table —
+    classic tuple AND packed forms — plus ref_text/text_nib) without
+    error and is a no-op on eagerly-loaded indexes."""
+    from tests.fixtures import write_fixture
+
+    from thermite_tpu.index.build import Index
+
+    ref, gtf, _ = write_fixture(tmp_path)
+    idx = Index.create_from_files(ref, gtf)
+    assert idx.warm_mmap() >= 0.0  # nothing mapped: no-op
+
+    art = str(tmp_path / "warm_classic.npz")
+    idx.save(art)
+    loaded = Index.load(art)  # mmap=True default
+    assert loaded.warm_mmap() >= 0.0
+
+    monkeypatch.setenv("THERMITE_PACKED_MIN", "1")
+    idx2 = Index.create_from_files(ref, gtf)
+    art2 = str(tmp_path / "warm_packed.npz")
+    idx2.save(art2)
+    packed = Index.load(art2)
+    from thermite_tpu.seed.native import PackedSeedTable
+
+    assert isinstance(packed.seed_table, PackedSeedTable)
+    assert packed.warm_mmap() >= 0.0
+    # the warmed index still searches identically
+    eager = Index.load(art, mmap=False)
+    chrom = bytes(loaded.seq[:200])
+    assert loaded.seq_slice(0, 50) == eager.seq_slice(0, 50)
+    assert len(chrom) == 200
