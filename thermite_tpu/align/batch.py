@@ -248,12 +248,12 @@ class BatchAligner:
             # single call over a genome-scale text materializes 8x the
             # text in fresh anonymous pages (52 GB at 6.5 GB — measured
             # as a ~40 min stall under this deployment's fresh-page
-            # throttle); 64 MB chunks reuse one small temp instead
-            counts = np.zeros(256, np.int64)
-            text = self._ref_text_host
-            for ofs in range(0, len(text), 1 << 26):
-                counts += np.bincount(text[ofs : ofs + (1 << 26)],
-                                      minlength=256)
+            # throttle).  Cast into ONE preallocated buffer so every
+            # chunk re-writes the same pages (the fast path) instead of
+            # bincount mmap-ing a fresh temp per call.
+            from ..index.build import acgtn_counts
+
+            counts = acgtn_counts(self._ref_text_host)
             counts[list(b"ACGTN$") + [0]] = 0
             if counts.sum():
                 bad = [chr(b) for b in np.flatnonzero(counts)[:5]]

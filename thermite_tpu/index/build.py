@@ -48,6 +48,24 @@ class _TextView:
         return int(self.arr[i])
 
 
+def acgtn_counts(text) -> np.ndarray:
+    """256-bin byte histogram of a (possibly huge, possibly memmapped)
+    uint8 text.  np.bincount casts its input to int64 internally, so a
+    single call over a genome-scale text materializes 8x the text in
+    fresh anonymous pages (measured as a ~40 min stall under this
+    deployment's fresh-page throttle); chunk through ONE preallocated
+    int64 buffer so every chunk re-writes the same pages instead."""
+    counts = np.zeros(256, np.int64)
+    ch = 1 << 24
+    tmp = np.empty(min(ch, max(len(text), 1)), np.int64)
+    for ofs in range(0, len(text), ch):
+        c = text[ofs : ofs + ch]
+        t = tmp[: len(c)]
+        np.copyto(t, c)
+        counts += np.bincount(t, minlength=256)
+    return counts
+
+
 def _npz_mmap_views(path: str) -> Optional[Dict[str, np.ndarray]]:
     """Memory-map the members of an UNCOMPRESSED ``.npz`` in place.
 
@@ -344,16 +362,9 @@ class Index:
 
         meta["nib_wpad"] = int(_WPAD)
         # one save-time ACGTN$ scan spares every pallas engine start
-        # the same full-text pass (batch.py's nibble-safety check).
-        # Chunked: bincount casts to int64 internally, so one call over
-        # a genome-scale text would materialize 8x the text in fresh
-        # anonymous pages (a ~40 min stall under this deployment's
-        # fresh-page throttle)
-        counts = np.zeros(256, np.int64)
-        for ofs in range(0, len(self.seq_arr), 1 << 26):
-            counts += np.bincount(
-                self.seq_arr[ofs : ofs + (1 << 26)], minlength=256
-            )
+        # the same full-text pass (batch.py's nibble-safety check);
+        # acgtn_counts chunks through one preallocated cast buffer
+        counts = acgtn_counts(self.seq_arr)
         for t in self.txome.txs:
             counts += np.bincount(
                 np.frombuffer(t.seq, np.uint8), minlength=256
