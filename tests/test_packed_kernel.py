@@ -82,3 +82,56 @@ def test_packed_matches_general(seed, seg):
         f"meta={meta[neq[0]]} general={a[neq[0], :4]} packed={b[neq[0], :4]}"
     )
     assert (a[:, 0] != 0).any()  # some nonzero scores were compared
+
+
+@pytest.mark.parametrize("seg", [0, 64])  # 0 = general kernel
+def test_walk_packed_bit_identity(monkeypatch, seg):
+    """THERMITE_WALK_PACKED=1 (codes packed in-kernel via the pow4
+    select ladder) must reproduce the default path's output rows bit
+    for bit — same meta columns, same packed 2-bit streams."""
+    rng = np.random.default_rng(11)
+    text = rng.choice(np.frombuffer(b"ACGT", np.uint8), 5000)
+    words = pack_text_nib_host(text)
+    lw = np.int32(nib_lw(len(text)))
+    RPAD, NR = 64, 32
+    reads = np.zeros((NR, RPAD), np.uint8)
+    for i in range(NR):
+        p = int(rng.integers(0, len(text) - RPAD))
+        r = text[p : p + RPAD].copy()
+        for _ in range(int(rng.integers(0, 5))):
+            r[int(rng.integers(0, RPAD))] = ord("ACGT"[int(rng.integers(0, 4))])
+        reads[i] = r
+
+    BBLK = 8
+    XMAX, YMAX, SMAX = 64, 96, 256
+
+    def run(n, make):
+        meta = _mk_problems(
+            rng.__class__(np.random.PCG64(7)), text, reads.reshape(-1),
+            RPAD, n, XMAX, YMAX, band_max=31 if seg else 47,
+        )
+        return np.asarray(make()(words, lw, reads, meta)), meta
+
+    if seg:
+        NSEG = 128 // seg
+        n = NSEG * BBLK * 2
+        mk = lambda: get_packed_stream_gather_kernel(  # noqa: E731
+            BBLK, XMAX, YMAX, SMAX, interpret=True, SEG=seg
+        )
+    else:
+        n = BBLK * 2
+        mk = lambda: get_stream_traceback_gather_kernel(  # noqa: E731
+            BBLK, XMAX, YMAX, 128, interpret=True, SMAX=SMAX
+        )
+
+    monkeypatch.delenv("THERMITE_WALK_PACKED", raising=False)
+    a, meta_a = run(n, mk)
+    monkeypatch.setenv("THERMITE_WALK_PACKED", "1")
+    b, meta_b = run(n, mk)
+    assert (meta_a == meta_b).all()
+    neq = np.nonzero((a != b).any(axis=1))[0]
+    assert len(neq) == 0, (
+        f"{len(neq)} rows differ; first {neq[:3]}: meta={meta_a[neq[0]]} "
+        f"default={a[neq[0], :6]} walk_packed={b[neq[0], :6]}"
+    )
+    assert (a[:, 0] != 0).any() and (np.abs(a[:, 4:]) > 0).any()

@@ -375,6 +375,31 @@ def make_traceback_kernel(
     return jax.jit(call)
 
 
+def walk_packed_on() -> bool:
+    """THERMITE_WALK_PACKED=1: the stream kernels accumulate walk codes
+    directly into packed 16-codes/int32 words instead of one lane per
+    step.  The per-step read-modify-write of the ops buffer is the walk
+    loop's dominant vector op; packing shrinks it (SMAX -> SMAX/16
+    lanes) and deletes the post-kernel XLA packing pass and its
+    (N, SMAX) HBM intermediate.  Output bits are identical (the
+    same little-endian 2-bit layout).  Default OFF until measured on
+    the real device — flip the env to A/B."""
+    import os
+
+    return os.environ.get("THERMITE_WALK_PACKED", "0") not in ("", "0")
+
+
+def _pow4(cm):
+    """4**cm for cm in [0, 15], built from cm's bits with
+    compare/select/multiply only (Mosaic variable-amount vector shifts
+    are unproven on this toolchain; int32 wraparound at cm >= 14
+    matches the ``<<`` packing this replaces bit for bit)."""
+    p = jnp.where((cm & 1) > 0, jnp.int32(4), jnp.int32(1))
+    p = p * jnp.where((cm & 2) > 0, jnp.int32(16), jnp.int32(1))
+    p = p * jnp.where((cm & 4) > 0, jnp.int32(256), jnp.int32(1))
+    return p * jnp.where((cm & 8) > 0, jnp.int32(65536), jnp.int32(1))
+
+
 def smax_for(XMAX: int, YMAX: int) -> int:
     """Step capacity of the stream-traceback walk (padded to lanes)."""
     s = XMAX + YMAX + 2
@@ -383,7 +408,7 @@ def smax_for(XMAX: int, YMAX: int) -> int:
 
 def make_stream_traceback_kernel(
     BBLK: int, XMAX: int, YMAX: int, W: int, interpret: bool = False,
-    SMAX: int = 0,
+    SMAX: int = 0, walk_packed=None,
 ):
     """Forward + *vectorized* on-device traceback.
 
@@ -440,6 +465,10 @@ def make_stream_traceback_kernel(
     # ops buffer and the packed d2h payload
     SMAX = SMAX or smax_for(XMAX, YMAX)
     MAXIT = YMAX + 1 + XMAX + 2
+    if walk_packed is None:
+        walk_packed = walk_packed_on()
+    PW = SMAX // 16
+    OPS_W = PW if walk_packed else SMAX
 
     def kernel(x_ref, y_ref, p_ref, meta_ref, ops_ref, dirs_ref):
         t = jax.lax.broadcasted_iota(jnp.int32, (BBLK, W), 1)
@@ -495,8 +524,8 @@ def make_stream_traceback_kernel(
         cert = (cmin > -x_drop) & (ms > cert_ub)
 
         # ---- vectorized walk ----
-        ops_ref[:, :] = jnp.zeros((BBLK, SMAX), jnp.int32)
-        slane = jax.lax.broadcasted_iota(jnp.int32, (BBLK, SMAX), 1)
+        ops_ref[:, :] = jnp.zeros((BBLK, OPS_W), jnp.int32)
+        slane = jax.lax.broadcasted_iota(jnp.int32, (BBLK, OPS_W), 1)
         jj0 = jnp.max(mj)
 
         def cond(st):
@@ -512,9 +541,17 @@ def make_stream_traceback_kernel(
             d = jnp.sum(jnp.where(t == bi, row, 0), axis=1, keepdims=True)
             alive = (i > 0) | (j > 0)
             stepping = alive & (j == jj)
-            ops_ref[:, :] = ops_ref[:, :] + jnp.where(
-                stepping & (slane == c), d, 0
-            )
+            if walk_packed:
+                # write step c's 2-bit code straight into packed word
+                # c//16 at bit 2*(c%16) — each (step, bit) lands once,
+                # so addition == OR
+                ops_ref[:, :] = ops_ref[:, :] + jnp.where(
+                    stepping & (slane == (c >> 4)), d * _pow4(c & 15), 0
+                )
+            else:
+                ops_ref[:, :] = ops_ref[:, :] + jnp.where(
+                    stepping & (slane == c), d, 0
+                )
             consumes_x = (d <= DIR_SUBST) | (d == DIR_INS)
             consumes_y = (d <= DIR_SUBST) | (d == DIR_DEL)
             i = jnp.where(stepping & consumes_x, i - 1, i)
@@ -551,20 +588,22 @@ def make_stream_traceback_kernel(
             ],
             out_specs=[
                 pl.BlockSpec((BBLK, 4), lambda g: (g, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((BBLK, SMAX), lambda g: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BBLK, OPS_W), lambda g: (g, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((N, 4), jnp.int32),
-                jax.ShapeDtypeStruct((N, SMAX), jnp.int32),
+                jax.ShapeDtypeStruct((N, OPS_W), jnp.int32),
             ],
             scratch_shapes=[
                 pltpu.VMEM((YMAX + 1, BBLK, W), jnp.int32),
             ],
             interpret=interpret,
         )(x, y, params)
+        if walk_packed:
+            # codes already packed in-kernel; one d2h-ready array
+            return jnp.concatenate([meta, ops], axis=1)
         # pack 16 2-bit codes per int32 word (XLA; stays on device) and
         # fuse with meta into one array for a single d2h transfer
-        PW = SMAX // 16
         codes = ops.reshape(N, PW, 16)
         shifts = (2 * jnp.arange(16, dtype=jnp.int32))[None, None, :]
         packed = jnp.sum(codes << shifts, axis=2, dtype=jnp.int32)
@@ -615,7 +654,7 @@ _STB_CACHE = {}
 
 
 def get_stream_traceback_gather_kernel(BBLK, XMAX, YMAX, W, interpret=False, SMAX=0):
-    key = (BBLK, XMAX, YMAX, W, interpret, SMAX)
+    key = (BBLK, XMAX, YMAX, W, interpret, SMAX, walk_packed_on())
     if key not in _STB_CACHE:
         _STB_CACHE[key] = make_stream_traceback_gather_kernel(
             BBLK, XMAX, YMAX, W, interpret, SMAX

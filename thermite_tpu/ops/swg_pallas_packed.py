@@ -87,7 +87,7 @@ def _round_up(v, m):
 
 def make_packed_stream_call(BBLK: int, XSRC: int, YMAX: int, SMAX: int,
                             interpret: bool = False, walk: bool = True,
-                            SEG: int = 64):
+                            SEG: int = 64, walk_packed=None):
     """UNJITTED (xs0, xsufs, ybs, params) -> (metaN, opsN).
 
     xs0    (N2, 128) int32 — initial x windows ([0, x[0..SEG-2]] per seg)
@@ -97,9 +97,16 @@ def make_packed_stream_call(BBLK: int, XSRC: int, YMAX: int, SMAX: int,
     params (N2, 4*NSEG) int32 — [xlen, ylen, band, xd] per segment
     metaN  (N2, 4*NSEG) int32 — [score, max_i, max_j, nsteps] per segment
     opsN   (N2, NSEG*SMAX) int32 — walk dir codes, segment-major
+           (with walk_packed: (N2, NSEG*SMAX/16), pre-packed 16/word)
     """
     NSEG = W // SEG
     MAXIT = YMAX + 1 + SMAX
+    if walk_packed is None:
+        from .swg_pallas import walk_packed_on
+
+        walk_packed = walk_packed_on()
+    PW = SMAX // 16
+    SEG_W = PW if walk_packed else SMAX
 
     def kernel(xs0_ref, xsuf_ref, yb_ref, p_ref, meta_ref, ops_ref, dirs_ref):
         e = jnp.int32(GAP_EXTEND)
@@ -286,11 +293,11 @@ def make_packed_stream_call(BBLK: int, XSRC: int, YMAX: int, SMAX: int,
         certN = to_seg(certL)
 
         # ---- vectorized walk over all segments ----
-        SN = NSEG * SMAX
+        SN = NSEG * SEG_W
         ops_ref[:, :] = jnp.zeros((BBLK, SN), jnp.int32)
         slane = jax.lax.broadcasted_iota(jnp.int32, (BBLK, SN), 1)
         smask = [
-            (slane >= s * SMAX) & (slane < (s + 1) * SMAX)
+            (slane >= s * SEG_W) & (slane < (s + 1) * SEG_W)
             for s in range(NSEG)
         ]
         jj0 = jnp.max(mj)
@@ -322,14 +329,25 @@ def make_packed_stream_call(BBLK: int, XSRC: int, YMAX: int, SMAX: int,
             d = jnp.concatenate(ds, axis=1)  # (BBLK, NSEG)
             alive = (i > 0) | (j > 0)
             stepping = alive & (j == jj)
-            # per-lane step cursor: SMAX*s + c[:, s] on segment s
-            coff = c + jnp.arange(NSEG, dtype=jnp.int32)[None, :] * SMAX
+            if walk_packed:
+                # packed word cursor: PW*s + c//16; payload shifted to
+                # bit 2*(c%16) (each step/bit lands once: add == OR)
+                from .swg_pallas import _pow4
+
+                coff = (c >> 4) + jnp.arange(
+                    NSEG, dtype=jnp.int32
+                )[None, :] * PW
+                payload = d * _pow4(c & 15)
+            else:
+                # per-lane step cursor: SMAX*s + c[:, s] on segment s
+                coff = c + jnp.arange(NSEG, dtype=jnp.int32)[None, :] * SMAX
+                payload = d
             cl = sseg_bcast(coff)
             # int32 payloads only: a where() over i1 vectors lowers
             # through an i8->i1 truncation Mosaic rejects
             si = stepping.astype(jnp.int32)
             stl = sseg_bcast(si)
-            dl = sseg_bcast(d)
+            dl = sseg_bcast(payload)
             ops_ref[:, :] = ops_ref[:, :] + jnp.where(
                 (stl > 0) & (slane == cl), dl, 0
             )
@@ -377,10 +395,10 @@ def make_packed_stream_call(BBLK: int, XSRC: int, YMAX: int, SMAX: int,
             in_specs=[
                 spec(W), spec(NSEG * XSRC), spec(NSEG * YMAX), spec(4 * NSEG),
             ],
-            out_specs=[spec(4 * NSEG), spec(NSEG * SMAX)],
+            out_specs=[spec(4 * NSEG), spec(NSEG * SEG_W)],
             out_shape=[
                 jax.ShapeDtypeStruct((N2, 4 * NSEG), jnp.int32),
-                jax.ShapeDtypeStruct((N2, NSEG * SMAX), jnp.int32),
+                jax.ShapeDtypeStruct((N2, NSEG * SEG_W), jnp.int32),
             ],
             scratch_shapes=[
                 pltpu.VMEM((YMAX + 1, BBLK, W), jnp.int32),
@@ -405,8 +423,11 @@ def make_packed_stream_gather_kernel(
     """
     NSEG = W // SEG
     XSRC = _round_up(max(XMAX - SEG + 2, 1), 128)
+    from .swg_pallas import walk_packed_on
+
+    wp = walk_packed_on()  # resolved once; the unscramble below matches
     inner = make_packed_stream_call(BBLK, XSRC, YMAX, SMAX, interpret, walk,
-                                    SEG)
+                                    SEG, walk_packed=wp)
 
     def call(ref_nib, ref_lw, reads, meta):
         N = meta.shape[0]
@@ -461,9 +482,14 @@ def make_packed_stream_gather_kernel(
 
         # unscramble to standard (N, 4 + PW) rows
         PW = SMAX // 16
-        codes = opsN.reshape(N2, NSEG, PW, 16)
-        shifts = (2 * jnp.arange(16, dtype=jnp.int32))[None, None, None, :]
-        packed = jnp.sum(codes << shifts, axis=3, dtype=jnp.int32)
+        if wp:
+            packed = opsN.reshape(N2, NSEG, PW)  # packed in-kernel
+        else:
+            codes = opsN.reshape(N2, NSEG, PW, 16)
+            shifts = (2 * jnp.arange(16, dtype=jnp.int32))[
+                None, None, None, :
+            ]
+            packed = jnp.sum(codes << shifts, axis=3, dtype=jnp.int32)
         halves = jnp.concatenate(
             [metaN.reshape(N2, NSEG, 4), packed], axis=2
         )
@@ -479,7 +505,9 @@ _PACKED_CACHE = {}
 
 def get_packed_stream_gather_kernel(BBLK, XMAX, YMAX, SMAX, interpret=False,
                                     SEG=64):
-    key = (BBLK, XMAX, YMAX, SMAX, interpret, SEG)
+    from .swg_pallas import walk_packed_on
+
+    key = (BBLK, XMAX, YMAX, SMAX, interpret, SEG, walk_packed_on())
     if key not in _PACKED_CACHE:
         _PACKED_CACHE[key] = make_packed_stream_gather_kernel(
             BBLK, XMAX, YMAX, SMAX, interpret, SEG=SEG
