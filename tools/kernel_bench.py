@@ -83,11 +83,28 @@ def main():
     if band <= 15:
         kerns["pack4"] = get_packed_stream_gather_kernel(
             BBLK, XMAX, YMAX, SMAX, SEG=32)
+    # A/B the in-kernel packed walk emission (bit-identical by test;
+    # this is where the Mosaic lowering + the speedup get confirmed on
+    # real hardware — flip the default in batch.py if it wins)
+    if os.environ.get("THERMITE_WALK_PACKED", "0") in ("", "0"):
+        os.environ["THERMITE_WALK_PACKED"] = "1"
+        try:
+            kerns["general_wp"] = get_stream_traceback_gather_kernel(
+                BBLK, XMAX, YMAX, W, SMAX=SMAX)
+            if band <= 31:
+                kerns["pack2_wp"] = get_packed_stream_gather_kernel(
+                    BBLK, XMAX, YMAX, SMAX, SEG=64)
+        finally:
+            os.environ["THERMITE_WALK_PACKED"] = "0"
 
     outs = {}
     res = {"metric": f"stream_kernel_problems_per_s_band{band}", "n": n}
     for name, kern in kerns.items():
-        out = np.asarray(kern(words, lw, reads_dev, meta))  # compile+check
+        try:
+            out = np.asarray(kern(words, lw, reads_dev, meta))  # compile
+        except Exception as e:  # a _wp Mosaic reject must not lose the rest
+            res[name + "_error"] = f"{type(e).__name__}: {e}"[:200]
+            continue
         assert (out[:, 0] > 0).mean() > 0.9, f"{name}: scores look wrong"
         outs[name] = out
         best = 0.0
