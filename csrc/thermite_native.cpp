@@ -2459,9 +2459,19 @@ void* thermite_chunk_align_cpu_mt(void* eh, const uint8_t* reads,
     return nullptr;
   }
   if (cert_patches) *cert_patches += patches_total.load();
+  const bool prof = BuildProf::on();  // THERMITE_BUILD_DEBUG=1
+  int64_t t0 = prof ? prof_now() : 0;
   thermite_chunk_arbitrate(eh, ch, scores.data(), mi.data(), mj.data());
+  int64_t t1 = prof ? prof_now() : 0;
   int64_t rc = thermite_chunk_finalize(eh, ch, rows.data(), P, pw,
                                        ch->meta.data());
+  if (prof) {
+    int64_t t2 = prof_now();
+    std::fprintf(stderr,
+                 "[cpu] reads=%lld arbitrate=%.2fus/read finalize=%.2fus/read\n",
+                 (long long)ch->n_reads, (t1 - t0) / 1e3 / ch->n_reads,
+                 (t2 - t1) / 1e3 / ch->n_reads);
+  }
   if (rc != 0) {
     delete ch;
     return nullptr;
