@@ -80,7 +80,7 @@ def main():
     if band <= 31:
         kerns["pack2"] = get_packed_stream_gather_kernel(
             BBLK, XMAX, YMAX, SMAX, SEG=64)
-    if band <= 15:
+    if band <= 15 and not os.environ.get("KB_NO_PACK4"):
         kerns["pack4"] = get_packed_stream_gather_kernel(
             BBLK, XMAX, YMAX, SMAX, SEG=32)
     # A/B the in-kernel packed walk emission (bit-identical by test;

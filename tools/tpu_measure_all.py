@@ -130,6 +130,7 @@ def kernel():
     from tools import kernel_bench
 
     old = sys.argv
+    os.environ["KB_NO_PACK4"] = "1"  # known no-faster; saves a remote compile
     try:
         sys.argv = ["kernel_bench.py", "16384", "6"]
         kernel_bench.main()
