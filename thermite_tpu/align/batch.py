@@ -1312,6 +1312,13 @@ class BatchAligner:
             # all problems on short-read workloads; keep them off-device
             nontriv = (meta_dev[:, 6] > 0) & (meta_dev[:, 3] > 0)
             st.fwd_idx = np.flatnonzero(nontriv)
+            # group similar-length problems into the same kernel block:
+            # the walk while_loop runs to each BLOCK's max column, so
+            # mixing a long problem into a block of short ones stalls
+            # the whole block.  Outputs scatter back through fwd_idx —
+            # bit-identical at any order (parity suites enforce).
+            order = np.argsort(meta_dev[st.fwd_idx, 3], kind="stable")
+            st.fwd_idx = st.fwd_idx[order]
             sub = meta_dev[st.fwd_idx]
 
             if st.native_ch is not None:
@@ -1421,6 +1428,9 @@ class BatchAligner:
             # row is all zeros (score 0, max cell (0,0), no steps)
             nontriv = (meta_sub[:, 6] > 0) & (meta_sub[:, 3] > 0)
             st.tb_idx = np.flatnonzero(nontriv)
+            # same length-grouping as the forward dispatch (see there)
+            order = np.argsort(meta_sub[st.tb_idx, 3], kind="stable")
+            st.tb_idx = st.tb_idx[order]
             sub = meta_sub[st.tb_idx]
 
             BBLK = self._tb_bblk(YMAX, W)
