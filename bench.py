@@ -207,7 +207,31 @@ def _require_backend(timeout_s: float = 300.0) -> None:
 
     def abort(reason: str) -> None:
         # leave an explicit record instead of an empty capture: the
-        # driver stores this line as the round's bench result
+        # driver stores this line as the round's bench result.  The
+        # TPU-independent baselines still measure on CPU so an outage
+        # round records real numbers alongside the error.
+        extra = {}
+        try:
+            from thermite_tpu.align.driver import AlignOpts
+            from thermite_tpu.index.build import Index
+
+            opts = AlignOpts(
+                min_seed_len=20, min_aln_score_percent=0.0,
+                min_aln_score=30, intron_mode=True,
+            )
+            idx = Index.create_from_files(
+                "/root/reference/data/GRCh38-2020-A-chrM.fasta",
+                "/root/reference/data/GRCh38-2020-A-chrM.gtf",
+            )
+            chrM = idx.seq[idx.refs[0].start_idx : idx.refs[0].end_idx - 1]
+            extra["chrM_cpp_1core_reads_per_s"] = round(
+                _cpp_rps(idx, opts, make_reads(chrM, 4096, seed=13)), 1
+            )
+            extra["chrM_oracle_reads_per_s"] = round(
+                _oracle_rps(idx, opts, make_reads(chrM, 192, seed=11)), 1
+            )
+        except Exception:
+            pass  # the outage record matters more than the extras
         print(
             json.dumps(
                 {
@@ -216,6 +240,8 @@ def _require_backend(timeout_s: float = 300.0) -> None:
                     "unit": "reads/s",
                     "vs_baseline": 0,
                     "error": reason,
+                    "backend_outage": True,
+                    **extra,
                 }
             )
         )
