@@ -526,16 +526,21 @@ def make_stream_traceback_kernel(
         # ---- vectorized walk ----
         ops_ref[:, :] = jnp.zeros((BBLK, OPS_W), jnp.int32)
         slane = jax.lax.broadcasted_iota(jnp.int32, (BBLK, OPS_W), 1)
-        jj0 = jnp.max(mj)
+        jj0 = jnp.max(jnp.where((mi > 0) | (mj > 0), mj, -1))
 
         def cond(st):
             jj, i, j, c, it = st
-            any_alive = jnp.max(((i > 0) | (j > 0)).astype(jnp.int32)) > 0
-            return (jj >= 0) & any_alive & (it < MAXIT)
+            # jj is kept == max column over alive lanes (or -1 when all
+            # lanes finished), so the loop condition is scalar-only: no
+            # per-iteration vector reduce on the critical path.
+            return (jj >= 0) & (it < MAXIT)
 
-        def step(st):
+        def substep(st):
             jj, i, j, c, it = st
-            row = dirs_ref[jj, :, :]
+            # jj may underrun -1 on unrolled sub-steps after the last
+            # live column; the clamped read is dead then (stepping is
+            # all-false below because no lane has j == jj < 0).
+            row = dirs_ref[jnp.maximum(jj, 0), :, :]
             row0 = jnp.maximum(jj - band, 0)
             bi = jnp.clip(i - row0, 0, 2 * band)
             d = jnp.sum(jnp.where(t == bi, row, 0), axis=1, keepdims=True)
@@ -557,9 +562,22 @@ def make_stream_traceback_kernel(
             i = jnp.where(stepping & consumes_x, i - 1, i)
             j = jnp.where(stepping & consumes_y, j - 1, j)
             c = jnp.where(stepping, c + 1, c)
-            stepped_any = jnp.max(stepping.astype(jnp.int32)) > 0
-            jj = jnp.where(stepped_any, jj, jj - 1)
+            # advance the cursor straight to the highest column any
+            # still-alive lane occupies (== jj while an ins-chain or a
+            # slower lane is mid-column; skips empty columns in one
+            # hop; -1 once every lane finished).  Exactly the columns
+            # the old jj-1 ladder visited with work pending — same
+            # writes in the same order.
+            alive = (i > 0) | (j > 0)
+            jmax = jnp.max(jnp.where(alive, j, -1))
+            jj = jnp.minimum(jj, jmax)
             return (jj, i, j, c, it + 1)
+
+        def step(st):
+            # 2x unrolled: the walk is bound by per-iteration scalar
+            # latency (loop control + the jmax reduce), not vector
+            # throughput; sub-steps past loop exit are no-ops.
+            return substep(substep(st))
 
         jj, i, j, c, it = jax.lax.while_loop(
             cond, step, (jj0, mi, mj, z, jnp.int32(0))

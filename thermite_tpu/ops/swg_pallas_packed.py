@@ -300,7 +300,7 @@ def make_packed_stream_call(BBLK: int, XSRC: int, YMAX: int, SMAX: int,
             (slane >= s * SEG_W) & (slane < (s + 1) * SEG_W)
             for s in range(NSEG)
         ]
-        jj0 = jnp.max(mj)
+        jj0 = jnp.max(jnp.where((mi > 0) | (mj > 0), mj, -1))
 
         def sseg_bcast(v):  # (BBLK, NSEG) -> (BBLK, SN) by ops segment
             acc = jnp.broadcast_to(v[:, 0:1], (BBLK, SN))
@@ -310,12 +310,16 @@ def make_packed_stream_call(BBLK: int, XSRC: int, YMAX: int, SMAX: int,
 
         def cond(st):
             jj, i, j, c, it = st
-            any_alive = jnp.max(((i > 0) | (j > 0)).astype(jnp.int32)) > 0
-            return (jj >= 0) & any_alive & (it < MAXIT)
+            # jj tracks the max column over alive segments (-1 once all
+            # are done): scalar-only condition, no per-iteration vector
+            # reduce (see the general kernel's walk).
+            return (jj >= 0) & (it < MAXIT)
 
-        def step(st):
+        def substep(st):
             jj, i, j, c, it = st
-            row = dirs_ref[jj, :, :]
+            # clamped read: unrolled sub-steps past loop exit run with
+            # jj < 0 and stepping all-false (no segment has j == jj < 0)
+            row = dirs_ref[jnp.maximum(jj, 0), :, :]
             row0 = jnp.maximum(jj - bandN, 0)  # (BBLK, NSEG)
             bi = jnp.clip(i - row0, 0, 2 * bandN)
             bil = seg_bcast(bi)
@@ -356,9 +360,20 @@ def make_packed_stream_call(BBLK: int, XSRC: int, YMAX: int, SMAX: int,
             i = jnp.where(stepping & consumes_x, i - 1, i)
             j = jnp.where(stepping & consumes_y, j - 1, j)
             c = jnp.where(stepping, c + 1, c)
-            stepped_any = jnp.max(stepping.astype(jnp.int32)) > 0
-            jj = jnp.where(stepped_any, jj, jj - 1)
+            # cursor hops straight to the highest column any alive
+            # segment occupies (stays == jj through ins-chains and
+            # stragglers; -1 once all finished) — the same columns the
+            # old jj-1 ladder visited with work pending, same writes in
+            # the same order, minus the empty iterations.
+            alive = (i > 0) | (j > 0)
+            jmax = jnp.max(jnp.where(alive, j, -1))
+            jj = jnp.minimum(jj, jmax)
             return (jj, i, j, c, it + 1)
+
+        def step(st):
+            # 2x unrolled: per-iteration scalar latency (loop control +
+            # the jmax reduce), not vector throughput, bounds the walk
+            return substep(substep(st))
 
         if walk:
             jj, i, j, c, it = jax.lax.while_loop(

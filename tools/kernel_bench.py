@@ -119,6 +119,54 @@ def main():
         assert (out == outs["general"]).all(), f"{name} != general on device!"
     if "pack4" in res:
         res["speedup_pack4"] = round(res["pack4"] / res["general"], 2)
+
+    if os.environ.get("KB_DECOMP"):
+        # cost decomposition: device-side checksum output (4 B d2h)
+        # isolates the ~40 MB/s tunnel payload; walk=False isolates the
+        # traceback walk from the DP forward pass.  problems/s here are
+        # NOT comparable to production (no full d2h) — they bound the
+        # raw kernel compute rate.
+        import jax.numpy as jnp
+        from thermite_tpu.ops.swg_pallas_packed import (
+            make_packed_stream_gather_kernel,
+        )
+
+        def checksum(fn):
+            import jax
+
+            return jax.jit(
+                lambda w, l, r, m: jnp.sum(
+                    fn(w, l, r, m), dtype=jnp.int32
+                )
+            )
+
+        variants = {
+            "pack2_nod2h": checksum(
+                make_packed_stream_gather_kernel(
+                    BBLK, XMAX, YMAX, SMAX, SEG=64
+                )[1]
+            ),
+            "pack2_nowalk_nod2h": checksum(
+                make_packed_stream_gather_kernel(
+                    BBLK, XMAX, YMAX, SMAX, walk=False, SEG=64
+                )[1]
+            ),
+            "noop_nod2h": checksum(
+                lambda w, l, r, m: m[:, :1].astype(jnp.int32)
+            ),
+        }
+        for name, kern in variants.items():
+            try:
+                kern(words, lw, reads_dev, meta).block_until_ready()
+            except Exception as e:
+                res[name + "_error"] = f"{type(e).__name__}: {e}"[:200]
+                continue
+            best = 0.0
+            for _ in range(trials):
+                t0 = time.time()
+                kern(words, lw, reads_dev, meta).block_until_ready()
+                best = max(best, n / (time.time() - t0))
+            res[name] = round(best, 0)
     print(json.dumps(res))
 
 
