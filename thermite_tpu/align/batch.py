@@ -1386,7 +1386,8 @@ class BatchAligner:
     def _forward_results(self, st: "_ChunkState"):
         n = len(st.meta_all)
         if self.backend == "pallas":
-            sub = np.asarray(st.fwd_raw)[: len(st.fwd_idx)]
+            with self.stats.dsync("arbitrate"):
+                sub = np.asarray(st.fwd_raw)[: len(st.fwd_idx)]
             st.fwd_raw = None
             if st.native_ch is not None:
                 # single-pass: keep the full pid-indexed stream rows for
@@ -1412,7 +1413,11 @@ class BatchAligner:
             return out[:, 0], out[:, 1], out[:, 2]
         score, mi, mj = st.fwd_raw
         st.fwd_raw = None
-        return np.asarray(score)[:n], np.asarray(mi)[:n], np.asarray(mj)[:n]
+        with self.stats.dsync("arbitrate"):
+            out = (
+                np.asarray(score)[:n], np.asarray(mi)[:n], np.asarray(mj)[:n]
+            )
+        return out
 
     def _dispatch_traceback(self, st: "_ChunkState") -> None:
         if st.pid_list is None or len(st.pid_list) == 0:
@@ -1475,7 +1480,8 @@ class BatchAligner:
         if self.backend == "pallas":
             from ..ops.runs import decode_stream_batch
 
-            sub_out = np.asarray(st.tb_raw)[: len(st.tb_idx)]
+            with self.stats.dsync("finalize"):
+                sub_out = np.asarray(st.tb_raw)[: len(st.tb_idx)]
             st.tb_raw = None
             out = np.zeros((n, sub_out.shape[1]), np.int32)
             out[st.tb_idx] = sub_out

@@ -49,6 +49,20 @@ class PipelineStats:
         finally:
             self.stage_s[name] += time.time() - t
 
+    @contextmanager
+    def dsync(self, outer: str):
+        """Time a device sync point (np.asarray of an async result)
+        nested inside ``stage(outer)``.  The report subtracts it from
+        the outer stage so host CPU time and device-wait + d2h-transfer
+        time stop masquerading as one another (on a 1-core host the
+        sync absorbs kernel wall + the tunnel transfer — round 2 read
+        that as 'arbitrate is 40% of wall')."""
+        t = time.time()
+        try:
+            yield
+        finally:
+            self.stage_s[outer + "/dsync"] += time.time() - t
+
     def wall_s(self) -> float:
         return time.time() - self._t0
 
@@ -89,5 +103,16 @@ class PipelineStats:
                 f"  stream-walk host fallbacks\t{self.stream_fallbacks}"
             )
         for name, s in sorted(self.stage_s.items()):
-            lines.append(f"  stage {name}\t{s:.3f} s ({100 * s / wall:.0f}%)")
+            if name.endswith("/dsync"):
+                lines.append(
+                    f"  stage {name[:-6]} device wait+d2h\t{s:.3f} s"
+                    f" ({100 * s / wall:.0f}%)"
+                )
+                continue
+            sub = self.stage_s.get(name + "/dsync", 0.0)
+            host = s - sub
+            tag = " host" if sub else ""
+            lines.append(
+                f"  stage {name}{tag}\t{host:.3f} s ({100 * host / wall:.0f}%)"
+            )
         return "\n".join(lines)
