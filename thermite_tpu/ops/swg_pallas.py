@@ -512,8 +512,14 @@ def make_stream_traceback_kernel(
             rstop = jnp.maximum(rstop, real_drop.astype(jnp.int32))
             return (D, C, R, xs, yb, ms, mi, mj, s1, s2, cmin, ecap, rstop)
 
+        # traced column bound: every column past the block's max ylen is
+        # a fully-masked no-op (active == False everywhere), so skipping
+        # them is bit-exact; the walk only reads dirs rows <= max alive
+        # mj <= maxy.  fori_loop with a traced bound lowers to a
+        # scalar-condition while (no vector reduce per column).
+        maxy = jnp.max(jnp.minimum(ylen, YMAX))
         carry = jax.lax.fori_loop(
-            1, YMAX + 1, body,
+            1, maxy + 1, body,
             (D, C, R, xs, yb, z, z, z, z, z, big,
              jnp.broadcast_to(ub_final, (BBLK, 1)), z),
         )

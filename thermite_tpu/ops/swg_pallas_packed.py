@@ -270,8 +270,11 @@ def make_packed_stream_call(BBLK: int, XSRC: int, YMAX: int, SMAX: int,
             rstop = jnp.maximum(rstop, real_drop.astype(jnp.int32))
             return (D, C, xs, xss, ybs, ms, mi, mj, s1, s2, cmin, ecap, rstop)
 
+        # traced column bound — see the general kernel: columns past the
+        # block's max ylen are fully-masked no-ops; skipping is bit-exact
+        maxy = jnp.max(jnp.minimum(ylen, YMAX))
         carry = jax.lax.fori_loop(
-            1, YMAX + 1, body,
+            1, maxy + 1, body,
             (D, C, xs, xss, ybs, zW, zW, zW, zW, zW, bigW, ub_final, zW),
         )
         msL, miL, mjL = carry[5], carry[6], carry[7]
