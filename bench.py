@@ -274,7 +274,12 @@ def main():
         min_seed_len=20, min_aln_score_percent=0.0, min_aln_score=30,
         intron_mode=True,
     )
-    N = 16384
+    # 49152 reads/trial ≈ 6 pipeline chunks: enough for the 3-stage
+    # chunk pipeline to amortize its fill/drain tail (at 16384 = 2
+    # chunks the last chunk's un-overlapped kernel+d2h was ~half of
+    # every trial).  The reference benchmark workload is 500k reads
+    # (data/Makefile:28) — bigger trials are *closer* to it.
+    N = 49152
 
     # ---- headline: 45 Mbp synthetic chromosome (chr21 stand-in) ----
     syn = _syn45_index()

@@ -128,3 +128,49 @@ def test_iter_text_nib_words_matches_one_shot():
                 list(iter_text_nib_words(text, chunk_words=cw))
             )
             assert np.array_equal(chunks, one), (L, cw)
+
+
+def test_prepacked_reads_match_byte_path():
+    """Production read form: the host-pre-packed nibble read block
+    (pack_reads_nib_host) must produce bit-identical x/y windows to the
+    on-device byte path through BOTH gather front-ends, including
+    reversed windows, non-ACGTN read bytes, and block-edge anchors."""
+    from thermite_tpu.ops.swg_pallas import pack_reads_nib_host
+
+    rng = np.random.default_rng(11)
+    text = rng.choice(np.frombuffer(b"ACGT", np.uint8), 4000)
+    words = pack_text_nib_host(text)
+    lw = nib_lw(len(text))
+    RPAD = 48
+    B = 16
+    reads = rng.choice(np.frombuffer(b"ACGTNRX", np.uint8), (B, RPAD))
+    reads[3, 5:] = 0  # short read: pad bytes inside the block
+    XMAX, YMAX, W = 48, 96, 128
+    XW = max(W, XMAX + 1)
+    meta = np.zeros((2 * B, 9), np.int32)
+    for i in range(B):
+        p = int(rng.integers(150, len(text) - 150))
+        xl = int(rng.integers(1, RPAD))
+        meta[2 * i] = meta_row(p, 1, 60, i * RPAD, 1, xl, 8, 8)
+        meta[2 * i + 1] = meta_row(
+            p - 1, -1, 20, i * RPAD + xl - 1, -1, xl, 8, 8
+        )
+    # edge: reversed x window anchored at byte 0 of the block
+    meta[1] = meta_row(200, -1, 20, 0, -1, 1, 8, 8)
+
+    nib = pack_reads_nib_host(reads.reshape(-1))
+    for shifted in (True, False):
+        xb, yb = (
+            np.asarray(v)
+            for v in _gather_windows_packed(
+                words, lw, reads, meta, XMAX, XW, YMAX, shifted_x=shifted
+            )
+        )
+        xn, yn = (
+            np.asarray(v)
+            for v in _gather_windows_packed(
+                words, lw, nib, meta, XMAX, XW, YMAX, shifted_x=shifted
+            )
+        )
+        assert (xn == xb).all()
+        assert (yn == yb).all()

@@ -135,3 +135,48 @@ def test_walk_packed_bit_identity(monkeypatch, seg):
         f"default={a[neq[0], :6]} walk_packed={b[neq[0], :6]}"
     )
     assert (a[:, 0] != 0).any() and (np.abs(a[:, 4:]) > 0).any()
+
+
+@pytest.mark.parametrize("seg", [0, 64, 32])  # 0 = general kernel
+def test_prepacked_reads_bit_identity(seg):
+    """The production read form (host-pre-packed nibble block,
+    pack_reads_nib_host) must reproduce the byte-block path's output
+    rows bit for bit through both stream kernels."""
+    from thermite_tpu.ops.swg_pallas import pack_reads_nib_host
+
+    rng = np.random.default_rng(23)
+    text = rng.choice(np.frombuffer(b"ACGT", np.uint8), 5000)
+    words = pack_text_nib_host(text)
+    lw = np.int32(nib_lw(len(text)))
+    RPAD, NR = 64, 32
+    reads = np.zeros((NR, RPAD), np.uint8)
+    for i in range(NR):
+        p = int(rng.integers(0, len(text) - RPAD))
+        r = text[p : p + RPAD].copy()
+        for _ in range(int(rng.integers(0, 5))):
+            r[int(rng.integers(0, RPAD))] = ord("ACGT"[int(rng.integers(0, 4))])
+        reads[i] = r
+
+    BBLK = 8
+    XMAX, YMAX, SMAX = 64, 96, 256
+    if seg:
+        NSEG = 128 // seg
+        n = NSEG * BBLK * 2
+        kern = get_packed_stream_gather_kernel(
+            BBLK, XMAX, YMAX, SMAX, interpret=True, SEG=seg
+        )
+        band_max = (seg - 2) // 2
+    else:
+        n = BBLK * 2
+        kern = get_stream_traceback_gather_kernel(
+            BBLK, XMAX, YMAX, 128, interpret=True, SMAX=SMAX
+        )
+        band_max = 31
+    meta = _mk_problems(
+        rng, text, reads.reshape(-1), RPAD, n, XMAX, YMAX, band_max=band_max
+    )
+    a = np.asarray(kern(words, lw, reads, meta))
+    nib = pack_reads_nib_host(reads.reshape(-1))
+    b = np.asarray(kern(words, lw, nib, meta))
+    assert (a == b).all()
+    assert (a[:, 0] != 0).any()

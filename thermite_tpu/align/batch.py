@@ -555,9 +555,15 @@ class BatchAligner:
             _round_up(maxlen + kband + 1, 32), getattr(self, "_YMAX", 0)
         )
         self._W = max(_round_up(2 * kband + 1, 128), 128, getattr(self, "_W", 0))
+        # device rows carry narrow-band walks only; original-band cert
+        # patches land in the wider host array (_SMAX_HOST)
         self._SMAX = max(
-            _round_up(self._XMAX + maxlen + band + 1 + 2, 128),
+            _round_up(maxlen + (maxlen + kband + 1) + 2, 16),
             getattr(self, "_SMAX", 0),
+        )
+        self._SMAX_HOST = max(
+            _round_up(maxlen + (maxlen + band + 1) + 2, 16),
+            self._SMAX, getattr(self, "_SMAX_HOST", 0),
         )
         nb = _pow2_bucket(self.PROBLEM_BUDGET + 1024, 128)
         for attr in ("_NFWD1", "_NFWD", "_NTB"):
@@ -587,6 +593,16 @@ class BatchAligner:
                 starts.append(i)
                 st, i = self._build_chunk(reads, i)
             self._dispatch_forward(st)
+            if self.backend == "pallas" and st.fwd_raw is not None:
+                # start the d2h transfer the moment the kernel finishes
+                # (it queues behind the kernel on the device stream), so
+                # the ~40 MB/s-tunnel payload crosses while the host
+                # builds the NEXT chunk instead of serializing inside
+                # the arbitrate sync
+                try:
+                    st.fwd_raw.copy_to_host_async()
+                except AttributeError:
+                    pass
             self.stats.chunks += 1
             self.stats.reads += len(st.reads)
             self.stats.problems += len(st.meta_all)
@@ -722,11 +738,21 @@ class BatchAligner:
             reads_pad[ri, : len(r)] = np.frombuffer(r, np.uint8)
         st.reads_host = reads_pad
         st.reads_dev = (
-            jax.device_put(reads_pad, self._sharding_repl())
+            self._put_reads(reads_pad)
             if self.backend == "pallas" else reads_pad
         )
         st.meta_all = st.problems.meta()
         return st, pos
+
+    def _put_reads(self, reads_pad: np.ndarray):
+        """Upload the chunk's read block nibble-packed (halves the
+        per-chunk h2d payload over the tunnel and removes the on-device
+        byte re-pack; codes are bit-identical to the byte path)."""
+        from ..ops.swg_pallas import pack_reads_nib_host
+
+        return jax.device_put(
+            pack_reads_nib_host(reads_pad.reshape(-1)), self._sharding_repl()
+        )
 
     def _build_chunk_native(
         self, all_reads: List[bytes], start: int
@@ -794,7 +820,7 @@ class BatchAligner:
             upload = np.zeros((rows, RPAD), np.uint8)
             upload[: len(reads_pad)] = reads_pad
         st.reads_dev = (
-            jax.device_put(upload, self._sharding_repl())
+            self._put_reads(upload)
             if self.backend == "pallas" else upload
         )
         return st, start + consumed
@@ -1346,14 +1372,22 @@ class BatchAligner:
                 self.stats.dp_cells_ref += int(
                     np.sum(orig[:, 3] * (2 * orig[:, 7] + 1), dtype=np.int64)
                 )
-                # SMAX must hold the ORIGINAL-band walks too: cert
-                # failures are host-patched at full band into the same
-                # pid-indexed rows
+                # device SMAX only bounds the NARROWED walks (the d2h
+                # row width is 4 + SMAX/16 words over a ~40 MB/s
+                # tunnel); ORIGINAL-band cert-failure patches are
+                # host-written into a wider host-side array
+                # (_forward_results), so they never size the transfer
                 smax = _round_up(
-                    int((orig[:, 6] + orig[:, 3]).max(initial=1)) + 2, 128
+                    int((sub[:, 6] + sub[:, 3]).max(initial=1)) + 2, 16
                 )
                 smax = max(smax, getattr(self, "_SMAX", 0))
                 self._SMAX = smax
+                hmax = _round_up(
+                    int((orig[:, 6] + orig[:, 3]).max(initial=1)) + 2, 16
+                )
+                self._SMAX_HOST = max(
+                    smax, hmax, getattr(self, "_SMAX_HOST", 0)
+                )
                 kern = self._stream_kernel(BBLK, XMAX, YMAX, W, smax, seg)
                 words, lw = self._ref_text()
                 st.fwd_raw = kern(words, lw, st.reads_dev, meta)
@@ -1391,9 +1425,14 @@ class BatchAligner:
             st.fwd_raw = None
             if st.native_ch is not None:
                 # single-pass: keep the full pid-indexed stream rows for
-                # finalize; cols 0-2 are score/max_i/max_j
-                full = np.zeros((n, sub.shape[1]), np.int32)
-                full[st.fwd_idx] = sub
+                # finalize; cols 0-2 are score/max_i/max_j.  The host
+                # array is sized for ORIGINAL-band walks (cert-failure
+                # patches recompute at full band into these rows); the
+                # device rows only carry the narrow-band width.
+                pw_dev = sub.shape[1] - 4
+                pw_host = max(getattr(self, "_SMAX_HOST", 0) // 16, pw_dev)
+                full = np.zeros((n, 4 + pw_host), np.int32)
+                full[st.fwd_idx, : sub.shape[1]] = sub
                 # narrow-band certificate failures (nsteps = -2) and
                 # flagged walks (-1): recompute those problems exactly
                 # at the ORIGINAL band with the C++ scalar oracle and
@@ -1461,6 +1500,10 @@ class BatchAligner:
             kern = self._stream_kernel(BBLK, XMAX, YMAX, W, smax, seg)
             words, lw = self._ref_text()
             st.tb_raw = kern(words, lw, st.reads_dev, meta)
+            try:
+                st.tb_raw.copy_to_host_async()
+            except AttributeError:
+                pass
             return
 
         meta = self._pad_meta(

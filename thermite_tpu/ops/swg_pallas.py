@@ -825,6 +825,31 @@ def _read_codes(win):
     return c.astype(jnp.uint8)
 
 
+# read-block nibble LUT: same codes _read_codes produces on device, so
+# a host-pre-packed read block is bit-identical to the on-device
+# byte->code path (A..N = 1..5, pad 0 -> 0, anything else 15)
+_READ_NIB_LUT = np.full(256, 15, np.uint8)
+_READ_NIB_LUT[0] = 0
+for _i, _b in enumerate(b"ACGTN"):
+    _READ_NIB_LUT[_b] = _i + 1
+
+
+def pack_reads_nib_host(reads_u8: "np.ndarray") -> "np.ndarray":
+    """Host-side nibble pack of the (rows*RPAD,) flattened read block:
+    uint8 ASCII -> (nib_lw(L),) int32, same word layout as
+    ``pack_text_nib_host`` but through the READ code LUT.  Halves the
+    per-chunk read upload (the host<->device link here is a ~40 MB/s
+    tunnel) and removes the per-call on-device byte re-pack."""
+    L = int(reads_u8.shape[0])
+    Lw = nib_lw(L)
+    padded = np.zeros(Lw * 8, np.uint8)
+    padded[_WPAD : _WPAD + L] = reads_u8
+    w = np.zeros(Lw, np.uint32)
+    for i in range(8):
+        w |= _READ_NIB_LUT[padded[i::8]].astype(np.uint32) << np.uint32(4 * i)
+    return w.view(np.int32)
+
+
 def packed_lw(L: int) -> int:
     """Word count per shifted copy for a text of L bytes (the gather
     stride; must match pack_text_words)."""
@@ -872,15 +897,25 @@ def _gather_span_packed(words_flat, lw, base, dirp, SPAN):
 def _gather_windows_packed(
     ref_nib, ref_lw, reads, meta, XMAX, XW, YMAX, shifted_x: bool
 ):
-    """Device window builder (pallas path): x from the byte-word-packed
-    read block mapped to 4-bit codes, y from the nibble-packed resident
-    text.  Both sides come out as comparable 4-bit codes."""
-    rw, rlw = pack_text_words(reads.reshape(-1))
-    xb = _gather_span_packed(
-        rw.reshape(-1), rlw, meta[:, 4:5], meta[:, 5:6], XMAX
-    )
+    """Device window builder (pallas path): x from the read block
+    (either a host-pre-packed 1-D nibble array — production — or a 2-D
+    uint8 block byte-packed on device), y from the nibble-packed
+    resident text.  Both sides come out as comparable 4-bit codes,
+    bit-identical between the two read forms."""
     ix = jnp.arange(XMAX, dtype=jnp.int32)[None, :]
-    win = jnp.where(ix < meta[:, 6:7], _read_codes(xb), 0).astype(jnp.uint8)
+    if reads.ndim == 1:  # host-pre-packed nibble read block
+        rlw = reads.shape[0]
+        lo = meta[:, 4:5] + _WPAD
+        xb = _gather_span_nib(
+            reads, rlw, lo >> 3, lo & 7, meta[:, 5:6], XMAX
+        )
+        win = jnp.where(ix < meta[:, 6:7], xb, 0).astype(jnp.uint8)
+    else:
+        rw, rlw = pack_text_words(reads.reshape(-1))
+        xb = _gather_span_packed(
+            rw.reshape(-1), rlw, meta[:, 4:5], meta[:, 5:6], XMAX
+        )
+        win = jnp.where(ix < meta[:, 6:7], _read_codes(xb), 0).astype(jnp.uint8)
     if shifted_x:
         x = jnp.pad(win, ((0, 0), (1, XW - XMAX - 1)))
     else:

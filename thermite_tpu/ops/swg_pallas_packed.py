@@ -453,14 +453,30 @@ def make_packed_stream_gather_kernel(
         m = meta.reshape(N2 // BBLK, NSEG, BBLK, 9)
         msegs = [m[:, s].reshape(N2, 9) for s in range(NSEG)]
 
-        rw, rlw = pack_text_words(reads.reshape(-1))
-        rw_flat = rw.reshape(-1)
+        if reads.ndim == 1:  # host-pre-packed nibble read block
+            rnib, rnlw = reads, reads.shape[0]
+
+            def x_codes(mm, base, span):
+                from .swg_pallas import _WPAD
+
+                lo = base + _WPAD
+                return _gather_span_nib(
+                    rnib, rnlw, lo >> 3, lo & 7, mm[:, 5:6], span
+                ).astype(jnp.int32)
+
+        else:
+            rw, rlw = pack_text_words(reads.reshape(-1))
+            rw_flat = rw.reshape(-1)
+
+            def x_codes(mm, base, span):
+                xb = _gather_span_packed(rw_flat, rlw, base, mm[:, 5:6], span)
+                return _read_codes(xb).astype(jnp.int32)
 
         def x_initial(mm):
             # [0, x[0..SEG-2]] codes
-            xb = _gather_span_packed(rw_flat, rlw, mm[:, 4:5], mm[:, 5:6], SEG)
+            xb = x_codes(mm, mm[:, 4:5], SEG)
             ix = jnp.arange(SEG, dtype=jnp.int32)[None, :]
-            win = jnp.where(ix < mm[:, 6:7], _read_codes(xb), 0)
+            win = jnp.where(ix < mm[:, 6:7], xb, 0)
             return jnp.pad(
                 win[:, : SEG - 1], ((0, 0), (1, 0))
             ).astype(jnp.int32)
@@ -470,10 +486,10 @@ def make_packed_stream_gather_kernel(
         def x_suffix(mm):
             # suf[t] = x[t + SEG - 1] (0 beyond xlen)
             base = mm[:, 4:5] + mm[:, 5:6] * (SEG - 1)
-            xb = _gather_span_packed(rw_flat, rlw, base, mm[:, 5:6], XSRC)
+            xb = x_codes(mm, base, XSRC)
             ix = jnp.arange(XSRC, dtype=jnp.int32)[None, :]
             ok = ix + (SEG - 1) < mm[:, 6:7]
-            return jnp.where(ok, _read_codes(xb), 0).astype(jnp.int32)
+            return jnp.where(ok, xb, 0).astype(jnp.int32)
 
         def y_win(mm):
             yb = _gather_span_nib(
