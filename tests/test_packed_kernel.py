@@ -180,3 +180,42 @@ def test_prepacked_reads_bit_identity(seg):
     b = np.asarray(kern(words, lw, nib, meta))
     assert (a == b).all()
     assert (a[:, 0] != 0).any()
+
+
+@pytest.mark.parametrize("seg", [0, 64])  # 0 = general kernel
+def test_packed_meta_bit_identity(seg):
+    """The 4-col packed meta upload form must reproduce the 9-col
+    form's output rows bit for bit through both stream kernels."""
+    from thermite_tpu.ops.swg_pallas import pack_meta_host
+
+    rng = np.random.default_rng(31)
+    text = rng.choice(np.frombuffer(b"ACGT", np.uint8), 5000)
+    words = pack_text_nib_host(text)
+    lw = np.int32(nib_lw(len(text)))
+    RPAD, NR = 64, 32
+    reads = np.zeros((NR, RPAD), np.uint8)
+    for i in range(NR):
+        p = int(rng.integers(0, len(text) - RPAD))
+        reads[i] = text[p : p + RPAD]
+
+    BBLK = 8
+    XMAX, YMAX, SMAX = 64, 96, 256
+    if seg:
+        n = (128 // seg) * BBLK * 2
+        kern = get_packed_stream_gather_kernel(
+            BBLK, XMAX, YMAX, SMAX, interpret=True, SEG=seg
+        )
+        band_max = (seg - 2) // 2
+    else:
+        n = BBLK * 2
+        kern = get_stream_traceback_gather_kernel(
+            BBLK, XMAX, YMAX, 128, interpret=True, SMAX=SMAX
+        )
+        band_max = 31
+    meta = _mk_problems(
+        rng, text, reads.reshape(-1), RPAD, n, XMAX, YMAX, band_max=band_max
+    )
+    a = np.asarray(kern(words, lw, reads, meta))
+    b = np.asarray(kern(words, lw, reads, pack_meta_host(meta)))
+    assert (a == b).all()
+    assert (a[:, 0] != 0).any()

@@ -744,6 +744,17 @@ class BatchAligner:
         st.meta_all = st.problems.meta()
         return st, pos
 
+    def _pack_meta(self, meta: np.ndarray) -> np.ndarray:
+        """Upload problem meta in the 4-col packed form (55% less h2d
+        per chunk) when every field fits its packed range; kernels
+        accept both forms, so oversize fields just ride unpacked."""
+        from ..ops.swg_pallas import pack_meta_host
+
+        try:
+            return pack_meta_host(meta)
+        except ValueError:
+            return meta
+
     def _put_reads(self, reads_pad: np.ndarray):
         """Upload the chunk's read block nibble-packed (halves the
         per-chunk h2d payload over the tunnel and removes the on-device
@@ -1390,7 +1401,7 @@ class BatchAligner:
                 )
                 kern = self._stream_kernel(BBLK, XMAX, YMAX, W, smax, seg)
                 words, lw = self._ref_text()
-                st.fwd_raw = kern(words, lw, st.reads_dev, meta)
+                st.fwd_raw = kern(words, lw, st.reads_dev, self._pack_meta(meta))
                 return
 
             from ..ops.swg_pallas import get_forward_gather_kernel
@@ -1406,7 +1417,7 @@ class BatchAligner:
             self.stats.dp_cells += len(meta) * YMAX * W
             kern = get_forward_gather_kernel(BBLK, XMAX, YMAX, W, self.interpret)
             words, lw = self._ref_text()
-            st.fwd_raw = kern(words, lw, st.reads_dev, meta)
+            st.fwd_raw = kern(words, lw, st.reads_dev, self._pack_meta(meta))
             return
 
         meta = self._pad_meta(
@@ -1499,7 +1510,7 @@ class BatchAligner:
             self._SMAX = smax
             kern = self._stream_kernel(BBLK, XMAX, YMAX, W, smax, seg)
             words, lw = self._ref_text()
-            st.tb_raw = kern(words, lw, st.reads_dev, meta)
+            st.tb_raw = kern(words, lw, st.reads_dev, self._pack_meta(meta))
             try:
                 st.tb_raw.copy_to_host_async()
             except AttributeError:

@@ -656,6 +656,7 @@ def make_stream_traceback_gather_call(
     inner = make_stream_traceback_kernel(BBLK, XMAX, YMAX, W, interpret, SMAX)
 
     def call(ref_words, ref_lw, reads, meta):
+        meta = _meta9(meta)
         x, y = _gather_windows_packed(
             ref_words, ref_lw, reads, meta, XMAX, XW, YMAX, shifted_x=True
         )
@@ -712,6 +713,53 @@ def get_stream_traceback_gather_kernel(BBLK, XMAX, YMAX, W, interpret=False, SMA
 # ---------------------------------------------------------------------------
 
 META_COLS = 9  # y_word, y_sub, y_dir, ylen, x_base, x_dir, xlen, band, x_drop
+
+# packed upload form: 4 int32 cols [y_word, x_base,
+#   ylen | xlen<<16,  y_sub | ydir_neg<<3 | xdir_neg<<4 | band<<5 | xd<<15]
+# — 55% less h2d per chunk over the ~40 MB/s tunnel.  Kernels accept
+# either form (unpacked on device, a handful of shifts).
+META_PACKED_COLS = 4
+
+
+def pack_meta_host(meta: "np.ndarray") -> "np.ndarray":
+    """(N, 9) int32 problem meta -> (N, 4) packed upload form."""
+    m = meta
+    assert m.shape[1] == META_COLS
+    ylen, xlen = m[:, 3], m[:, 6]
+    band, xd = m[:, 7], m[:, 8]
+    if len(m) and (
+        int(ylen.max(initial=0)) > 0xFFFF or int(xlen.max(initial=0)) > 0xFFFF
+        or int(band.max(initial=0)) > 0x3FF or int(xd.max(initial=0)) > 0xFFF
+    ):
+        raise ValueError("meta fields exceed packed-form ranges")
+    c2 = ylen | (xlen << 16)
+    c3 = (
+        m[:, 1]
+        | ((m[:, 2] < 0).astype(np.int32) << 3)
+        | ((m[:, 5] < 0).astype(np.int32) << 4)
+        | (band << 5)
+        | (xd << 15)
+    )
+    return np.stack([m[:, 0], m[:, 4], c2, c3], axis=1).astype(np.int32)
+
+
+def _meta9(meta):
+    """Device-side: accept (N, 9) unpacked or (N, 4) packed meta and
+    return the canonical 9-col layout (pad rows of zeros unpack to
+    zeros except dir = +1, which only affects discarded pad outputs)."""
+    if meta.shape[1] == META_COLS:
+        return meta
+    c0, c1, c2, c3 = (meta[:, k : k + 1] for k in range(META_PACKED_COLS))
+    ylen = c2 & 0xFFFF
+    xlen = (c2 >> 16) & 0xFFFF
+    y_sub = c3 & 7
+    y_dir = 1 - 2 * ((c3 >> 3) & 1)
+    x_dir = 1 - 2 * ((c3 >> 4) & 1)
+    band = (c3 >> 5) & 0x3FF
+    xd = (c3 >> 15) & 0xFFF
+    return jnp.concatenate(
+        [c0, y_sub, y_dir, ylen, c1, x_dir, xlen, band, xd], axis=1
+    )
 
 # The resident reference text is nibble-packed: 8 bases per int32 word,
 # 4-bit codes (below).  One copy, L/2 bytes — a 6.2 Gbp fwd+rc
@@ -970,6 +1018,7 @@ def make_forward_gather_kernel(BBLK, XMAX, YMAX, W, interpret=False):
     inner = make_forward_kernel(BBLK, XMAX, YMAX, W, interpret)
 
     def call(ref_words, ref_lw, reads, meta):
+        meta = _meta9(meta)
         x, y = _gather_windows_packed(
             ref_words, ref_lw, reads, meta, XMAX, XW, YMAX, shifted_x=True
         )
@@ -985,6 +1034,7 @@ def make_traceback_gather_kernel(BBLK, XMAX, YMAX, W, RMAX=24, interpret=False):
     inner = make_traceback_kernel(BBLK, XMAX, YMAX, W, RMAX, interpret)
 
     def call(ref_words, ref_lw, reads, meta):
+        meta = _meta9(meta)
         x, y = _gather_windows_packed(
             ref_words, ref_lw, reads, meta, XMAX, XW, YMAX, shifted_x=True
         )

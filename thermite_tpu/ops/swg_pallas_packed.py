@@ -448,6 +448,9 @@ def make_packed_stream_gather_kernel(
                                     SEG, walk_packed=wp)
 
     def call(ref_nib, ref_lw, reads, meta):
+        from .swg_pallas import _meta9
+
+        meta = _meta9(meta)
         N = meta.shape[0]
         N2 = N // NSEG
         m = meta.reshape(N2 // BBLK, NSEG, BBLK, 9)
