@@ -40,6 +40,7 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..constants import MATCH_SCORE
@@ -135,6 +136,12 @@ class _ChunkState:
     tasks_arr: Optional[np.ndarray] = None  # (T, 10) int64
     selected_arr: Optional[np.ndarray] = None  # (S, 11) int64
     tb_full: Optional[np.ndarray] = None  # pid-indexed stream rows
+    # winners-only stream transfer (single-pass split pipeline)
+    fwd_streams: object = None  # device-resident (Nb, PW) op streams
+    inv_rows: Optional[np.ndarray] = None  # pid -> device row (-1 none)
+    patched: Optional[np.ndarray] = None  # pids host-patched at full band
+    gather_raw: object = None  # un-synced winners' stream gather
+    gather_pids: Optional[np.ndarray] = None
 
 
 @dataclass
@@ -361,7 +368,7 @@ class BatchAligner:
                 and self.backend == "pallas"
                 and st.tb_full is not None
             ):
-                tb_out, st.tb_full = st.tb_full, None
+                tb_out = self._take_tb(st)
                 self.native.finalize(st.native_ch, tb_out, st.meta_all)
                 sl = recs[start : start + len(st.reads)]
                 raw = self.native.emit_chunk(
@@ -446,7 +453,7 @@ class BatchAligner:
                 and self.backend == "pallas"
                 and st.tb_full is not None
             ):
-                tb_out, st.tb_full = st.tb_full, None
+                tb_out = self._take_tb(st)
                 fin_data = self.native.finalize(
                     st.native_ch, tb_out, st.meta_all
                 )
@@ -848,6 +855,7 @@ class BatchAligner:
                 self._dispatch_traceback(st)
             else:
                 self.stats.winners += len(st.pid_list)
+                self._dispatch_stream_gather(st)
             return
         opts = self.opts
         reads = st.reads
@@ -922,6 +930,57 @@ class BatchAligner:
         st.pid_list = list(winner_pids.keys())
         self._dispatch_traceback(st)
 
+    def _dispatch_stream_gather(self, st: "_ChunkState") -> None:
+        """Winners-only op-stream transfer: gather the selected
+        problems' stream rows out of the device-resident buffer and
+        start their d2h (async — synced when finalize consumes them).
+        The always-transferred payload is then 8 B/problem; streams
+        cross the ~40 MB/s link only for winners (50-67% of problems on
+        the bench workloads, fewer on low-multimap data)."""
+        streams, st.fwd_streams = st.fwd_streams, None
+        if streams is None:
+            return
+        pids = np.asarray(st.pid_list, np.int64)
+        if len(pids) == 0:
+            return
+        rows = st.inv_rows[pids]
+        keep = rows >= 0
+        if st.patched is not None and len(st.patched):
+            keep &= ~np.isin(pids, st.patched)
+        need = pids[keep]
+        if len(need) == 0:
+            return
+        # sticky row bucket (2048 granularity): stable gather shapes
+        nw = max(
+            _round_up(len(need), 2048), getattr(self, "_NGATHER", 0)
+        )
+        self._NGATHER = nw
+        widx = np.zeros(nw, np.int32)
+        widx[: len(need)] = rows[keep]
+        if not hasattr(BatchAligner, "_GATHER_JIT"):
+            BatchAligner._GATHER_JIT = jax.jit(
+                lambda s, i: jnp.take(s, i, axis=0)
+            )
+        st.gather_pids = need
+        st.gather_raw = BatchAligner._GATHER_JIT(streams, widx)
+        try:
+            st.gather_raw.copy_to_host_async()
+        except AttributeError:
+            pass
+
+    def _take_tb(self, st: "_ChunkState") -> np.ndarray:
+        """Hand the finalize stage its pid-indexed stream rows, merging
+        the winners' gathered streams (synced here) into the host
+        array."""
+        tb_out, st.tb_full = st.tb_full, None
+        if st.gather_raw is not None:
+            with self.stats.dsync("finalize"):
+                g = np.asarray(st.gather_raw)[: len(st.gather_pids)]
+            st.gather_raw = None
+            tb_out[st.gather_pids, 4 : 4 + g.shape[1]] = g
+            st.gather_pids = None
+        return tb_out
+
     def _finalize_chunk(self, st: "_ChunkState") -> List[List[GenomeAlignment]]:
         if st.native_ch is not None and self.backend == "pallas":
             # full native finalize: decode+stitch+lift in C++ straight
@@ -957,8 +1016,7 @@ class BatchAligner:
             st.native_ch = None
             return results
         # single-pass: pid-indexed stream rows captured at arbitration
-        tb_out = st.tb_full
-        st.tb_full = None
+        tb_out = self._take_tb(st)
         fin_data = self.native.finalize(st.native_ch, tb_out, st.meta_all)
         self._objects_from_native(st, fin_data, results)
         self.native.free_chunk(st.native_ch)
@@ -1254,42 +1312,60 @@ class BatchAligner:
 
     _MESH_KERN_CACHE: Dict = {}
 
-    def _stream_kernel(self, BBLK, XMAX, YMAX, W, smax, seg=0):
+    def _stream_kernel(self, BBLK, XMAX, YMAX, W, smax, seg=0, split=False):
         """Single-pass stream kernel, sharded over the mesh when set.
 
         ``seg`` > 0 selects the lane-packed variant (128/seg problems
         per 128-lane row; ops/swg_pallas_packed.py) — every DP vector
         op then serves 128/seg problems; seg = 32 serves band <= 15
-        (the adaptive-narrowing default), seg = 64 band <= 31."""
+        (the adaptive-narrowing default), seg = 64 band <= 31.
+
+        ``split`` returns (hdr (N, 2), streams (N, PW)) so the pipeline
+        can keep op streams device-resident and d2h only winners'."""
         if self.mesh is None:
             if seg:
                 from ..ops.swg_pallas_packed import (
                     get_packed_stream_gather_kernel,
+                    get_packed_stream_gather_kernel_split,
                 )
 
+                if split:
+                    return get_packed_stream_gather_kernel_split(
+                        BBLK, XMAX, YMAX, smax, self.interpret, SEG=seg
+                    )
                 return get_packed_stream_gather_kernel(
                     BBLK, XMAX, YMAX, smax, self.interpret, SEG=seg
                 )
             from ..ops.swg_pallas import get_stream_traceback_gather_kernel
 
             return get_stream_traceback_gather_kernel(
-                BBLK, XMAX, YMAX, W, self.interpret, SMAX=smax
+                BBLK, XMAX, YMAX, W, self.interpret, SMAX=smax, split=split
             )
         from ..parallel.mesh import (
             sharded_packed_stream_kernel,
+            sharded_packed_stream_split_kernel,
             sharded_stream_kernel,
+            sharded_stream_split_kernel,
         )
 
         key = ("stream", self.mesh, BBLK, XMAX, YMAX, W, self.interpret,
-               smax, seg)
+               smax, seg, split)
         if key not in self._MESH_KERN_CACHE:
             if seg:
-                self._MESH_KERN_CACHE[key] = sharded_packed_stream_kernel(
+                mk = (
+                    sharded_packed_stream_split_kernel if split
+                    else sharded_packed_stream_kernel
+                )
+                self._MESH_KERN_CACHE[key] = mk(
                     self.mesh, BBLK, XMAX, YMAX, smax, self.interpret,
                     SEG=seg,
                 )
             else:
-                self._MESH_KERN_CACHE[key] = sharded_stream_kernel(
+                mk = (
+                    sharded_stream_split_kernel if split
+                    else sharded_stream_kernel
+                )
+                self._MESH_KERN_CACHE[key] = mk(
                     self.mesh, BBLK, XMAX, YMAX, W, self.interpret, SMAX=smax
                 )
         return self._MESH_KERN_CACHE[key]
@@ -1399,9 +1475,17 @@ class BatchAligner:
                 self._SMAX_HOST = max(
                     smax, hmax, getattr(self, "_SMAX_HOST", 0)
                 )
-                kern = self._stream_kernel(BBLK, XMAX, YMAX, W, smax, seg)
+                kern = self._stream_kernel(
+                    BBLK, XMAX, YMAX, W, smax, seg, split=True
+                )
                 words, lw = self._ref_text()
-                st.fwd_raw = kern(words, lw, st.reads_dev, self._pack_meta(meta))
+                st.fwd_raw, st.fwd_streams = kern(
+                    words, lw, st.reads_dev, self._pack_meta(meta)
+                )
+                # pid -> device stream row (for the winners-only gather)
+                inv = np.full(len(meta_all), -1, np.int32)
+                inv[st.fwd_idx] = np.arange(len(st.fwd_idx), dtype=np.int32)
+                st.inv_rows = inv
                 return
 
             from ..ops.swg_pallas import get_forward_gather_kernel
@@ -1435,15 +1519,19 @@ class BatchAligner:
                 sub = np.asarray(st.fwd_raw)[: len(st.fwd_idx)]
             st.fwd_raw = None
             if st.native_ch is not None:
-                # single-pass: keep the full pid-indexed stream rows for
-                # finalize; cols 0-2 are score/max_i/max_j.  The host
-                # array is sized for ORIGINAL-band walks (cert-failure
-                # patches recompute at full band into these rows); the
-                # device rows only carry the narrow-band width.
-                pw_dev = sub.shape[1] - 4
+                # single-pass split pipeline: only the packed (n, 2)
+                # int16-halves headers crossed the link; op streams stay
+                # device-resident until arbitration picks winners.  The
+                # host row array is sized for ORIGINAL-band walks
+                # (cert-failure patches recompute at full band into
+                # these rows).
+                from ..ops.swg_pallas import expand_stream_hdr
+
+                hdr = expand_stream_hdr(sub)
+                pw_dev = int(st.fwd_streams.shape[1])
                 pw_host = max(getattr(self, "_SMAX_HOST", 0) // 16, pw_dev)
                 full = np.zeros((n, 4 + pw_host), np.int32)
-                full[st.fwd_idx, : sub.shape[1]] = sub
+                full[st.fwd_idx, :4] = hdr
                 # narrow-band certificate failures (nsteps = -2) and
                 # flagged walks (-1): recompute those problems exactly
                 # at the ORIGINAL band with the C++ scalar oracle and
@@ -1456,6 +1544,7 @@ class BatchAligner:
                         self._ref_text_host, full,
                     )
                     self.stats.cert_patches += len(bad)
+                st.patched = bad
                 st.tb_full = full
                 return full[:, 0], full[:, 1], full[:, 2]
             out = np.zeros((n, 3), np.int32)

@@ -408,7 +408,7 @@ def smax_for(XMAX: int, YMAX: int) -> int:
 
 def make_stream_traceback_kernel(
     BBLK: int, XMAX: int, YMAX: int, W: int, interpret: bool = False,
-    SMAX: int = 0, walk_packed=None,
+    SMAX: int = 0, walk_packed=None, fuse: bool = True,
 ):
     """Forward + *vectorized* on-device traceback.
 
@@ -624,24 +624,48 @@ def make_stream_traceback_kernel(
             interpret=interpret,
         )(x, y, params)
         if walk_packed:
-            # codes already packed in-kernel; one d2h-ready array
-            return jnp.concatenate([meta, ops], axis=1)
-        # pack 16 2-bit codes per int32 word (XLA; stays on device) and
-        # fuse with meta into one array for a single d2h transfer
-        codes = ops.reshape(N, PW, 16)
-        shifts = (2 * jnp.arange(16, dtype=jnp.int32))[None, None, :]
-        packed = jnp.sum(codes << shifts, axis=2, dtype=jnp.int32)
+            # codes already packed in-kernel
+            packed = ops
+        else:
+            # pack 16 2-bit codes per int32 word (XLA; stays on device)
+            codes = ops.reshape(N, PW, 16)
+            shifts = (2 * jnp.arange(16, dtype=jnp.int32))[None, None, :]
+            packed = jnp.sum(codes << shifts, axis=2, dtype=jnp.int32)
+        if not fuse:
+            return meta, packed
         return jnp.concatenate([meta, packed], axis=1)
 
     return jax.jit(call)
 
 
+def pack_stream_hdr(meta4):
+    """Device epilogue: (N, 4) int32 [score, max_i, max_j, nsteps] ->
+    (N, 2) int32 with int16 halves [score|max_i, max_j|nsteps] — every
+    field fits int16 for reads under the _WPAD guard, so the always-
+    transferred per-problem header halves.  Host: expand_stream_hdr."""
+    ms, mi, mj, ns = (meta4[:, k : k + 1] for k in range(4))
+    w0 = (ms & 0xFFFF) | (mi << 16)
+    w1 = (mj & 0xFFFF) | (ns << 16)
+    return jnp.concatenate([w0, w1], axis=1)
+
+
+def expand_stream_hdr(sub2: "np.ndarray") -> "np.ndarray":
+    """(n, 2) int32 packed headers -> (n, 4) int32 (sign-extended)."""
+    return (
+        np.ascontiguousarray(sub2).view(np.int16).astype(np.int32)
+    ).reshape(len(sub2), 4)
+
+
 def make_stream_traceback_gather_call(
     BBLK: int, XMAX: int, YMAX: int, W: int, interpret: bool = False,
-    SMAX: int = 0,
+    SMAX: int = 0, split: bool = False,
 ):
-    """UNJITTED fn (ref_words, ref_lw, reads, meta) -> (N, 4 + SMAX/16)
-    int32 — the production single-pass gather+forward+traceback step.
+    """UNJITTED fn (ref_words, ref_lw, reads, meta) — the production
+    single-pass gather+forward+traceback step.  Default (fused) form
+    returns (N, 4 + SMAX/16) int32 rows; ``split=True`` returns
+    ``(hdr (N, 2), streams (N, SMAX/16))`` so the pipeline can transfer
+    the headers for every problem but gather/transfer op streams for
+    WINNERS only (the d2h payload is the tunnel bottleneck here).
     Callers jit it directly (single device) or wrap it in shard_map
     (``parallel.mesh.sharded_stream_kernel``: meta sharded along
     ``data``, text/reads replicated)."""
@@ -653,36 +677,47 @@ def make_stream_traceback_gather_call(
         f"window ({XMAX}, {YMAX}) exceeds the text padding {_WPAD}; "
         "long-read support needs a wider _WPAD"
     )
-    inner = make_stream_traceback_kernel(BBLK, XMAX, YMAX, W, interpret, SMAX)
+    inner = make_stream_traceback_kernel(
+        BBLK, XMAX, YMAX, W, interpret, SMAX, fuse=not split
+    )
 
     def call(ref_words, ref_lw, reads, meta):
         meta = _meta9(meta)
         x, y = _gather_windows_packed(
             ref_words, ref_lw, reads, meta, XMAX, XW, YMAX, shifted_x=True
         )
-        return inner(x, y, _params_from_meta(meta))
+        out = inner(x, y, _params_from_meta(meta))
+        if split:
+            meta4, streams = out
+            return pack_stream_hdr(meta4), streams
+        return out
 
     return call
 
 
 def make_stream_traceback_gather_kernel(
     BBLK: int, XMAX: int, YMAX: int, W: int, interpret: bool = False,
-    SMAX: int = 0,
+    SMAX: int = 0, split: bool = False,
 ):
-    """jit fn (ref_words, ref_lw, reads, meta) -> (N, 4 + SMAX/16) int32."""
+    """jit fn (ref_words, ref_lw, reads, meta) -> (N, 4 + SMAX/16) int32
+    (fused) or (hdr (N, 2), streams (N, SMAX/16)) with ``split``."""
     return jax.jit(
-        make_stream_traceback_gather_call(BBLK, XMAX, YMAX, W, interpret, SMAX)
+        make_stream_traceback_gather_call(
+            BBLK, XMAX, YMAX, W, interpret, SMAX, split
+        )
     )
 
 
 _STB_CACHE = {}
 
 
-def get_stream_traceback_gather_kernel(BBLK, XMAX, YMAX, W, interpret=False, SMAX=0):
-    key = (BBLK, XMAX, YMAX, W, interpret, SMAX, walk_packed_on())
+def get_stream_traceback_gather_kernel(
+    BBLK, XMAX, YMAX, W, interpret=False, SMAX=0, split=False
+):
+    key = (BBLK, XMAX, YMAX, W, interpret, SMAX, walk_packed_on(), split)
     if key not in _STB_CACHE:
         _STB_CACHE[key] = make_stream_traceback_gather_kernel(
-            BBLK, XMAX, YMAX, W, interpret, SMAX
+            BBLK, XMAX, YMAX, W, interpret, SMAX, split
         )
     return _STB_CACHE[key]
 

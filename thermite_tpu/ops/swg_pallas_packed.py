@@ -430,9 +430,10 @@ def make_packed_stream_call(BBLK: int, XSRC: int, YMAX: int, SMAX: int,
 
 def make_packed_stream_gather_kernel(
     BBLK: int, XMAX: int, YMAX: int, SMAX: int, interpret: bool = False,
-    walk: bool = True, SEG: int = 64,
+    walk: bool = True, SEG: int = 64, split: bool = False,
 ):
-    """jit fn (ref_nib, ref_lw, reads, meta) -> (N, 4 + SMAX/16) int32.
+    """jit fn (ref_nib, ref_lw, reads, meta) -> (N, 4 + SMAX/16) int32
+    (fused) or (hdr (N, 2), streams (N, SMAX/16)) with ``split``.
 
     Drop-in replacement for the general stream gather kernel when every
     problem has band <= (SEG-2)//2.  N must be a multiple of NSEG*BBLK;
@@ -527,6 +528,15 @@ def make_packed_stream_gather_kernel(
                 None, None, None, :
             ]
             packed = jnp.sum(codes << shifts, axis=3, dtype=jnp.int32)
+        if split:
+            from .swg_pallas import pack_stream_hdr
+
+            def unscr(v, cols):
+                u = v.reshape(N2 // BBLK, BBLK, NSEG, cols)
+                return jnp.swapaxes(u, 1, 2).reshape(N, cols)
+
+            meta4 = unscr(metaN.reshape(N2, NSEG, 4), 4)
+            return pack_stream_hdr(meta4), unscr(packed, PW)
         halves = jnp.concatenate(
             [metaN.reshape(N2, NSEG, 4), packed], axis=2
         )
@@ -535,6 +545,19 @@ def make_packed_stream_gather_kernel(
         return out
 
     return jax.jit(call), call
+
+
+def get_packed_stream_gather_kernel_split(
+    BBLK, XMAX, YMAX, SMAX, interpret=False, SEG=64
+):
+    from .swg_pallas import walk_packed_on
+
+    key = ("split", BBLK, XMAX, YMAX, SMAX, interpret, SEG, walk_packed_on())
+    if key not in _PACKED_CACHE:
+        _PACKED_CACHE[key] = make_packed_stream_gather_kernel(
+            BBLK, XMAX, YMAX, SMAX, interpret, SEG=SEG, split=True
+        )[0]
+    return _PACKED_CACHE[key]
 
 
 _PACKED_CACHE = {}

@@ -111,6 +111,46 @@ def sharded_stream_kernel(
     return jax.jit(f)
 
 
+def sharded_stream_split_kernel(
+    mesh: Mesh, BBLK: int, XMAX: int, YMAX: int, W: int,
+    interpret: bool = False, SMAX: int = 0,
+):
+    """Split-output form of ``sharded_stream_kernel``: returns
+    (hdr (N, 2), streams (N, SMAX/16)), both row-sharded — the pipeline
+    transfers headers for every problem and gathers winners' streams."""
+    from ..ops.swg_pallas import make_stream_traceback_gather_call
+
+    call = make_stream_traceback_gather_call(
+        BBLK, XMAX, YMAX, W, interpret, SMAX, split=True
+    )
+    f = shard_map(
+        call,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("data")),
+        out_specs=(P("data"), P("data")),
+    )
+    return jax.jit(f)
+
+
+def sharded_packed_stream_split_kernel(
+    mesh: Mesh, BBLK: int, XMAX: int, YMAX: int, SMAX: int,
+    interpret: bool = False, SEG: int = 64,
+):
+    """Split-output form of ``sharded_packed_stream_kernel``."""
+    from ..ops.swg_pallas_packed import make_packed_stream_gather_kernel
+
+    _, call = make_packed_stream_gather_kernel(
+        BBLK, XMAX, YMAX, SMAX, interpret, SEG=SEG, split=True
+    )
+    f = shard_map(
+        call,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("data")),
+        out_specs=(P("data"), P("data")),
+    )
+    return jax.jit(f)
+
+
 def sharded_packed_stream_kernel(
     mesh: Mesh, BBLK: int, XMAX: int, YMAX: int, SMAX: int,
     interpret: bool = False, SEG: int = 64,
