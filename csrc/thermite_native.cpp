@@ -2851,6 +2851,56 @@ void emit_bam_record(const Engine& E, std::vector<uint8_t>& o,
 
 extern "C" {
 
+// Chunk read-block preparation in one native pass (replaces a Python
+// per-read loop + a numpy 8-pass nibble pack that together cost
+// ~6 us/read): uppercase each read into the zero-padded (rows, rpad)
+// block, record lengths, and nibble-pack the whole block with the READ
+// code LUT (A/C/G/T/N = 1..5, pad 0 -> 0, anything else 15 — matches
+// ops/swg_pallas._READ_NIB_LUT / _read_codes bit for bit).  The nib
+// layout mirrors pack_reads_nib_host: wpad zero BYTES before the
+// block, 8 codes per int32 word, little-endian nibbles.
+void thermite_prep_reads(const uint8_t* concat, const int64_t* offs,
+                         int64_t n, int64_t rows, int64_t rpad,
+                         uint8_t* pad_out, int64_t* lens_out) {
+  int64_t L = rows * rpad;
+  std::memset(pad_out, 0, (size_t)L);
+  for (int64_t ri = 0; ri < n; ++ri) {
+    const uint8_t* src = concat + offs[ri];
+    int64_t len = offs[ri + 1] - offs[ri];
+    if (len > rpad) len = rpad;
+    lens_out[ri] = len;
+    uint8_t* dst = pad_out + ri * rpad;
+    for (int64_t i = 0; i < len; ++i) {
+      uint8_t c = src[i];
+      dst[i] = (c >= 'a' && c <= 'z') ? (uint8_t)(c - 32) : c;
+    }
+  }
+}
+
+// Nibble-pack a read block for upload (the C twin of
+// ops/swg_pallas.pack_reads_nib_host; bit-identical by test).  Byte k
+// of the padded stream (wpad zeros + block + trailing zeros) -> word
+// k/8, nibble k%8, READ code LUT.
+void thermite_nib_pack_reads(const uint8_t* block, int64_t L, int64_t wpad,
+                             int32_t* nib_out, int64_t nib_words) {
+  static uint8_t lut[256];
+  static bool init = false;
+  if (!init) {
+    for (int i = 0; i < 256; ++i) lut[i] = 15;
+    lut[0] = 0;
+    const char* b = "ACGTN";
+    for (int i = 0; i < 5; ++i) lut[(uint8_t)b[i]] = (uint8_t)(i + 1);
+    init = true;
+  }
+  std::memset(nib_out, 0, (size_t)nib_words * 4);
+  for (int64_t i = 0; i < L; ++i) {
+    uint8_t c = block[i];
+    if (!c) continue;  // code 0
+    int64_t k = wpad + i;
+    nib_out[k >> 3] |= (int32_t)((uint32_t)lut[c] << (4 * (k & 7)));
+  }
+}
+
 void thermite_engine_set_strings(
     void* eh, const uint8_t* blob, int64_t blob_len,
     const int64_t* ref_name_off, int64_t n_refs,

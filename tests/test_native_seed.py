@@ -414,3 +414,37 @@ def test_warm_mmap_roundtrip(monkeypatch, tmp_path):
     chrom = bytes(loaded.seq[:200])
     assert loaded.seq_slice(0, 50) == eager.seq_slice(0, 50)
     assert len(chrom) == 200
+
+
+def test_prep_reads_and_nib_pack_native(tmp_path):
+    """thermite_prep_reads == the old Python fill loop (uppercase,
+    zero padding, lengths); thermite_nib_pack_reads ==
+    pack_reads_nib_host bit for bit."""
+    from tests.fixtures import write_fixture
+
+    from thermite_tpu.align.batch import BatchAligner
+    from thermite_tpu.align.driver import AlignOpts
+    from thermite_tpu.index.build import Index
+    from thermite_tpu.ops.swg_pallas import pack_reads_nib_host
+
+    fasta, gtf, _ = write_fixture(tmp_path)
+    idx = Index.create_from_files(fasta, gtf)
+    eng = BatchAligner(idx, AlignOpts(min_seed_len=3), backend="xla").native
+    if eng is None:
+        pytest.skip("native engine unavailable")
+    rng = np.random.default_rng(3)
+    reads = [
+        bytes(rng.choice(np.frombuffer(b"acgtACGTNrX$", np.uint8), int(n)))
+        for n in rng.integers(1, 40, 37)
+    ] + [b"", b"acgt"]
+    RPAD, rows = 48, 64
+    pad, lens = eng.prep_reads(reads, rows, RPAD)
+    want = np.zeros((rows, RPAD), np.uint8)
+    for i, r in enumerate(reads):
+        u = r.upper()
+        want[i, : len(u)] = np.frombuffer(u, np.uint8)
+        assert lens[i] == len(r)
+    assert (pad == want).all()
+    assert (
+        eng.nib_pack_reads(pad) == pack_reads_nib_host(pad.reshape(-1))
+    ).all()

@@ -765,12 +765,16 @@ class BatchAligner:
     def _put_reads(self, reads_pad: np.ndarray):
         """Upload the chunk's read block nibble-packed (halves the
         per-chunk h2d payload over the tunnel and removes the on-device
-        byte re-pack; codes are bit-identical to the byte path)."""
-        from ..ops.swg_pallas import pack_reads_nib_host
+        byte re-pack; codes are bit-identical to the byte path).  The
+        pack itself is native when the engine is loaded (~10x the
+        numpy 8-pass LUT)."""
+        if self.native is not None:
+            nib = self.native.nib_pack_reads(reads_pad)
+        else:
+            from ..ops.swg_pallas import pack_reads_nib_host
 
-        return jax.device_put(
-            pack_reads_nib_host(reads_pad.reshape(-1)), self._sharding_repl()
-        )
+            nib = pack_reads_nib_host(reads_pad.reshape(-1))
+        return jax.device_put(nib, self._sharding_repl())
 
     def _build_chunk_native(
         self, all_reads: List[bytes], start: int
@@ -785,15 +789,13 @@ class BatchAligner:
             # never OFFER a half pair: with an even offer and pair-
             # boundary budget cuts, consumption is always even too
             take += 1 if start + take < len(all_reads) else -1
-        reads = [all_reads[start + i].upper() for i in range(max(take, 0))]
+        reads = all_reads[start : start + max(take, 0)]
         RPAD = self._RPAD
-        reads_pad = np.zeros(
-            (_pow2_bucket(max(len(reads), 1), 256), RPAD), np.uint8
+        # one native pass: uppercase + scatter into the padded block +
+        # lengths (replaces ~4 us/read of Python loop + .upper())
+        reads_pad, read_lens = self.native.prep_reads(
+            reads, _pow2_bucket(max(len(reads), 1), 256), RPAD
         )
-        read_lens = np.zeros(max(len(reads), 1), np.int64)
-        for ri, r in enumerate(reads):
-            reads_pad[ri, : len(r)] = np.frombuffer(r, np.uint8)
-            read_lens[ri] = len(r)
         t0 = time.time()
         ch, consumed, meta, tasks = self.native.build_chunk(
             reads_pad, read_lens, len(reads), self.PROBLEM_BUDGET,
@@ -1045,47 +1047,56 @@ class BatchAligner:
         task_tx = st.tasks_arr[:, 9].tolist()
         aln_types = self._ALN_TYPES
         lazy_ops = RunOps  # writers read op_runs; expand only on access
+        # per-index caches hoisted out of the hot loop (attribute and
+        # len() lookups cost ~1 us/alignment at bench scale)
+        rl, rn, rs = self._ref_cols()
+        rlens = [len(r) for r in st.reads]
+        A, GA = Alignment, GenomeAlignment
         for s, row in enumerate(sel_rows):
             (ri, ti, atype, gene, refid, score, ys, ye, xs, xe, prim) = row
             if want is not None and ri not in want:
                 continue
-            ref = refs[refid]
-            read = st.reads[ri]
             if fallback[s]:
                 self.stats.stream_fallbacks += 1
                 results[ri].append(
                     self._finalize_selected_fallback(st, s, sel[s])
                 )
                 continue
+            xlen = rlens[ri]
             gruns = fin_runs[fin_off[s] : fin_off[s + 1]]
-            gx_aln = Alignment(
-                score=score, ystart=ys, xstart=xs, yend=ye, xend=xe,
-                ylen=ref.len, xlen=len(read), operations=lazy_ops(gruns),
-                op_runs=gruns,
+            gx_aln = A(
+                score, ys, xs, ye, xe, rl[refid], xlen, lazy_ops(gruns),
+                gruns,
             )
             tx_aln = None
             if atype == 0:
                 tm = tx_meta[s]
                 truns = tx_runs[tx_off[s] : tx_off[s + 1]]
-                tx_aln = Alignment(
-                    score=score, ystart=tm[0], xstart=tm[2],
-                    yend=tm[1], xend=tm[3], ylen=tm[4],
-                    xlen=len(read),
-                    operations=lazy_ops(truns),
-                    op_runs=truns,
+                tx_aln = A(
+                    score, tm[0], tm[2], tm[1], tm[3], tm[4], xlen,
+                    lazy_ops(truns), truns,
                 )
             results[ri].append(
-                GenomeAlignment(
-                    gx_aln=gx_aln,
-                    aln_type=aln_types[atype],
-                    ref_name=ref.name,
-                    strand=ref.strand,
-                    primary=bool(prim),
-                    tx_aln=tx_aln,
-                    tx_idx=task_tx[ti] if atype == 0 else None,
-                    gene_idx=gene if atype == 1 else None,
+                GA(
+                    gx_aln, aln_types[atype], rn[refid], rs[refid],
+                    bool(prim), tx_aln,
+                    task_tx[ti] if atype == 0 else None,
+                    gene if atype == 1 else None,
                 )
             )
+
+    def _ref_cols(self):
+        """(ref lens, names, strands) parallel lists, cached."""
+        c = getattr(self, "_ref_cols_c", None)
+        if c is None:
+            refs = self.index.refs
+            c = (
+                [r.len for r in refs],
+                [r.name for r in refs],
+                [r.strand for r in refs],
+            )
+            self._ref_cols_c = c
+        return c
 
     @staticmethod
     def _task_from_row(ri: int, t) -> _Task:

@@ -134,6 +134,15 @@ def _setup(lib):
         _i32p, _i64p, ctypes.c_int64, ctypes.c_int64,
         _i32p, ctypes.c_int64,
     ]
+    lib.thermite_prep_reads.restype = None
+    lib.thermite_prep_reads.argtypes = [
+        _u8p, _i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        _u8p, _i64p,
+    ]
+    lib.thermite_nib_pack_reads.restype = None
+    lib.thermite_nib_pack_reads.argtypes = [
+        _u8p, ctypes.c_int64, ctypes.c_int64, _i32p, ctypes.c_int64,
+    ]
     lib._batch_setup_done = True
 
 
@@ -295,6 +304,38 @@ class NativeBatchEngine:
             return None
         buf = self._lib.thermite_chunk_emit_buf(ch)
         return ctypes.string_at(buf, n)
+
+    def prep_reads(
+        self, reads: list, rows: int, rpad: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """One native pass over the chunk's reads: uppercase each into
+        the zero-padded (rows, rpad) block + lengths (replaces a Python
+        per-read fill loop)."""
+        concat = np.frombuffer(b"".join(reads), np.uint8)
+        offs = np.zeros(len(reads) + 1, np.int64)
+        if reads:
+            np.cumsum([len(r) for r in reads], out=offs[1:])
+        pad = np.empty((rows, rpad), np.uint8)
+        lens = np.empty(max(len(reads), 1), np.int64)
+        self._lib.thermite_prep_reads(
+            _arr(concat, _u8p) if len(concat) else _u8p(),
+            _arr(offs, _i64p), len(reads), rows, rpad,
+            _arr(pad.reshape(-1), _u8p), _arr(lens, _i64p),
+        )
+        return pad, lens
+
+    def nib_pack_reads(self, block: np.ndarray) -> np.ndarray:
+        """Native twin of ops/swg_pallas.pack_reads_nib_host (bit-
+        identical by test) for the per-chunk upload pack."""
+        from ..ops.swg_pallas import _WPAD, nib_lw
+
+        flat = np.ascontiguousarray(block.reshape(-1))
+        lw = nib_lw(len(flat))
+        out = np.empty(lw, np.int32)
+        self._lib.thermite_nib_pack_reads(
+            _arr(flat, _u8p), len(flat), _WPAD, _arr(out, _i32p), lw
+        )
+        return out
 
     def build_chunk(
         self, reads_pad: np.ndarray, read_lens: np.ndarray, n_reads: int,
