@@ -95,12 +95,15 @@ def _steady_state(batch, make_trial_reads, n_trials):
     """Median steady-state reads/s over trials, spread, + effective
     GCUPS (device cells / wall) and full-band-equivalent GCUPS (cells
     the reference's full-band DP would compute for the same work)."""
+    # synthesize every trial's reads up front: read generation is not
+    # part of the measured pipeline, and interleaving it inflated the
+    # stats clock (stage percentages looked diluted by ~30%)
+    trial_reads = [make_trial_reads(t) for t in range(n_trials)]
     rps = []
     wall = 0.0
     batch.stats.reset()
     out = None
-    for t in range(n_trials):
-        reads = make_trial_reads(t)
+    for reads in trial_reads:
         t0 = time.time()
         out = batch.align_batch(reads)
         dt = time.time() - t0

@@ -249,6 +249,12 @@ def main(argv=None) -> int:
         # once — seeding/extension otherwise cold-fault them 4 KB at a
         # time at random offsets (measured ~1000x slower on chunk one)
         index.warm_mmap()
+    # the loaded index is a large, immortal object graph (transcript
+    # lists, interval tables); freeze it out of the generational GC so
+    # the collections between batches stop re-traversing it
+    import gc
+
+    gc.freeze()
     opts = AlignOpts(
         min_seed_len=args.min_seed_len,
         min_aln_score_percent=args.min_aln_score_percent,
