@@ -141,6 +141,14 @@ struct SeedIndex {
   const int64_t* offsets = nullptr;
   const int64_t* positions = nullptr;
   const int32_t* positions32 = nullptr;  // narrow adopted form (see pos_at)
+  // hugepage-backed copy of an adopted (artifact-mmapped) posting
+  // array: file-backed 4 KB pages pay a TLB walk per anchor probe and
+  // x86 DROPS prefetches whose page misses the TLB, so the pass-ahead
+  // prefetch never hides the posting read there (measured ~2x on the
+  // chunk build's seed phase at 45 Mbp).  Bounded by
+  // THERMITE_HUGE_COPY_MAX (below); empty when the table was built
+  // in-process (already hugepage-backed) or too big to copy.
+  HugeVec<int32_t> pos32_copy_v;
   int64_t n_keys = 0, n_pos = 0;
 
   // ---- packed mode (genome scale): kv IS the table ----
@@ -968,6 +976,16 @@ void thermite_seed_index_pfx(void* h, const int64_t** p, int64_t* n) {
   *n = idx->pfxn;
 }
 
+// adopted-array copy bound: artifact posting arrays arrive as
+// file-backed 4 KB-page mmaps; copying them into hugepage-backed
+// anonymous memory removes a TLB walk per anchor probe and lets the
+// pass-ahead prefetches actually fire (x86 drops prefetches that miss
+// the TLB).  Default 8 GiB; THERMITE_HUGE_COPY_MAX=0 disables.
+static int64_t huge_copy_max() {
+  const char* e = std::getenv("THERMITE_HUGE_COPY_MAX");
+  return e ? std::atoll(e) : ((int64_t)8 << 30);
+}
+
 void* thermite_seed_index_new_from_arrays(const uint8_t* text, int64_t n,
                                           int k, const int64_t* keys,
                                           int64_t m, const int64_t* offsets,
@@ -984,6 +1002,12 @@ void* thermite_seed_index_new_from_arrays(const uint8_t* text, int64_t n,
   idx->positions = positions;
   idx->n_keys = m;
   idx->n_pos = total;
+  if (total * (int64_t)sizeof(int64_t) <= huge_copy_max()) {
+    idx->positions_v.resize(total);
+    std::memcpy(idx->positions_v.data(), positions,
+                total * sizeof(int64_t));
+    idx->positions = idx->positions_v.data();
+  }
   idx->build_hash();
   return idx;
 }
@@ -1005,8 +1029,30 @@ void* thermite_seed_index_new_from_arrays32(const uint8_t* text, int64_t n,
   idx->positions32 = positions32;
   idx->n_keys = m;
   idx->n_pos = total;
+  if (total * (int64_t)sizeof(int32_t) <= huge_copy_max()) {
+    idx->pos32_copy_v.resize(total);
+    std::memcpy(idx->pos32_copy_v.data(), positions32,
+                total * sizeof(int32_t));
+    idx->positions32 = idx->pos32_copy_v.data();
+  }
   idx->build_hash();
   return idx;
+}
+
+// THERMITE_SEED_DEBUG=1: cumulative per-phase nanoseconds inside
+// thermite_smems, read+reset via thermite_seed_prof (6 slots: keys,
+// probe, textwarm, extend, emit, calls).
+static bool seed_prof_on() {
+  static const bool on = [] {
+    const char* e = std::getenv("THERMITE_SEED_DEBUG");
+    return e && *e && *e != '0';
+  }();
+  return on;
+}
+static std::atomic<int64_t> g_seed_prof[6];
+
+extern "C" void thermite_seed_prof(int64_t* out6) {
+  for (int i = 0; i < 6; ++i) out6[i] = g_seed_prof[i].exchange(0);
 }
 
 // SMEM search for one read.  Returns the number of mems written, or
@@ -1030,6 +1076,19 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
   // pre-pass: resolve and cache each anchor's posting range
   // (prefetched a pass ahead — the probes' cache misses dominate
   // seeding on chromosome-scale tables)
+  const bool sp = seed_prof_on();
+  auto snow = [] {
+    return std::chrono::duration_cast<std::chrono::nanoseconds>(
+               std::chrono::steady_clock::now().time_since_epoch())
+        .count();
+  };
+  int64_t tp = sp ? snow() : 0;
+  auto phase = [&](int slot) {
+    if (!sp) return;
+    int64_t now = snow();
+    g_seed_prof[slot] += now - tp;
+    tp = now;
+  };
   const int64_t n_anchor = rlen - k + 1;
   std::vector<int64_t> rlo(n_anchor, 0), rhi(n_anchor, 0);
   std::vector<int64_t> keys(n_anchor, -1);
@@ -1053,30 +1112,53 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
       }
       key = key * 5 + c;
       int64_t q = i - k + 1;
-      if (q >= 0 && last_bad < q) {
-        keys[q] = key;
-        // hide the (likely) cache miss of this anchor's first probe
-        if (idx->pfxp)
-          __builtin_prefetch(&idx->pfxp[key >> idx->key_shift]);
-        else
-          __builtin_prefetch(
-              &idx->hslots[((uint64_t)key * 0x9E3779B97F4A7C15ull) &
-                           idx->hmask]);
-      }
+      if (q >= 0 && last_bad < q) keys[q] = key;
     }
   }
+  phase(0);
+  // probe pass with bounded-lookahead prefetching: issuing every
+  // anchor's prefetch up front (the old pre-pass) overflows the
+  // core's ~dozen line-fill buffers and the excess prefetches drop,
+  // serializing one full memory latency per probe.  A sliding window
+  // of D outstanding misses keeps the memory pipeline exactly full.
+  const int64_t D = 12;
+  auto probe_prefetch = [&](int64_t key) {
+    if (idx->pfxp)
+      __builtin_prefetch(&idx->pfxp[key >> idx->key_shift]);
+    else
+      __builtin_prefetch(
+          &idx->hslots[((uint64_t)key * 0x9E3779B97F4A7C15ull) &
+                       idx->hmask]);
+  };
+  for (int64_t q = 0; q < n_anchor && q < D; ++q)
+    if (keys[q] >= 0) probe_prefetch(keys[q]);
   for (int64_t q = 0; q < n_anchor; ++q) {
+    if (q + D < n_anchor && keys[q + D] >= 0) probe_prefetch(keys[q + D]);
     if (keys[q] < 0) continue;
     int64_t lo, hi;
     if (!idx->find_range(keys[q], &lo, &hi)) continue;
     rlo[q] = lo;
     rhi[q] = hi;
-    // warm the posting range for the main pass
+    // warm the posting range for the text pass below
     __builtin_prefetch(idx->packed ? (const void*)&idx->kvp[lo]
                        : idx->positions32
                            ? (const void*)&idx->positions32[lo]
                            : (const void*)&idx->positions[lo]);
   }
+  phase(1);
+  // text-warming pass: each anchor's first occurrence extends against
+  // text lines around p; same-diagonal anchors hit the same few lines
+  // (p advances with q), so these prefetches collapse to a handful of
+  // distinct misses that overlap with this loop instead of stalling
+  // the extension loop one line at a time.
+  for (int64_t q = 0; q < n_anchor; ++q) {
+    if (rlo[q] >= rhi[q]) continue;
+    int64_t p = idx->pos_at(rlo[q]);
+    if (p >= 64) __builtin_prefetch(&text[p - 64]);
+    __builtin_prefetch(&text[p]);
+    if (p + k < n) __builtin_prefetch(&text[p + k]);
+  }
+  phase(2);
 
   // per-diagonal coverage dedupe: remember last covered query end per
   // diagonal via a growable open-addressing map (sizing it from raw
@@ -1137,6 +1219,7 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
     }
   }
 
+  phase(3);
   // envelope P(s) = max e over intervals with s_o <= s
   std::vector<int64_t> env(rlen + 1, 0);
   for (const auto& o : occs) {
@@ -1173,6 +1256,8 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
     out_t[i] = mems[i].t;
     out_len[i] = mems[i].len;
   }
+  phase(4);
+  if (sp) g_seed_prof[5] += 1;
   return (int64_t)mems.size();
 }
 

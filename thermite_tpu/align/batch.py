@@ -208,7 +208,9 @@ class BatchAligner:
         # single-core host the device runtime's polling thread contends
         # with long host builds (large genomes), where serializing wins.
         # None = decide from the first (uncontended) chunk build time.
-        self.pipeline_depth: Optional[int] = None
+        # THERMITE_PIPELINE_DEPTH forces a value (A/B and ops knob).
+        _pd = os.environ.get("THERMITE_PIPELINE_DEPTH", "")
+        self.pipeline_depth: Optional[int] = int(_pd) if _pd else None
         from ..utils.stats import PipelineStats
 
         self.stats = PipelineStats()
@@ -1056,6 +1058,28 @@ class BatchAligner:
         sel = st.selected_arr
         fin_runs, fin_off, tx_runs, tx_off, tx_meta, fallback = fin_data
         refs = self.index.refs
+        if want is None and len(sel):
+            # C object builder (csrc/thermite_objbuild.c): same
+            # instances, built via tp_alloc + slot stores; fallback
+            # rows come back as None placeholders replaced below
+            from . import objbuild
+
+            rl, rn, rs = self._ref_cols()
+            nfall = objbuild.build(
+                sel, fin_runs, fin_off, tx_runs, tx_off, tx_meta,
+                fallback, st.tasks_arr[:, 9], rn, rs, rl,
+                [len(r) for r in st.reads], results,
+            )
+            if nfall is not None:
+                if nfall:
+                    for s in np.flatnonzero(fallback):
+                        self.stats.stream_fallbacks += 1
+                        ga = self._finalize_selected_fallback(
+                            st, int(s), sel[s]
+                        )
+                        lst = results[int(sel[s, 0])]
+                        lst[lst.index(None)] = ga
+                return
         # bulk C-level conversions: one tolist() per array instead of
         # per-element int() casts in the hot loop
         sel_rows = sel.tolist()
