@@ -161,6 +161,11 @@ struct SeedIndex {
   // classic pfx path (~5 bisect steps into one L2-resident range).
   bool packed = false;
   const uint64_t* kvp = nullptr;   // sorted packed entries
+  // hugepage copies of artifact-adopted packed arrays (same rationale
+  // as pos32_copy_v: file-backed 4 KB pages defeat both the TLB and
+  // the probe prefetches); bounded by THERMITE_HUGE_COPY_MAX
+  HugeVec<uint64_t> kv_copy_v;
+  HugeVec<int64_t> pfx_copy_v;
   const int64_t* bucket_off = nullptr;  // (n_top+1) MSD bucket bounds
   int64_t n_top_packed = 0;
   int top_bits_p = 0, pos_bits_p = 0, rem_shift_p = 0;
@@ -920,6 +925,16 @@ void thermite_seed_index_packed_views(void* h, const uint64_t** kv,
   *bucket_off = idx->bucket_off;
 }
 
+// adopted-array copy bound: artifact posting arrays arrive as
+// file-backed 4 KB-page mmaps; copying them into hugepage-backed
+// anonymous memory removes a TLB walk per anchor probe and lets the
+// pass-ahead prefetches actually fire (x86 drops prefetches that miss
+// the TLB).  Default 8 GiB; THERMITE_HUGE_COPY_MAX=0 disables.
+static int64_t huge_copy_max() {
+  const char* e = std::getenv("THERMITE_HUGE_COPY_MAX");
+  return e ? std::atoll(e) : ((int64_t)8 << 30);
+}
+
 // `pfx_ext`/`pfx_len` optionally adopt a persisted pfx prefix array
 // (the artifact's seed_pfx member) and skip the full-kv count pass —
 // ~4 min single-core at genome scale.  The caller keeps it alive; a
@@ -953,6 +968,14 @@ void* thermite_seed_index_new_from_kv(const uint8_t* text, int64_t n, int k,
   while ((max_key >> key_bits) != 0) ++key_bits;
   idx->rem_shift_p = key_bits - top_bits;
   idx->n_pos = total;
+  // hugepage-copy the adopted kv (every probe bisects it and pos_at
+  // decodes from it; file-backed 4 KB pages pay a TLB walk per touch
+  // and drop the probe prefetches).  The pfx rides along below.
+  if (total * (int64_t)sizeof(uint64_t) <= huge_copy_max()) {
+    idx->kv_copy_v.resize(total);
+    std::memcpy(idx->kv_copy_v.data(), kv, total * sizeof(uint64_t));
+    idx->kvp = idx->kv_copy_v.data();
+  }
   if (pfx_ext) {
     int64_t cells;
     SeedIndex::pfx_geometry(k, &idx->key_shift, &cells);
@@ -960,7 +983,14 @@ void* thermite_seed_index_new_from_kv(const uint8_t* text, int64_t n, int k,
       delete idx;
       return nullptr;
     }
-    idx->pfxp = pfx_ext;
+    if (pfx_len * (int64_t)sizeof(int64_t) <= huge_copy_max()) {
+      idx->pfx_copy_v.resize(pfx_len);
+      std::memcpy(idx->pfx_copy_v.data(), pfx_ext,
+                  pfx_len * sizeof(int64_t));
+      idx->pfxp = idx->pfx_copy_v.data();
+    } else {
+      idx->pfxp = pfx_ext;
+    }
     idx->pfxn = pfx_len;
   } else {
     idx->build_hash();  // pfx over the packed entries
@@ -974,16 +1004,6 @@ void thermite_seed_index_pfx(void* h, const int64_t** p, int64_t* n) {
   auto* idx = static_cast<SeedIndex*>(h);
   *p = idx->pfxp;
   *n = idx->pfxn;
-}
-
-// adopted-array copy bound: artifact posting arrays arrive as
-// file-backed 4 KB-page mmaps; copying them into hugepage-backed
-// anonymous memory removes a TLB walk per anchor probe and lets the
-// pass-ahead prefetches actually fire (x86 drops prefetches that miss
-// the TLB).  Default 8 GiB; THERMITE_HUGE_COPY_MAX=0 disables.
-static int64_t huge_copy_max() {
-  const char* e = std::getenv("THERMITE_HUGE_COPY_MAX");
-  return e ? std::atoll(e) : ((int64_t)8 << 30);
 }
 
 void* thermite_seed_index_new_from_arrays(const uint8_t* text, int64_t n,
@@ -1132,18 +1152,44 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
   };
   for (int64_t q = 0; q < n_anchor && q < D; ++q)
     if (keys[q] >= 0) probe_prefetch(keys[q]);
-  for (int64_t q = 0; q < n_anchor; ++q) {
-    if (q + D < n_anchor && keys[q + D] >= 0) probe_prefetch(keys[q + D]);
-    if (keys[q] < 0) continue;
-    int64_t lo, hi;
-    if (!idx->find_range(keys[q], &lo, &hi)) continue;
-    rlo[q] = lo;
-    rhi[q] = hi;
-    // warm the posting range for the text pass below
-    __builtin_prefetch(idx->packed ? (const void*)&idx->kvp[lo]
-                       : idx->positions32
-                           ? (const void*)&idx->positions32[lo]
-                           : (const void*)&idx->positions[lo]);
+  if (idx->packed) {
+    // packed (genome-scale) tables bisect a pfx cell's kv range —
+    // ~3 dependent line misses per anchor if run cold.  Split the
+    // probe: a bounds pass reads the (lookahead-warm) pfx and
+    // prefetches each anchor's whole kv range (a cell is a few cache
+    // lines), then the bisect pass runs on warm lines.
+    for (int64_t q = 0; q < n_anchor; ++q) {
+      if (q + D < n_anchor && keys[q + D] >= 0) probe_prefetch(keys[q + D]);
+      if (keys[q] < 0) continue;
+      int64_t p = keys[q] >> idx->key_shift;
+      int64_t a = idx->pfxp[p], b = idx->pfxp[p + 1];
+      rlo[q] = a;
+      rhi[q] = ~b;  // mark "bounds only" (bisect pass resolves below)
+      int64_t end = b < a + 64 ? b : a + 64;  // cap repeat-heavy cells
+      for (int64_t off = a; off < end; off += 8)
+        __builtin_prefetch(&idx->kvp[off]);
+    }
+    for (int64_t q = 0; q < n_anchor; ++q) {
+      if (keys[q] < 0 || rhi[q] >= 0) continue;
+      rlo[q] = rhi[q] = 0;
+      int64_t lo, hi;
+      if (!idx->find_range(keys[q], &lo, &hi)) continue;
+      rlo[q] = lo;
+      rhi[q] = hi;
+    }
+  } else {
+    for (int64_t q = 0; q < n_anchor; ++q) {
+      if (q + D < n_anchor && keys[q + D] >= 0) probe_prefetch(keys[q + D]);
+      if (keys[q] < 0) continue;
+      int64_t lo, hi;
+      if (!idx->find_range(keys[q], &lo, &hi)) continue;
+      rlo[q] = lo;
+      rhi[q] = hi;
+      // warm the posting range for the text pass below
+      __builtin_prefetch(idx->positions32
+                             ? (const void*)&idx->positions32[lo]
+                             : (const void*)&idx->positions[lo]);
+    }
   }
   phase(1);
   // text-warming pass: each anchor's first occurrence extends against

@@ -97,8 +97,47 @@ def main():
         finally:
             os.environ["THERMITE_WALK_PACKED"] = "0"
 
+    # production path since round 4: the split kernels return a packed
+    # (N, 2) header (the only always-transferred payload — 8 B/problem)
+    # with op streams left device-resident for the winners-only gather.
+    # Timing syncs the header alone, exactly like the pipeline's
+    # arbitrate sync.
+    split_kerns = {
+        "general_split": get_stream_traceback_gather_kernel(
+            BBLK, XMAX, YMAX, W, SMAX=SMAX, split=True
+        )
+    }
+    if band <= 31:
+        from thermite_tpu.ops.swg_pallas_packed import (
+            get_packed_stream_gather_kernel_split,
+        )
+
+        split_kerns["pack2_split"] = get_packed_stream_gather_kernel_split(
+            BBLK, XMAX, YMAX, SMAX, SEG=64
+        )
+
     outs = {}
     res = {"metric": f"stream_kernel_problems_per_s_band{band}", "n": n}
+    for name, kern in split_kerns.items():
+        try:
+            hdr, _streams = kern(words, lw, reads_dev, meta)
+            hdr = np.asarray(hdr)  # compile + sync headers only
+        except Exception as e:
+            res[name + "_error"] = f"{type(e).__name__}: {e}"[:200]
+            continue
+        from thermite_tpu.ops.swg_pallas import expand_stream_hdr
+
+        assert (expand_stream_hdr(hdr[:n])[:, 0] > 0).mean() > 0.9, (
+            f"{name}: scores look wrong"
+        )
+        best = 0.0
+        for _ in range(trials):
+            t0 = time.time()
+            h, _s = kern(words, lw, reads_dev, meta)
+            np.asarray(h)
+            best = max(best, n / (time.time() - t0))
+        res[name] = round(best, 0)
+        res[name + "_gcups"] = round(best * cells / n / 1e9, 2)
     for name, kern in kerns.items():
         try:
             out = np.asarray(kern(words, lw, reads_dev, meta))  # compile
