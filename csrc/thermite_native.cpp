@@ -687,6 +687,34 @@ bool build_stride_packed(SeedIndex* idx, const uint8_t* text, int64_t n,
 
 }  // namespace
 
+// adopted-array copy bound: artifact posting arrays arrive as
+// file-backed 4 KB-page mmaps; copying them into hugepage-backed
+// anonymous memory removes a TLB walk per anchor probe and lets the
+// pass-ahead prefetches actually fire (x86 drops prefetches that miss
+// the TLB).  Default 8 GiB; THERMITE_HUGE_COPY_MAX=0 disables.
+static int64_t huge_copy_max() {
+  const char* e = std::getenv("THERMITE_HUGE_COPY_MAX");
+  return e ? std::atoll(e) : ((int64_t)8 << 30);
+}
+
+// Copy an adopted array into hugepage-backed memory when it fits the
+// cap; on allocation failure keep the borrowed pointer (the copy is
+// purely a TLB/prefetch optimization — these entry points are called
+// through ctypes, so an escaping bad_alloc would abort the process).
+template <typename T>
+static const T* try_huge_copy(HugeVec<T>& dst, const T* src,
+                              int64_t count) {
+  if (count * (int64_t)sizeof(T) > huge_copy_max()) return src;
+  try {
+    dst.resize((size_t)count);
+  } catch (const std::bad_alloc&) {
+    HugeVec<T>().swap(dst);
+    return src;
+  }
+  std::memcpy(dst.data(), src, (size_t)count * sizeof(T));
+  return dst.data();
+}
+
 extern "C" {
 
 // stride > 1 indexes only text positions === 0 (mod stride): a maximal
@@ -925,16 +953,6 @@ void thermite_seed_index_packed_views(void* h, const uint64_t** kv,
   *bucket_off = idx->bucket_off;
 }
 
-// adopted-array copy bound: artifact posting arrays arrive as
-// file-backed 4 KB-page mmaps; copying them into hugepage-backed
-// anonymous memory removes a TLB walk per anchor probe and lets the
-// pass-ahead prefetches actually fire (x86 drops prefetches that miss
-// the TLB).  Default 8 GiB; THERMITE_HUGE_COPY_MAX=0 disables.
-static int64_t huge_copy_max() {
-  const char* e = std::getenv("THERMITE_HUGE_COPY_MAX");
-  return e ? std::atoll(e) : ((int64_t)8 << 30);
-}
-
 // `pfx_ext`/`pfx_len` optionally adopt a persisted pfx prefix array
 // (the artifact's seed_pfx member) and skip the full-kv count pass —
 // ~4 min single-core at genome scale.  The caller keeps it alive; a
@@ -971,11 +989,7 @@ void* thermite_seed_index_new_from_kv(const uint8_t* text, int64_t n, int k,
   // hugepage-copy the adopted kv (every probe bisects it and pos_at
   // decodes from it; file-backed 4 KB pages pay a TLB walk per touch
   // and drop the probe prefetches).  The pfx rides along below.
-  if (total * (int64_t)sizeof(uint64_t) <= huge_copy_max()) {
-    idx->kv_copy_v.resize(total);
-    std::memcpy(idx->kv_copy_v.data(), kv, total * sizeof(uint64_t));
-    idx->kvp = idx->kv_copy_v.data();
-  }
+  idx->kvp = try_huge_copy(idx->kv_copy_v, kv, total);
   if (pfx_ext) {
     int64_t cells;
     SeedIndex::pfx_geometry(k, &idx->key_shift, &cells);
@@ -983,14 +997,7 @@ void* thermite_seed_index_new_from_kv(const uint8_t* text, int64_t n, int k,
       delete idx;
       return nullptr;
     }
-    if (pfx_len * (int64_t)sizeof(int64_t) <= huge_copy_max()) {
-      idx->pfx_copy_v.resize(pfx_len);
-      std::memcpy(idx->pfx_copy_v.data(), pfx_ext,
-                  pfx_len * sizeof(int64_t));
-      idx->pfxp = idx->pfx_copy_v.data();
-    } else {
-      idx->pfxp = pfx_ext;
-    }
+    idx->pfxp = try_huge_copy(idx->pfx_copy_v, pfx_ext, pfx_len);
     idx->pfxn = pfx_len;
   } else {
     idx->build_hash();  // pfx over the packed entries
@@ -1022,12 +1029,7 @@ void* thermite_seed_index_new_from_arrays(const uint8_t* text, int64_t n,
   idx->positions = positions;
   idx->n_keys = m;
   idx->n_pos = total;
-  if (total * (int64_t)sizeof(int64_t) <= huge_copy_max()) {
-    idx->positions_v.resize(total);
-    std::memcpy(idx->positions_v.data(), positions,
-                total * sizeof(int64_t));
-    idx->positions = idx->positions_v.data();
-  }
+  idx->positions = try_huge_copy(idx->positions_v, positions, total);
   idx->build_hash();
   return idx;
 }
@@ -1049,12 +1051,7 @@ void* thermite_seed_index_new_from_arrays32(const uint8_t* text, int64_t n,
   idx->positions32 = positions32;
   idx->n_keys = m;
   idx->n_pos = total;
-  if (total * (int64_t)sizeof(int32_t) <= huge_copy_max()) {
-    idx->pos32_copy_v.resize(total);
-    std::memcpy(idx->pos32_copy_v.data(), positions32,
-                total * sizeof(int32_t));
-    idx->positions32 = idx->pos32_copy_v.data();
-  }
+  idx->positions32 = try_huge_copy(idx->pos32_copy_v, positions32, total);
   idx->build_hash();
   return idx;
 }

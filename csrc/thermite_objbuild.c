@@ -171,9 +171,17 @@ fail:
  * fallback rows, or a negative code on error (exception cleared; the
  * caller falls back to the Python loop).
  *
+ * Failure contract: -1/-2/-3 are returned from argument/row
+ * validation BEFORE anything is appended (all sel rows and offset
+ * ranges are checked in a pre-pass); -4 (allocation/append failure
+ * mid-loop) rolls every results[ri] list back to its pre-call length
+ * first.  Either way the caller sees an untouched `results` and may
+ * re-run the pure-Python loop safely.
+ *
  * sel: (S, 11) int64 rows [ri, ti, atype, gene, refid, score, ys, ye,
  * xs, xe, prim] — native_batch.py layout.  tx_meta: (S, 5).
- * task_tx: tasks_arr[:, 9]. */
+ * task_tx: tasks_arr[:, 9] (n_tasks entries); n_fin_runs/n_tx_runs
+ * bound the run arrays for the offset-range checks. */
 long long thermite_obj_build(
     PyObject* aln_types,  /* tuple (EXONIC, INTRONIC, INTERGENIC) */
     PyObject* ref_names,  /* list[str|bytes] per ref */
@@ -184,7 +192,8 @@ long long thermite_obj_build(
     const int64_t* sel, long long S,
     const int64_t* fin_runs, const int64_t* fin_off,
     const int64_t* tx_runs, const int64_t* tx_off, const int64_t* tx_meta,
-    const uint8_t* fallback, const int64_t* task_tx) {
+    const uint8_t* fallback, const int64_t* task_tx,
+    long long n_tasks, long long n_fin_runs, long long n_tx_runs) {
   if (!g_ready) return -1;
   if (!PyTuple_Check(aln_types) || !PyList_Check(ref_names) ||
       !PyList_Check(ref_strands) || !PyList_Check(ref_lens) ||
@@ -193,14 +202,36 @@ long long thermite_obj_build(
   long long n_fallback = 0;
   Py_ssize_t n_reads = PyList_GET_SIZE(results);
   Py_ssize_t n_refs = PyList_GET_SIZE(ref_names);
+  /* pre-pass: validate every row (and the offset ranges the build
+   * loop will index with) before a single append happens */
+  for (long long s = 0; s < S; ++s) {
+    const int64_t* row = sel + s * 11;
+    if (row[0] < 0 || row[0] >= n_reads || row[4] < 0 ||
+        row[4] >= n_refs || row[2] < 0 || row[2] > 2)
+      return -3;
+    if (fallback[s]) continue;
+    if (fin_off[s] < 0 || fin_off[s] > fin_off[s + 1] ||
+        fin_off[s + 1] > n_fin_runs)
+      return -3;
+    if (row[2] == 0) { /* exonic: uses task_tx[ti] and tx_runs */
+      if (row[1] < 0 || row[1] >= n_tasks) return -3;
+      if (tx_off[s] < 0 || tx_off[s] > tx_off[s + 1] ||
+          tx_off[s + 1] > n_tx_runs)
+        return -3;
+    }
+  }
+  /* snapshot per-read list lengths so a mid-loop failure can roll
+   * `results` back to its pre-call state */
+  Py_ssize_t* len0 =
+      (Py_ssize_t*)PyMem_Malloc((size_t)n_reads * sizeof(Py_ssize_t));
+  if (len0 == NULL) return -4;
+  for (Py_ssize_t i = 0; i < n_reads; ++i)
+    len0[i] = PyList_GET_SIZE(PyList_GET_ITEM(results, i));
   for (long long s = 0; s < S; ++s) {
     const int64_t* row = sel + s * 11;
     int64_t ri = row[0], ti = row[1], atype = row[2], gene = row[3];
     int64_t refid = row[4], score = row[5], ys = row[6], ye = row[7];
     int64_t xs = row[8], xe = row[9], prim = row[10];
-    if (ri < 0 || ri >= n_reads || refid < 0 || refid >= n_refs ||
-        atype < 0 || atype > 2)
-      return -3;
     PyObject* out = PyList_GET_ITEM(results, ri);
     if (fallback[s]) {
       ++n_fallback;
@@ -302,8 +333,19 @@ long long thermite_obj_build(
     Py_DECREF(ga);
     if (rc < 0) goto err;
   }
+  PyMem_Free(len0);
   return n_fallback;
 err:
   PyErr_Clear();
+  /* roll every per-read list back to its pre-call length so the
+   * Python fallback loop starts from an untouched `results` */
+  for (Py_ssize_t i = 0; i < n_reads; ++i) {
+    PyObject* lst = PyList_GET_ITEM(results, i);
+    Py_ssize_t cur = PyList_GET_SIZE(lst);
+    if (cur > len0[i] &&
+        PyList_SetSlice(lst, len0[i], cur, NULL) < 0)
+      PyErr_Clear();
+  }
+  PyMem_Free(len0);
   return -4;
 }

@@ -134,6 +134,42 @@ def test_fallback_placeholders():
     assert results[0][0].gx_aln.score == 60
 
 
+def test_bad_rows_leave_results_untouched():
+    """Invalid sel rows (bad refid / ri / atype / ti / offset ranges)
+    must be rejected in the C pre-pass with results completely
+    untouched — the caller re-runs the Python loop on the same lists,
+    so any partial append would duplicate alignments."""
+    if objbuild._try_init() is None:
+        pytest.skip("native object builder unavailable")
+    fin_runs = np.array([_run(0, 90), _run(0, 90)], np.int64)
+    tx_off = np.array([0, 0, 0], np.int64)
+    tx_meta = np.zeros((2, 5), np.int64)
+    fallback = np.zeros(2, np.uint8)
+    z = np.zeros(0, np.int64)
+
+    def attempt(sel, fin_off, task_tx):
+        results = [[], []]
+        rc = objbuild.build(
+            np.array(sel, np.int64), fin_runs, np.array(fin_off, np.int64),
+            z, tx_off, tx_meta, fallback, np.array(task_tx, np.int64),
+            ["c"], [True], [100], [90, 90], results,
+        )
+        assert rc is None
+        assert results == [[], []]
+
+    good = [0, 0, 2, -1, 0, 60, 5, 95, 0, 90, 1]
+    bad_ref = [1, 0, 2, -1, 9, 60, 5, 95, 0, 90, 0]
+    bad_ri = [5, 0, 2, -1, 0, 60, 5, 95, 0, 90, 0]
+    bad_atype = [1, 0, 3, -1, 0, 60, 5, 95, 0, 90, 0]
+    bad_ti = [1, 99, 0, -1, 0, 60, 5, 95, 0, 90, 0]  # exonic, ti OOB
+    for bad in (bad_ref, bad_ri, bad_atype, bad_ti):
+        # the bad row comes SECOND: a non-prevalidating builder would
+        # have appended the good row before noticing
+        attempt([good, bad], [0, 1, 2], [-1])
+    # fin_off range past the runs array
+    attempt([good, good], [0, 1, 5], [-1])
+
+
 def test_equal_to_python_dataclasses(built):
     ga = built[0][0]
     manual = Alignment(

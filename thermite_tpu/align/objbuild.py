@@ -55,6 +55,7 @@ def _try_init():
             + [_i64p, ctypes.c_int64]
             + [_i64p] * 5
             + [_u8p, _i64p]
+            + [ctypes.c_int64] * 3
         )
         rc = lib.thermite_obj_init(Alignment, GenomeAlignment, RunOps)
         if rc != 0:
@@ -97,10 +98,11 @@ def build(
     """Fill ``results`` in place; fallback rows get a None placeholder.
 
     Returns the fallback count, or None when the C builder is
-    unavailable / refused (caller must then run the Python loop on an
-    untouched ``results``; the C side appends nothing before failing
-    its argument checks, and row-level failures only occur on memory
-    exhaustion)."""
+    unavailable / refused.  On None the caller runs the Python loop on
+    ``results``, which is guaranteed untouched: the C side validates
+    every sel row and offset range in a pre-pass before any append,
+    and a mid-loop allocation failure rolls each per-read list back to
+    its pre-call length before returning."""
     lib = _try_init()
     if lib is None:
         return None
@@ -114,16 +116,20 @@ def build(
     tm = np.ascontiguousarray(tx_meta, np.int64)
     if S and (tm.ndim != 2 or tm.shape[1] != 5 or len(tm) != S):
         return None
+    fin_runs = np.ascontiguousarray(fin_runs, np.int64)
+    tx_runs = np.ascontiguousarray(tx_runs, np.int64)
+    task_tx = np.ascontiguousarray(task_tx, np.int64)
     rc = lib.thermite_obj_build(
         _ALN_TYPES, ref_names, ref_strands, ref_lens, read_lens, results,
         _p64(sel.reshape(-1)), S,
-        _p64(np.ascontiguousarray(fin_runs, np.int64)),
+        _p64(fin_runs),
         _p64(np.ascontiguousarray(fin_off, np.int64)),
-        _p64(np.ascontiguousarray(tx_runs, np.int64)),
+        _p64(tx_runs),
         _p64(np.ascontiguousarray(tx_off, np.int64)),
         _p64(tm.reshape(-1)),
         _arr(fb if S else np.zeros(1, np.uint8), _u8p),
-        _p64(np.ascontiguousarray(task_tx, np.int64)),
+        _p64(task_tx),
+        len(task_tx), len(fin_runs), len(tx_runs),
     )
     if rc < 0:
         return None
