@@ -151,6 +151,13 @@ struct SeedIndex {
   HugeVec<int32_t> pos32_copy_v;
   int64_t n_keys = 0, n_pos = 0;
 
+  // stride this table was built with, when KNOWN (0 = unknown, e.g.
+  // classic posting arrays adopted from an artifact that predates the
+  // seed_stride metadata).  thermite_smems' adaptive probe skip is
+  // only valid — and only engages — when this is exactly 1 (see the
+  // proof at the skip site).
+  int64_t skip_stride = 0;
+
   // ---- packed mode (genome scale): kv IS the table ----
   // Above kPackedMin entries the uniq/offsets/positions arrays are
   // never materialized (at 3.2 Gbp they are ~37 GB of fresh pages and
@@ -741,6 +748,7 @@ void* thermite_seed_index_new_stride(const uint8_t* text, int64_t n, int k,
   idx->text = text;
   idx->n = n;
   idx->k = k;
+  idx->skip_stride = stride;
 
   // fast path: packed-u64 sort (always fits for k <= 20 at any
   // realistic text length; the pair path below remains as fallback,
@@ -885,6 +893,14 @@ void* thermite_seed_index_new(const uint8_t* text, int64_t n, int k) {
 
 void thermite_seed_index_free(void* h) { delete static_cast<SeedIndex*>(h); }
 
+// Declare the stride a borrowed-array table was built with (classic
+// artifacts record it as meta["seed_stride"]; older artifacts don't,
+// and the adoption entry points leave it unknown = 0, which keeps the
+// adaptive probe skip off).  Only call with a stride actually known.
+void thermite_seed_index_set_stride_hint(void* h, int64_t stride) {
+  static_cast<SeedIndex*>(h)->skip_stride = stride;
+}
+
 int64_t thermite_seed_index_size(void* h) {
   return static_cast<SeedIndex*>(h)->n_pos;
 }
@@ -979,6 +995,7 @@ void* thermite_seed_index_new_from_kv(const uint8_t* text, int64_t n, int k,
   idx->top_bits_p = top_bits;
   idx->pos_bits_p = pos_bits;
   idx->stride_p = stride;
+  idx->skip_stride = stride;
   idx->pmask_p = ((uint64_t)1 << pos_bits) - 1;
   int key_bits = 0;
   int64_t max_key = 1;
@@ -1068,6 +1085,17 @@ static bool seed_prof_on() {
 }
 static std::atomic<int64_t> g_seed_prof[6];
 
+// THERMITE_SEED_NOSKIP=1 forces the probe-everything discovery path
+// (differential testing / ops escape hatch for the adaptive probe
+// skip below).  Latched at first use — set it before the first call.
+static bool seed_skip_on() {
+  static const bool on = [] {
+    const char* e = std::getenv("THERMITE_SEED_NOSKIP");
+    return !(e && *e && *e != '0');
+  }();
+  return on;
+}
+
 extern "C" void thermite_seed_prof(int64_t* out6) {
   for (int i = 0; i < 6; ++i) out6[i] = g_seed_prof[i].exchange(0);
 }
@@ -1107,8 +1135,8 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
     tp = now;
   };
   const int64_t n_anchor = rlen - k + 1;
-  std::vector<int64_t> rlo(n_anchor, 0), rhi(n_anchor, 0);
   std::vector<int64_t> keys(n_anchor, -1);
+  bool any_invalid = false;
   {
     // rolling base-5 anchor keys: one code lookup per read byte
     // instead of k per anchor; anchor q is valid iff no invalid byte
@@ -1131,77 +1159,9 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
       int64_t q = i - k + 1;
       if (q >= 0 && last_bad < q) keys[q] = key;
     }
+    any_invalid = last_bad >= 0;
   }
   phase(0);
-  // probe pass with bounded-lookahead prefetching: issuing every
-  // anchor's prefetch up front (the old pre-pass) overflows the
-  // core's ~dozen line-fill buffers and the excess prefetches drop,
-  // serializing one full memory latency per probe.  A sliding window
-  // of D outstanding misses keeps the memory pipeline exactly full.
-  const int64_t D = 12;
-  auto probe_prefetch = [&](int64_t key) {
-    if (idx->pfxp)
-      __builtin_prefetch(&idx->pfxp[key >> idx->key_shift]);
-    else
-      __builtin_prefetch(
-          &idx->hslots[((uint64_t)key * 0x9E3779B97F4A7C15ull) &
-                       idx->hmask]);
-  };
-  for (int64_t q = 0; q < n_anchor && q < D; ++q)
-    if (keys[q] >= 0) probe_prefetch(keys[q]);
-  if (idx->packed) {
-    // packed (genome-scale) tables bisect a pfx cell's kv range —
-    // ~3 dependent line misses per anchor if run cold.  Split the
-    // probe: a bounds pass reads the (lookahead-warm) pfx and
-    // prefetches each anchor's whole kv range (a cell is a few cache
-    // lines), then the bisect pass runs on warm lines.
-    for (int64_t q = 0; q < n_anchor; ++q) {
-      if (q + D < n_anchor && keys[q + D] >= 0) probe_prefetch(keys[q + D]);
-      if (keys[q] < 0) continue;
-      int64_t p = keys[q] >> idx->key_shift;
-      int64_t a = idx->pfxp[p], b = idx->pfxp[p + 1];
-      rlo[q] = a;
-      rhi[q] = ~b;  // mark "bounds only" (bisect pass resolves below)
-      int64_t end = b < a + 64 ? b : a + 64;  // cap repeat-heavy cells
-      for (int64_t off = a; off < end; off += 8)
-        __builtin_prefetch(&idx->kvp[off]);
-    }
-    for (int64_t q = 0; q < n_anchor; ++q) {
-      if (keys[q] < 0 || rhi[q] >= 0) continue;
-      rlo[q] = rhi[q] = 0;
-      int64_t lo, hi;
-      if (!idx->find_range(keys[q], &lo, &hi)) continue;
-      rlo[q] = lo;
-      rhi[q] = hi;
-    }
-  } else {
-    for (int64_t q = 0; q < n_anchor; ++q) {
-      if (q + D < n_anchor && keys[q + D] >= 0) probe_prefetch(keys[q + D]);
-      if (keys[q] < 0) continue;
-      int64_t lo, hi;
-      if (!idx->find_range(keys[q], &lo, &hi)) continue;
-      rlo[q] = lo;
-      rhi[q] = hi;
-      // warm the posting range for the text pass below
-      __builtin_prefetch(idx->positions32
-                             ? (const void*)&idx->positions32[lo]
-                             : (const void*)&idx->positions[lo]);
-    }
-  }
-  phase(1);
-  // text-warming pass: each anchor's first occurrence extends against
-  // text lines around p; same-diagonal anchors hit the same few lines
-  // (p advances with q), so these prefetches collapse to a handful of
-  // distinct misses that overlap with this loop instead of stalling
-  // the extension loop one line at a time.
-  for (int64_t q = 0; q < n_anchor; ++q) {
-    if (rlo[q] >= rhi[q]) continue;
-    int64_t p = idx->pos_at(rlo[q]);
-    if (p >= 64) __builtin_prefetch(&text[p - 64]);
-    __builtin_prefetch(&text[p]);
-    if (p + k < n) __builtin_prefetch(&text[p + k]);
-  }
-  phase(2);
 
   // per-diagonal coverage dedupe: remember last covered query end per
   // diagonal via a growable open-addressing map (sizing it from raw
@@ -1240,10 +1200,11 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
     }
     hcount += raw_insert(cover, hcap, diag, qend);
   };
-
-  for (int64_t q = 0; q + k <= rlen; ++q) {
-    if (rlo[q] >= rhi[q]) continue;
-    for (int64_t pi = rlo[q]; pi < rhi[q]; ++pi) {
+  // extend one posting range's occurrences around anchor q; returns
+  // the max extension end seen (0 when none were fresh)
+  auto extend_range = [&](int64_t q, int64_t lo, int64_t hi) -> int64_t {
+    int64_t emax = 0;
+    for (int64_t pi = lo; pi < hi; ++pi) {
       int64_t p = idx->pos_at(pi);
       int64_t diag = p - q;
       if (covered_until(diag) >= q + k) continue;  // inside known run
@@ -1259,6 +1220,134 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
       int64_t s = q - l, e = q + k + r;
       occs.push_back({diag, s, e, p - l});
       set_covered(diag, e);
+      if (e > emax) emax = e;
+    }
+    return emax;
+  };
+
+  if (seed_skip_on() && idx->skip_stride == 1 && !any_invalid) {
+    // Adaptive probe skip: probe anchors left to right, but after a
+    // probe jump straight to q_next = max(q+1, E-k+1), where E is the
+    // max extension END over every occurrence found so far.  For a
+    // clean well-matching read this is ~(1 + #mismatches) probes
+    // instead of rlen-k+1, and the output is IDENTICAL to probing
+    // every anchor.  Proof sketch (stride 1, no invalid read bytes —
+    // both enforced above):
+    //   * An SMEM is emitted at read position s iff the envelope
+    //     e = env[s] = max end over found maximal-match intervals with
+    //     start <= s strictly increases at s (see the emission loop
+    //     below); the emitted occurrences are exactly the found
+    //     intervals covering [s, e).
+    //   * Completeness: suppose interval I' = (s', e') is emitted by
+    //     the probe-everything algorithm but some jump skipped all of
+    //     its anchors [s', e'-k].  At that jump, E >= q_next + k - 1
+    //     with q_next > s'... every found interval so far started at
+    //     <= its probe anchor <= s'-1, so env[s'-1] >= E; emission of
+    //     I' needs e' > env[s'-1] >= E, hence e'-k >= E-k+1 = q_next,
+    //     so q_next itself lies in [s', e'-k] — its window is inside
+    //     I', the probe returns I''s position, and maximal extension
+    //     reconstructs I' exactly.  Contradiction: I' is never missed.
+    //   * Soundness: a skipped (never-found) interval M = (sm, em)
+    //     cannot change the result.  At the jump that skipped it,
+    //     em <= E (else the argument above would have found it), and
+    //     the interval realizing E starts <= sm - 1, so M never wins
+    //     the envelope at any position and is never collected by any
+    //     emission point (collection at (s, env[s]) needs em >=
+    //     env[s] >= E >= em, i.e. em == E == env[s], but then the
+    //     E-interval's earlier start forces env[s-1] >= env[s], so s
+    //     is not an emission point).
+    // The fallbacks: stride > 1 samples text positions, where a jump
+    // can land past the one anchor whose diagonal position is
+    // sampled; invalid read bytes make windows unprobeable while raw
+    // byte equality can still extend through equal non-ACGTN bytes.
+    // Both take the probe-everything path (and THERMITE_SEED_NOSKIP=1
+    // forces it for differential testing).
+    int64_t E = 0;
+    for (int64_t q = 0; q < n_anchor;) {
+      int64_t lo, hi;
+      if (idx->find_range(keys[q], &lo, &hi)) {
+        int64_t e = extend_range(q, lo, hi);
+        if (e > E) E = e;
+      }
+      int64_t nq = E - k + 1;
+      q = nq > q + 1 ? nq : q + 1;
+    }
+    phase(1);
+  } else {
+    std::vector<int64_t> rlo(n_anchor, 0), rhi(n_anchor, 0);
+    // probe pass with bounded-lookahead prefetching: issuing every
+    // anchor's prefetch up front (the old pre-pass) overflows the
+    // core's ~dozen line-fill buffers and the excess prefetches drop,
+    // serializing one full memory latency per probe.  A sliding window
+    // of D outstanding misses keeps the memory pipeline exactly full.
+    const int64_t D = 12;
+    auto probe_prefetch = [&](int64_t key) {
+      if (idx->pfxp)
+        __builtin_prefetch(&idx->pfxp[key >> idx->key_shift]);
+      else
+        __builtin_prefetch(
+            &idx->hslots[((uint64_t)key * 0x9E3779B97F4A7C15ull) &
+                         idx->hmask]);
+    };
+    for (int64_t q = 0; q < n_anchor && q < D; ++q)
+      if (keys[q] >= 0) probe_prefetch(keys[q]);
+    if (idx->packed) {
+      // packed (genome-scale) tables bisect a pfx cell's kv range —
+      // ~3 dependent line misses per anchor if run cold.  Split the
+      // probe: a bounds pass reads the (lookahead-warm) pfx and
+      // prefetches each anchor's whole kv range (a cell is a few cache
+      // lines), then the bisect pass runs on warm lines.
+      for (int64_t q = 0; q < n_anchor; ++q) {
+        if (q + D < n_anchor && keys[q + D] >= 0) probe_prefetch(keys[q + D]);
+        if (keys[q] < 0) continue;
+        int64_t p = keys[q] >> idx->key_shift;
+        int64_t a = idx->pfxp[p], b = idx->pfxp[p + 1];
+        rlo[q] = a;
+        rhi[q] = ~b;  // mark "bounds only" (bisect pass resolves below)
+        int64_t end = b < a + 64 ? b : a + 64;  // cap repeat-heavy cells
+        for (int64_t off = a; off < end; off += 8)
+          __builtin_prefetch(&idx->kvp[off]);
+      }
+      for (int64_t q = 0; q < n_anchor; ++q) {
+        if (keys[q] < 0 || rhi[q] >= 0) continue;
+        rlo[q] = rhi[q] = 0;
+        int64_t lo, hi;
+        if (!idx->find_range(keys[q], &lo, &hi)) continue;
+        rlo[q] = lo;
+        rhi[q] = hi;
+      }
+    } else {
+      for (int64_t q = 0; q < n_anchor; ++q) {
+        if (q + D < n_anchor && keys[q + D] >= 0) probe_prefetch(keys[q + D]);
+        if (keys[q] < 0) continue;
+        int64_t lo, hi;
+        if (!idx->find_range(keys[q], &lo, &hi)) continue;
+        rlo[q] = lo;
+        rhi[q] = hi;
+        // warm the posting range for the text pass below
+        __builtin_prefetch(idx->positions32
+                               ? (const void*)&idx->positions32[lo]
+                               : (const void*)&idx->positions[lo]);
+      }
+    }
+    phase(1);
+    // text-warming pass: each anchor's first occurrence extends against
+    // text lines around p; same-diagonal anchors hit the same few lines
+    // (p advances with q), so these prefetches collapse to a handful of
+    // distinct misses that overlap with this loop instead of stalling
+    // the extension loop one line at a time.
+    for (int64_t q = 0; q < n_anchor; ++q) {
+      if (rlo[q] >= rhi[q]) continue;
+      int64_t p = idx->pos_at(rlo[q]);
+      if (p >= 64) __builtin_prefetch(&text[p - 64]);
+      __builtin_prefetch(&text[p]);
+      if (p + k < n) __builtin_prefetch(&text[p + k]);
+    }
+    phase(2);
+
+    for (int64_t q = 0; q + k <= rlen; ++q) {
+      if (rlo[q] >= rhi[q]) continue;
+      extend_range(q, rlo[q], rhi[q]);
     }
   }
 

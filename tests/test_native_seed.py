@@ -60,6 +60,57 @@ def test_matches_numpy_chrm():
         assert nat.all_smems(r) == ref.all_smems(r)
 
 
+def test_adaptive_probe_skip_identity():
+    """The adaptive probe skip (thermite_smems: jump to E-k+1 after
+    each probe) must be output-identical to the probe-everything
+    referee (the numpy engine) on the structures that stress its
+    proof: tandem repeats (many same-diagonal occurrences), dispersed
+    repeats (envelope suppression of shorter intervals), overlapping
+    SMEMs from mutations, and N bytes (which force the non-skip path
+    per read)."""
+    rng = np.random.default_rng(23)
+    alpha = b"ACGT"
+    unit = bytes(alpha[i] for i in rng.integers(0, 4, 37))
+    seg = bytes(alpha[i] for i in rng.integers(0, 4, 250))
+    uniq = bytes(alpha[i] for i in rng.integers(0, 4, 4000))
+    text = unit * 30 + uniq[:2000] + seg * 4 + b"N" * 30 + uniq[2000:] + b"$"
+    nat = native.NativeSmemEngine(_arr(text), 20)
+    ref = SmemEngine(_arr(text), 20)
+    for i in range(300):
+        L = int(rng.integers(20, 140))
+        p = int(rng.integers(0, len(text) - L - 1))
+        r = bytearray(text[p : p + L].replace(b"$", b"A"))
+        for _ in range(int(rng.integers(0, 5))):
+            r[int(rng.integers(0, L))] = b"ACGTN"[int(rng.integers(0, 5))]
+        r = bytes(r)
+        assert nat.all_smems(r) == ref.all_smems(r), f"i={i} read={r!r}"
+
+
+def test_stride_hint_enables_skip_identically():
+    """Classic posting arrays adopted with a stride hint (the artifact
+    meta['seed_stride'] path) must produce identical output to both
+    the un-hinted adoption (skip off) and the numpy referee."""
+    rng = np.random.default_rng(31)
+    alpha = b"ACGT"
+    text = bytes(alpha[i] for i in rng.integers(0, 4, 30000)) + b"$"
+    arr = _arr(text)
+    built = native.NativeSmemEngine(arr, 20)
+    table = built.export_table()
+    hinted = native.NativeSmemEngine(arr, 20, table=table, stride_known=1)
+    plain = native.NativeSmemEngine(arr, 20, table=table)
+    ref = SmemEngine(arr, 20)
+    for i in range(120):
+        L = int(rng.integers(20, 120))
+        p = int(rng.integers(0, len(text) - L - 1))
+        r = bytearray(text[p : p + L].replace(b"$", b"A"))
+        for _ in range(int(rng.integers(0, 4))):
+            r[int(rng.integers(0, L))] = alpha[int(rng.integers(0, 4))]
+        r = bytes(r)
+        want = ref.all_smems(r)
+        assert hinted.all_smems(r) == want
+        assert plain.all_smems(r) == want
+
+
 def test_wide_key_radix_buckets():
     """k=20 base-5 keys exceed 32 bits; two distinct keys equal modulo
     2^32 interleaved between repeats of one key must not split its

@@ -188,6 +188,7 @@ class BatchAligner:
         self.seeder = make_seeder(
             index.seq_arr, opts.min_seed_len,
             table=getattr(index, "seed_table", None),
+            stride_known=getattr(index, "seed_stride", None),
         )
         if backend is None:
             backend = "xla" if jax.default_backend() == "cpu" else "pallas"

@@ -58,6 +58,7 @@ class OracleAligner:
         self.seeder = make_seeder(
             index.seq_arr, opts.min_seed_len,
             table=getattr(index, "seed_table", None),
+            stride_known=getattr(index, "seed_stride", None),
         )
 
     def align_read(self, read: bytes) -> List[GenomeAlignment]:

@@ -164,6 +164,10 @@ class Index:
         # export copy is ~37 GB of fresh pages.  The engine must then
         # outlive the table — it rides on the Index.
         self.seed_table = seeder.export_table(views=True)
+        # remembered so classic-array adopters (and the artifact) can
+        # declare the build stride — stride 1 enables the native
+        # seeder's adaptive probe skip (csrc thermite_smems)
+        self.seed_stride = int(stride)
         self._seed_engine = seeder
         return self.seed_table
 
@@ -419,6 +423,11 @@ class Index:
             return
         sk, skeys, soff, spos = self.seed_table
         meta["seed_k"] = int(sk)
+        # classic tables don't carry their stride (packed ones do);
+        # record it so adopting loads can enable the adaptive probe
+        # skip (absent in pre-round-5 artifacts -> skip stays off)
+        if getattr(self, "seed_stride", None) is not None:
+            meta["seed_stride"] = int(self.seed_stride)
         common["meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
         # positions fit int32 for any <2 GiB text: halve disk + IO
         spos_disk = (
@@ -604,6 +613,8 @@ class Index:
                 big("seed_offsets"),
                 big("seed_positions"),
             )
+            if "seed_stride" in meta:
+                idx.seed_stride = int(meta["seed_stride"])
         return idx
 
     def warm_mmap(self) -> float:

@@ -139,6 +139,10 @@ def _try_load():
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
         _i64p, ctypes.c_int64, _i64p, _i32p, ctypes.c_int64,
     ]
+    lib.thermite_seed_index_set_stride_hint.restype = None
+    lib.thermite_seed_index_set_stride_hint.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+    ]
     lib.thermite_smems.restype = ctypes.c_int64
     lib.thermite_smems.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
@@ -157,7 +161,14 @@ class NativeSmemEngine:
     """Drop-in replacement for ``SmemEngine`` backed by C++."""
 
     def __init__(self, seq_arr: np.ndarray, min_seed_len: int, table=None,
-                 stride: int = 1):
+                 stride: int = 1, stride_known=None):
+        """``stride_known``: the stride a CLASSIC posting-array
+        ``table`` was built with, when the caller knows it (artifacts
+        record it as meta["seed_stride"]; Index.build_seed_table keeps
+        it on the Index).  Packed tables carry their own stride, and
+        fresh builds use ``stride`` — this only matters for the
+        adopted-classic-arrays path, where an unknown stride keeps the
+        C side's adaptive probe skip off (csrc thermite_smems)."""
         lib = _try_load()
         if lib is None:
             raise RuntimeError("native seeding library unavailable")
@@ -243,6 +254,14 @@ class NativeSmemEngine:
             )
         if not self._h:
             raise RuntimeError("native seed index construction failed")
+        if (
+            stride_known is not None
+            and table is not None
+            and not isinstance(table, PackedSeedTable)
+        ):
+            lib.thermite_seed_index_set_stride_hint(
+                self._h, int(stride_known)
+            )
         self._cap = 4096
         self._alloc()
 
@@ -354,14 +373,15 @@ class NativeSmemEngine:
 
 
 def make_seeder(seq_arr: np.ndarray, min_seed_len: int, table=None,
-                stride: int = 1):
+                stride: int = 1, stride_known=None):
     """Native engine when available, numpy fallback otherwise.
 
     ``table`` is an optional persisted posting table
     (k, uniq_keys, offsets, positions); it is used only when its k
     matches the anchor k for ``min_seed_len`` (else rebuilt with
     ``stride``: >1 samples text positions — whole-genome tables; see
-    thermite_seed_index_new_stride in csrc)."""
+    thermite_seed_index_new_stride in csrc).  ``stride_known``
+    declares a classic table's build stride (NativeSmemEngine)."""
     k = min(MAX_ANCHOR_K, min_seed_len)
     if table is not None and table[0] != k:
         import sys
@@ -383,7 +403,7 @@ def make_seeder(seq_arr: np.ndarray, min_seed_len: int, table=None,
         )
     if available():
         return NativeSmemEngine(seq_arr, min_seed_len, table=table,
-                                stride=stride)
+                                stride=stride, stride_known=stride_known)
     from .kmer import KmerTable
     from .smem import SmemEngine
 

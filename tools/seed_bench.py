@@ -33,7 +33,8 @@ def main():
     print(f"index loaded in {time.time() - t0:.1f} s", file=sys.stderr)
     t0 = time.time()
     seeder = make_seeder(
-        idx.seq_arr, 20, table=getattr(idx, "seed_table", None)
+        idx.seq_arr, 20, table=getattr(idx, "seed_table", None),
+        stride_known=getattr(idx, "seed_stride", None),
     )
     print(f"seeder init in {time.time() - t0:.1f} s", file=sys.stderr)
 
