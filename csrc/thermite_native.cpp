@@ -1100,6 +1100,167 @@ extern "C" void thermite_seed_prof(int64_t* out6) {
   for (int i = 0; i < 6; ++i) out6[i] = g_seed_prof[i].exchange(0);
 }
 
+namespace {
+
+// ---- shared SMEM-search building blocks (thermite_smems and the
+// interleaved chunk-build seeder below use the exact same pieces, so
+// their outputs are identical by construction) ----
+
+// occurrence interval: (diag, s_o, e_o, p_o), deduped per diagonal
+struct SeedOcc {
+  int64_t diag, s, e, p;
+};
+struct SeedMem {
+  int64_t q, t, len;
+};
+
+// per-diagonal coverage dedupe: remember last covered query end per
+// diagonal via a growable open-addressing map (sizing it from raw
+// anchor-hit counts could allocate GBs for repeat-pathological reads)
+struct DiagCoverMap {
+  struct Ent {
+    int64_t diag;
+    int64_t qend;
+  };
+  std::vector<Ent> tab;
+  size_t cap = 0;
+  size_t count = 0;
+
+  void reset() {
+    if (cap == 0 || cap > 4096) {
+      cap = 256;
+      tab.assign(cap, {INT64_MIN, -1});
+    } else if (count) {
+      std::fill(tab.begin(), tab.end(), Ent{INT64_MIN, -1});
+    }
+    count = 0;
+  }
+  int64_t covered_until(int64_t diag) const {
+    size_t slot = ((uint64_t)diag * 0x9E3779B97F4A7C15ull) & (cap - 1);
+    while (tab[slot].diag != INT64_MIN) {
+      if (tab[slot].diag == diag) return tab[slot].qend;
+      slot = (slot + 1) & (cap - 1);
+    }
+    return -1;
+  }
+  static bool raw_insert(std::vector<Ent>& t, size_t c, int64_t diag,
+                         int64_t qend) {
+    size_t slot = ((uint64_t)diag * 0x9E3779B97F4A7C15ull) & (c - 1);
+    while (t[slot].diag != INT64_MIN && t[slot].diag != diag)
+      slot = (slot + 1) & (c - 1);
+    bool fresh = t[slot].diag == INT64_MIN;
+    t[slot] = {diag, qend};
+    return fresh;
+  }
+  void set_covered(int64_t diag, int64_t qend) {
+    if ((count + 1) * 2 > cap) {  // grow at 50% load
+      std::vector<Ent> bigger(cap << 1, {INT64_MIN, -1});
+      for (const auto& e : tab)
+        if (e.diag != INT64_MIN) raw_insert(bigger, cap << 1, e.diag, e.qend);
+      tab.swap(bigger);
+      cap <<= 1;
+    }
+    count += raw_insert(tab, cap, diag, qend);
+  }
+};
+
+// rolling base-5 anchor keys: one code lookup per read byte instead
+// of k per anchor; anchor q is valid iff no invalid byte lands in its
+// window [q, q+k).  keys must have rlen-k+1 slots, prefilled use not
+// required (every slot is written or set to -1).  Returns whether the
+// read contains any invalid (non-ACGTN) byte.
+bool seed_roll_keys(const uint8_t* read, int64_t rlen, int k,
+                    int64_t* keys) {
+  const int64_t n_anchor = rlen - k + 1;
+  for (int64_t q = 0; q < n_anchor; ++q) keys[q] = -1;
+  int64_t pow = 1;  // 5^(k-1)
+  for (int t = 0; t < k - 1; ++t) pow *= 5;
+  int64_t key = 0;
+  int64_t last_bad = -1;
+  for (int64_t i = 0; i < rlen; ++i) {
+    uint8_t c = kCodes.code[read[i]];
+    if (c == 255) {
+      last_bad = i;
+      c = 0;
+    }
+    if (i >= k) {
+      uint8_t c0 = kCodes.code[read[i - k]];
+      key -= (int64_t)(c0 == 255 ? 0 : c0) * pow;
+    }
+    key = key * 5 + c;
+    int64_t q = i - k + 1;
+    if (q >= 0 && last_bad < q) keys[q] = key;
+  }
+  return last_bad >= 0;
+}
+
+// extend one posting range's occurrences around anchor q; returns the
+// max extension end seen (0 when none were fresh)
+int64_t seed_extend_range(const SeedIndex* idx, const uint8_t* read,
+                          int64_t rlen, int64_t q, int64_t lo, int64_t hi,
+                          DiagCoverMap* cover, std::vector<SeedOcc>* occs) {
+  const int k = idx->k;
+  const uint8_t* text = idx->text;
+  const int64_t n = idx->n;
+  int64_t emax = 0;
+  for (int64_t pi = lo; pi < hi; ++pi) {
+    int64_t p = idx->pos_at(pi);
+    int64_t diag = p - q;
+    if (cover->covered_until(diag) >= q + k) continue;  // inside known run
+    // maximal extension around the anchor
+    int64_t l = 0;
+    while (q - 1 - l >= 0 && p - 1 - l >= 0 &&
+           read[q - 1 - l] == text[p - 1 - l])
+      ++l;
+    int64_t r = 0;
+    while (q + k + r < rlen && p + k + r < n &&
+           read[q + k + r] == text[p + k + r])
+      ++r;
+    int64_t s = q - l, e = q + k + r;
+    occs->push_back({diag, s, e, p - l});
+    cover->set_covered(diag, e);
+    if (e > emax) emax = e;
+  }
+  return emax;
+}
+
+// envelope + emission + canonical sort: occs -> mems (appended).
+// ``env_scratch`` is caller-provided so per-read calls don't pay a
+// heap allocation (resized/zeroed here).
+void seed_emit(const std::vector<SeedOcc>& occs, int64_t rlen,
+               int64_t min_seed_len, std::vector<SeedMem>* mems,
+               std::vector<int64_t>* env_scratch) {
+  // envelope P(s) = max e over intervals with s_o <= s
+  std::vector<int64_t>& env = *env_scratch;
+  env.assign(rlen + 1, 0);
+  for (const auto& o : occs) {
+    if (o.e > env[o.s]) env[o.s] = o.e;
+  }
+  for (int64_t s = 1; s <= rlen; ++s)
+    if (env[s - 1] > env[s]) env[s] = env[s - 1];
+
+  // SMEM starts: envelope increases and length >= min_seed_len
+  size_t base = mems->size();
+  int64_t prev = 0;
+  for (int64_t s = 0; s < rlen; ++s) {
+    int64_t e = env[s];
+    if (e - s >= min_seed_len && e > prev) {
+      for (const auto& o : occs) {
+        if (o.s <= s && o.e >= e) mems->push_back({s, o.p + (s - o.s), e - s});
+      }
+    }
+    if (env[s] > prev) prev = env[s];
+  }
+  std::sort(mems->begin() + base, mems->end(),
+            [](const SeedMem& a, const SeedMem& b) {
+              if (a.len != b.len) return a.len > b.len;
+              if (a.q != b.q) return a.q < b.q;
+              return a.t < b.t;
+            });
+}
+
+}  // namespace
+
 // SMEM search for one read.  Returns the number of mems written, or
 // -(required capacity) if out buffers are too small.
 // Output arrays: (qpos, tpos, len) sorted by (-len, qpos, tpos).
@@ -1108,15 +1269,9 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
                        int64_t* out_len, int64_t cap) {
   auto* idx = static_cast<SeedIndex*>(h);
   const int k = idx->k;
-  const uint8_t* text = idx->text;
-  const int64_t n = idx->n;
   if (rlen < min_seed_len || rlen < k) return 0;
 
-  // occurrence intervals: (diag, s_o, e_o, p_o), deduped per diagonal
-  struct Occ {
-    int64_t diag, s, e, p;
-  };
-  std::vector<Occ> occs;
+  std::vector<SeedOcc> occs;
 
   // pre-pass: resolve and cache each anchor's posting range
   // (prefetched a pass ahead — the probes' cache misses dominate
@@ -1135,94 +1290,14 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
     tp = now;
   };
   const int64_t n_anchor = rlen - k + 1;
-  std::vector<int64_t> keys(n_anchor, -1);
-  bool any_invalid = false;
-  {
-    // rolling base-5 anchor keys: one code lookup per read byte
-    // instead of k per anchor; anchor q is valid iff no invalid byte
-    // lands in its window [q, q+k)
-    int64_t pow = 1;  // 5^(k-1)
-    for (int t = 0; t < k - 1; ++t) pow *= 5;
-    int64_t key = 0;
-    int64_t last_bad = -1;
-    for (int64_t i = 0; i < rlen; ++i) {
-      uint8_t c = kCodes.code[read[i]];
-      if (c == 255) {
-        last_bad = i;
-        c = 0;
-      }
-      if (i >= k) {
-        uint8_t c0 = kCodes.code[read[i - k]];
-        key -= (int64_t)(c0 == 255 ? 0 : c0) * pow;
-      }
-      key = key * 5 + c;
-      int64_t q = i - k + 1;
-      if (q >= 0 && last_bad < q) keys[q] = key;
-    }
-    any_invalid = last_bad >= 0;
-  }
+  std::vector<int64_t> keys(n_anchor);
+  bool any_invalid = seed_roll_keys(read, rlen, k, keys.data());
   phase(0);
 
-  // per-diagonal coverage dedupe: remember last covered query end per
-  // diagonal via a growable open-addressing map (sizing it from raw
-  // anchor-hit counts could allocate GBs for repeat-pathological reads)
-  struct DiagCover {
-    int64_t diag;
-    int64_t qend;
-  };
-  size_t hcap = 256;
-  size_t hcount = 0;
-  std::vector<DiagCover> cover(hcap, {INT64_MIN, -1});
-  auto covered_until = [&](int64_t diag) -> int64_t {
-    size_t slot = ((uint64_t)diag * 0x9E3779B97F4A7C15ull) & (hcap - 1);
-    while (cover[slot].diag != INT64_MIN) {
-      if (cover[slot].diag == diag) return cover[slot].qend;
-      slot = (slot + 1) & (hcap - 1);
-    }
-    return -1;
-  };
-  auto raw_insert = [](std::vector<DiagCover>& tab, size_t cap,
-                       int64_t diag, int64_t qend) {
-    size_t slot = ((uint64_t)diag * 0x9E3779B97F4A7C15ull) & (cap - 1);
-    while (tab[slot].diag != INT64_MIN && tab[slot].diag != diag)
-      slot = (slot + 1) & (cap - 1);
-    bool fresh = tab[slot].diag == INT64_MIN;
-    tab[slot] = {diag, qend};
-    return fresh;
-  };
-  auto set_covered = [&](int64_t diag, int64_t qend) {
-    if ((hcount + 1) * 2 > hcap) {  // grow at 50% load
-      std::vector<DiagCover> bigger(hcap << 1, {INT64_MIN, -1});
-      for (const auto& e : cover)
-        if (e.diag != INT64_MIN) raw_insert(bigger, hcap << 1, e.diag, e.qend);
-      cover.swap(bigger);
-      hcap <<= 1;
-    }
-    hcount += raw_insert(cover, hcap, diag, qend);
-  };
-  // extend one posting range's occurrences around anchor q; returns
-  // the max extension end seen (0 when none were fresh)
+  DiagCoverMap cover;
+  cover.reset();
   auto extend_range = [&](int64_t q, int64_t lo, int64_t hi) -> int64_t {
-    int64_t emax = 0;
-    for (int64_t pi = lo; pi < hi; ++pi) {
-      int64_t p = idx->pos_at(pi);
-      int64_t diag = p - q;
-      if (covered_until(diag) >= q + k) continue;  // inside known run
-      // maximal extension around the anchor
-      int64_t l = 0;
-      while (q - 1 - l >= 0 && p - 1 - l >= 0 &&
-             read[q - 1 - l] == text[p - 1 - l])
-        ++l;
-      int64_t r = 0;
-      while (q + k + r < rlen && p + k + r < n &&
-             read[q + k + r] == text[p + k + r])
-        ++r;
-      int64_t s = q - l, e = q + k + r;
-      occs.push_back({diag, s, e, p - l});
-      set_covered(diag, e);
-      if (e > emax) emax = e;
-    }
-    return emax;
+    return seed_extend_range(idx, read, rlen, q, lo, hi, &cover, &occs);
   };
 
   if (seed_skip_on() && idx->skip_stride == 1 && !any_invalid) {
@@ -1274,6 +1349,8 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
     }
     phase(1);
   } else {
+    const uint8_t* text = idx->text;
+    const int64_t n = idx->n;
     std::vector<int64_t> rlo(n_anchor, 0), rhi(n_anchor, 0);
     // probe pass with bounded-lookahead prefetching: issuing every
     // anchor's prefetch up front (the old pre-pass) overflows the
@@ -1352,35 +1429,9 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
   }
 
   phase(3);
-  // envelope P(s) = max e over intervals with s_o <= s
-  std::vector<int64_t> env(rlen + 1, 0);
-  for (const auto& o : occs) {
-    if (o.e > env[o.s]) env[o.s] = o.e;
-  }
-  for (int64_t s = 1; s <= rlen; ++s)
-    if (env[s - 1] > env[s]) env[s] = env[s - 1];
-
-  // SMEM starts: envelope increases and length >= min_seed_len
-  struct MemOut {
-    int64_t q, t, len;
-  };
-  std::vector<MemOut> mems;
-  int64_t prev = 0;
-  for (int64_t s = 0; s < rlen; ++s) {
-    int64_t e = env[s];
-    if (e - s >= min_seed_len && e > prev) {
-      for (const auto& o : occs) {
-        if (o.s <= s && o.e >= e) mems.push_back({s, o.p + (s - o.s), e - s});
-      }
-    }
-    if (env[s] > prev) prev = env[s];
-  }
-
-  std::sort(mems.begin(), mems.end(), [](const MemOut& a, const MemOut& b) {
-    if (a.len != b.len) return a.len > b.len;
-    if (a.q != b.q) return a.q < b.q;
-    return a.t < b.t;
-  });
+  std::vector<SeedMem> mems;
+  std::vector<int64_t> env_scratch;
+  seed_emit(occs, rlen, min_seed_len, &mems, &env_scratch);
 
   if ((int64_t)mems.size() > cap) return -(int64_t)mems.size();
   for (size_t i = 0; i < mems.size(); ++i) {
@@ -1394,6 +1445,246 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
 }
 
 }  // extern "C"
+
+namespace {
+
+// W-way interleaved adaptive seeding for sequential chunk builds.
+//
+// The adaptive probe skip (thermite_smems above) leaves only
+// ~(1 + #mismatches) probes per read, but each probe is a chain of
+// DEPENDENT cache misses — hash slot -> posting entries -> text
+// around the hit — that a single in-flight read serializes at one
+// full memory latency per link.  This engine runs kW reads' probe
+// state machines round-robin, one pipeline stage per visit, so every
+// load was prefetched a full rotation earlier and different reads'
+// chains overlap in the memory system (the single-core host's
+// line-fill buffers are the real execution resource here).
+//
+// Each slot cycles PROBE -> POS -> EXT:
+//   PROBE: hash slot line (prefetched last visit) -> posting range;
+//          prefetch the first posting-entry lines.
+//   POS:   read posting entries (warm); prefetch the text lines each
+//          occurrence's extension will touch first.  Ranges longer
+//          than kChunk process in kChunk-sized POS/EXT rounds.
+//   EXT:   run the shared seed_extend_range on the (warm) text,
+//          update E, advance the cursor q = max(q+1, E-k+1) and
+//          prefetch the next probe's slot line — or finish the read
+//          (shared seed_emit) and refill the slot with the next one.
+//
+// Per-read algorithm, state, and visit order of (q, posting index)
+// are EXACTLY thermite_smems' adaptive path, so output is identical
+// (tests/test_native_seed.py::test_interleaved_chunk_seed_identity
+// plus the chunk-build parity suite).  Only the hash-slot table
+// representation interleaves (stride-1 tables below the pfx/packed
+// threshold — every headline config); dirty reads (invalid bytes) and
+// other representations fall back to thermite_smems per read.
+class SeedInterleaver {
+ public:
+  static constexpr int kW = 16;      // in-flight reads (16 and 24 measured equal; 12 slightly worse)
+  static constexpr int64_t kChunk = 8;  // posting entries per POS round
+
+  SeedInterleaver(SeedIndex* idx, int64_t min_seed_len)
+      : idx_(idx),
+        min_len_(min_seed_len),
+        eligible_(seed_skip_on() && idx->skip_stride == 1 &&
+                  !idx->packed && idx->pfxp == nullptr &&
+                  !idx->hslots.empty()) {}
+
+  bool eligible() const { return eligible_; }
+
+  // Seed reads [0, n) of the padded block: read i's mems land at
+  // out_mems[(*out_off)[i] .. (*out_off)[i+1]) sorted (-len, q, t).
+  void seed_all(const uint8_t* reads, int64_t rpad, const int64_t* read_lens,
+                int64_t n, std::vector<SeedMem>* out_mems,
+                std::vector<int64_t>* out_off) {
+    if (per_read_.size() < (size_t)n) per_read_.resize(n);
+    for (int64_t i = 0; i < n; ++i) per_read_[i].clear();
+
+    int64_t next_ri = 0;
+    int active = 0;
+    for (int w = 0; w < kW; ++w) {
+      slots_[w].ri = -1;
+      if (refill(slots_[w], reads, rpad, read_lens, n, &next_ri)) ++active;
+    }
+    while (active > 0) {
+      for (int w = 0; w < kW; ++w) {
+        Slot& s = slots_[w];
+        if (s.ri < 0) continue;
+        if (!step(s, reads, rpad, read_lens, n, &next_ri)) --active;
+      }
+    }
+
+    out_mems->clear();
+    out_off->resize(n + 1);
+    (*out_off)[0] = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      out_mems->insert(out_mems->end(), per_read_[i].begin(),
+                       per_read_[i].end());
+      (*out_off)[i + 1] = (int64_t)out_mems->size();
+    }
+  }
+
+ private:
+  struct Slot {
+    int64_t ri = -1;
+    const uint8_t* read = nullptr;
+    int64_t rlen = 0, n_anchor = 0;
+    int64_t q = 0, E = 0;
+    int64_t lo = 0, hi = 0, cur = 0;  // posting range + POS cursor
+    int stage = 0;                    // 0 PROBE, 1 POS, 2 EXT
+    int64_t pbuf[kChunk];             // decoded positions of this round
+    int64_t pcnt = 0;
+    std::vector<int64_t> keys;
+    std::vector<SeedOcc> occs;
+    DiagCoverMap cover;
+  };
+
+  void prefetch_slot(int64_t key) const {
+    __builtin_prefetch(
+        &idx_->hslots[((uint64_t)key * 0x9E3779B97F4A7C15ull) & idx_->hmask]);
+  }
+  void prefetch_positions(int64_t a, int64_t b) const {
+    if (idx_->positions32) {
+      for (int64_t i = a; i < b; i += 16)
+        __builtin_prefetch(&idx_->positions32[i]);
+    } else {
+      for (int64_t i = a; i < b; i += 8)
+        __builtin_prefetch(&idx_->positions[i]);
+    }
+  }
+
+  // advance the probe cursor after anchor q's range is fully handled;
+  // finishes + refills the slot when the read is done.  Returns false
+  // when the slot went idle (no reads left).
+  bool advance(Slot& s, const uint8_t* reads, int64_t rpad,
+               const int64_t* read_lens, int64_t n, int64_t* next_ri) {
+    const int k = idx_->k;
+    int64_t nq = s.E - k + 1;
+    s.q = nq > s.q + 1 ? nq : s.q + 1;
+    if (s.q < s.n_anchor) {
+      prefetch_slot(s.keys[s.q]);
+      s.stage = 0;
+      return true;
+    }
+    seed_emit(s.occs, s.rlen, min_len_, &per_read_[s.ri], &env_scratch_);
+    s.ri = -1;
+    return refill(s, reads, rpad, read_lens, n, next_ri);
+  }
+
+  // load the next eligible read into the slot (keys + first prefetch);
+  // short reads finish empty and dirty reads run the per-read referee
+  // path inline, both without occupying the slot.
+  bool refill(Slot& s, const uint8_t* reads, int64_t rpad,
+              const int64_t* read_lens, int64_t n, int64_t* next_ri) {
+    const int k = idx_->k;
+    while (*next_ri < n) {
+      int64_t ri = (*next_ri)++;
+      const uint8_t* read = reads + ri * rpad;
+      int64_t rlen = read_lens[ri];
+      if (rlen < min_len_ || rlen < k) continue;  // no mems (smems: 0)
+      s.n_anchor = rlen - k + 1;
+      if (s.keys.size() < (size_t)s.n_anchor) s.keys.resize(s.n_anchor);
+      if (seed_roll_keys(read, rlen, k, s.keys.data())) {
+        seed_dirty(read, rlen, ri);  // invalid bytes: referee path
+        continue;
+      }
+      s.ri = ri;
+      s.read = read;
+      s.rlen = rlen;
+      s.q = 0;
+      s.E = 0;
+      s.occs.clear();
+      s.cover.reset();
+      s.stage = 0;
+      prefetch_slot(s.keys[0]);
+      return true;
+    }
+    return false;
+  }
+
+  // one pipeline stage for one slot; false when the slot went idle
+  bool step(Slot& s, const uint8_t* reads, int64_t rpad,
+            const int64_t* read_lens, int64_t n, int64_t* next_ri) {
+    const int k = idx_->k;
+    switch (s.stage) {
+      case 0: {  // PROBE (slot line warm)
+        int64_t lo, hi;
+        if (idx_->find_range(s.keys[s.q], &lo, &hi)) {
+          s.lo = lo;
+          s.hi = hi;
+          s.cur = lo;
+          int64_t cend = s.cur + kChunk < hi ? s.cur + kChunk : hi;
+          prefetch_positions(s.cur, cend);
+          s.stage = 1;
+          return true;
+        }
+        return advance(s, reads, rpad, read_lens, n, next_ri);
+      }
+      case 1: {  // POS (posting entries warm): decode + prefetch text
+        int64_t cend = s.cur + kChunk < s.hi ? s.cur + kChunk : s.hi;
+        s.pcnt = 0;
+        const uint8_t* text = idx_->text;
+        for (int64_t pi = s.cur; pi < cend; ++pi) {
+          int64_t p = idx_->pos_at(pi);
+          s.pbuf[s.pcnt++] = p;
+          if (p >= 64) __builtin_prefetch(&text[p - 64]);
+          __builtin_prefetch(&text[p]);
+          if (p + k < idx_->n) __builtin_prefetch(&text[p + k]);
+        }
+        s.stage = 2;
+        return true;
+      }
+      default: {  // EXT (text warm): extend this POS round's entries
+        int64_t cend = s.cur + s.pcnt;
+        int64_t e = seed_extend_range(idx_, s.read, s.rlen, s.q, s.cur,
+                                      cend, &s.cover, &s.occs);
+        if (e > s.E) s.E = e;
+        s.cur = cend;
+        if (s.cur < s.hi) {
+          int64_t nxt = s.cur + kChunk < s.hi ? s.cur + kChunk : s.hi;
+          prefetch_positions(s.cur, nxt);
+          s.stage = 1;
+          return true;
+        }
+        return advance(s, reads, rpad, read_lens, n, next_ri);
+      }
+    }
+  }
+
+  // referee path for reads the machine can't interleave (invalid
+  // bytes force thermite_smems' probe-everything branch anyway)
+  void seed_dirty(const uint8_t* read, int64_t rlen, int64_t ri) {
+    if (dirty_q_.size() < 4096) {
+      dirty_q_.resize(4096);
+      dirty_t_.resize(4096);
+      dirty_l_.resize(4096);
+    }
+    int64_t nm = thermite_smems(idx_, read, rlen, min_len_, dirty_q_.data(),
+                                dirty_t_.data(), dirty_l_.data(),
+                                (int64_t)dirty_q_.size());
+    if (nm < 0) {
+      dirty_q_.resize(-nm);
+      dirty_t_.resize(-nm);
+      dirty_l_.resize(-nm);
+      nm = thermite_smems(idx_, read, rlen, min_len_, dirty_q_.data(),
+                          dirty_t_.data(), dirty_l_.data(),
+                          (int64_t)dirty_q_.size());
+    }
+    auto& out = per_read_[ri];
+    for (int64_t i = 0; i < nm; ++i)
+      out.push_back({dirty_q_[i], dirty_t_[i], dirty_l_[i]});
+  }
+
+  SeedIndex* idx_;
+  int64_t min_len_;
+  bool eligible_;
+  Slot slots_[kW];
+  std::vector<std::vector<SeedMem>> per_read_;
+  std::vector<int64_t> env_scratch_;
+  std::vector<int64_t> dirty_q_, dirty_t_, dirty_l_;
+};
+
+}  // namespace
 
 // ---------------------------------------------------------------------------
 // Batch pipeline host stages: chunk building + arbitration.
@@ -1720,7 +2011,8 @@ struct BuildScratch {
 };
 
 void build_one_read(const Engine& E, const uint8_t* read, int64_t rlen,
-                    int64_t read_off, BuildScratch& S, ReadBuild* out) {
+                    int64_t read_off, BuildScratch& S, ReadBuild* out,
+                    const SeedMem* pre = nullptr, int64_t npre = 0) {
   out->meta.clear();
   out->tasks.clear();
   out->rlen = rlen;
@@ -1733,13 +2025,27 @@ void build_one_read(const Engine& E, const uint8_t* read, int64_t rlen,
   Chunk local;
   const bool prof = BuildProf::on();
   int64_t t_seed = prof ? prof_now() : 0;
-  int64_t nm = thermite_smems(E.seeds, read, rlen, E.min_seed_len,
-                              S.mq.data(), S.mt.data(), S.ml.data(),
-                              (int64_t)S.mq.size());
-  if (nm < 0) {
-    S.mq.resize(-nm); S.mt.resize(-nm); S.ml.resize(-nm);
-    nm = thermite_smems(E.seeds, read, rlen, E.min_seed_len, S.mq.data(),
-                        S.mt.data(), S.ml.data(), (int64_t)S.mq.size());
+  int64_t nm;
+  if (pre != nullptr) {
+    // pre-seeded by the interleaved engine (sequential chunk builds)
+    nm = npre;
+    if ((int64_t)S.mq.size() < nm) {
+      S.mq.resize(nm); S.mt.resize(nm); S.ml.resize(nm);
+    }
+    for (int64_t i = 0; i < nm; ++i) {
+      S.mq[i] = pre[i].q;
+      S.mt[i] = pre[i].t;
+      S.ml[i] = pre[i].len;
+    }
+  } else {
+    nm = thermite_smems(E.seeds, read, rlen, E.min_seed_len,
+                        S.mq.data(), S.mt.data(), S.ml.data(),
+                        (int64_t)S.mq.size());
+    if (nm < 0) {
+      S.mq.resize(-nm); S.mt.resize(-nm); S.ml.resize(-nm);
+      nm = thermite_smems(E.seeds, read, rlen, E.min_seed_len, S.mq.data(),
+                          S.mt.data(), S.ml.data(), (int64_t)S.mq.size());
+    }
   }
   if (prof) {
     int64_t now = prof_now();
@@ -1844,14 +2150,32 @@ void* thermite_chunk_build(void* h, const uint8_t* reads, int64_t n_reads,
 
   int nthreads = build_threads();
   if (nthreads <= 1 || n_reads < 64) {
-    // sequential path: stop as soon as the budget is hit (no wasted
-    // seed lookups past the cutoff)
     BuildScratch S;
     ReadBuild rb;
+    // interleaved seeding pre-pass: seeds every OFFERED read (the
+    // caller sizes the offer to ~1.25x the expected chunk — the same
+    // tradeoff the threaded path makes) so the per-read probe chains
+    // overlap in the memory system; consumption below is unchanged,
+    // so output is bit-identical with or without it
+    SeedInterleaver ilv(E.seeds, E.min_seed_len);
+    std::vector<SeedMem> pre_mems;
+    std::vector<int64_t> pre_off;
+    const bool use_ilv = ilv.eligible() && n_reads >= 2 * SeedInterleaver::kW;
+    if (use_ilv) {
+      int64_t t0 = BuildProf::on() ? prof_now() : 0;
+      ilv.seed_all(reads, rpad, read_lens, n_reads, &pre_mems, &pre_off);
+      if (BuildProf::on()) g_build_prof.seed_ns += prof_now() - t0;
+    }
     for (int64_t ri = 0; ri < n_reads; ++ri) {
       if ((!paired || (ri & 1) == 0) && ch->n_problems() >= problem_budget)
         break;
-      build_one_read(E, reads + ri * rpad, read_lens[ri], ri * rpad, S, &rb);
+      if (use_ilv)
+        build_one_read(E, reads + ri * rpad, read_lens[ri], ri * rpad, S,
+                       &rb, pre_mems.data() + pre_off[ri],
+                       pre_off[ri + 1] - pre_off[ri]);
+      else
+        build_one_read(E, reads + ri * rpad, read_lens[ri], ri * rpad, S,
+                       &rb);
       merge_read(ch, ri, rb);
     }
     ch->read_task_off.push_back(ch->n_tasks());

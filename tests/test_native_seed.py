@@ -111,6 +111,65 @@ def test_stride_hint_enables_skip_identically():
         assert plain.all_smems(r) == want
 
 
+def test_interleaved_chunk_seed_identity(tmp_path):
+    """Sequential chunk builds pre-seed through the W-way interleaved
+    engine; the threaded path seeds per read.  Outputs must be
+    bit-identical, including dirty reads (N bytes -> per-read referee
+    fallback) and repeat-heavy reads."""
+    import os
+
+    from thermite_tpu.align.batch import BatchAligner
+    from thermite_tpu.align.driver import AlignOpts
+    from thermite_tpu.index.build import Index
+
+    idx = Index.create_from_files(
+        "/root/reference/data/GRCh38-2020-A-chrM.fasta",
+        "/root/reference/data/GRCh38-2020-A-chrM.gtf",
+    )
+    opts = AlignOpts(
+        min_seed_len=20, min_aln_score_percent=0.0, min_aln_score=30,
+        intron_mode=True,
+    )
+    aligner = BatchAligner(idx, opts, backend="xla", use_native=True)
+    rng = np.random.default_rng(3)
+    chrM = idx.seq[idx.refs[0].start_idx : idx.refs[0].end_idx - 1]
+    reads = []
+    for i in range(400):
+        p = int(rng.integers(0, len(chrM) - 91))
+        r = bytearray(chrM[p : p + 90])
+        for _ in range(int(rng.integers(0, 4))):
+            r[int(rng.integers(0, 90))] = b"ACGTN"[int(rng.integers(0, 5))]
+        reads.append(bytes(r))
+    reads.append(b"N" * 90)          # fully dirty
+    reads.append(chrM[100:115])      # short (below min_seed_len)
+    rpad = 96
+    reads_pad = np.zeros((len(reads), rpad), np.uint8)
+    lens = np.zeros(len(reads), np.int64)
+    for i, r in enumerate(reads):
+        reads_pad[i, : len(r)] = np.frombuffer(r.upper(), np.uint8)
+        lens[i] = len(r)
+
+    outs = {}
+    old = os.environ.get("THERMITE_THREADS")
+    try:
+        for n in ("1", "4"):  # 1 = interleaved pre-pass, 4 = per-read
+            os.environ["THERMITE_THREADS"] = n
+            ch, consumed, meta, tasks = aligner.native.build_chunk(
+                reads_pad, lens, len(reads), 10**9
+            )
+            aligner.native.free_chunk(ch)
+            outs[n] = (consumed, meta, tasks)
+    finally:
+        if old is None:
+            os.environ.pop("THERMITE_THREADS", None)
+        else:
+            os.environ["THERMITE_THREADS"] = old
+    assert outs["1"][0] == outs["4"][0] == len(reads)
+    assert outs["1"][1].shape == outs["4"][1].shape
+    assert (outs["1"][1] == outs["4"][1]).all()
+    assert (outs["1"][2] == outs["4"][2]).all()
+
+
 def test_wide_key_radix_buckets():
     """k=20 base-5 keys exceed 32 bits; two distinct keys equal modulo
     2^32 interleaved between repeats of one key must not split its
