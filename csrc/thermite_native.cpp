@@ -1352,6 +1352,25 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
     const uint8_t* text = idx->text;
     const int64_t n = idx->n;
     std::vector<int64_t> rlo(n_anchor, 0), rhi(n_anchor, 0);
+    // Full-span early exit (stride > 1 tables, where the adaptive
+    // probe skip above is unsound): once (a) an occurrence covering
+    // the WHOLE read [0, rlen) has been found and (b) at least
+    // `stride` consecutive anchors have been probed, probing can
+    // stop.  Proof: with a full-span interval starting at 0, the
+    // envelope is rlen everywhere, so the only emission point is
+    // s = 0 and it collects exactly the full-span occurrences; a
+    // full-span occurrence on diagonal d is found iff some probed
+    // anchor a has (d + a) % stride == 0 (text positions are sampled
+    // at `stride`), and any `stride` CONSECUTIVE probed anchors cover
+    // every residue class — all anchors are valid here because the
+    // read is clean (no invalid byte), which the gate requires.
+    // Probing proceeds in anchor chunks so the bounded-lookahead /
+    // text-warming pipelining is preserved within a chunk.
+    const bool chunked =
+        seed_skip_on() && idx->skip_stride > 1 && !any_invalid;
+    const int64_t CK =
+        chunked ? std::max<int64_t>(16, idx->skip_stride) : n_anchor;
+    bool full_span = false;
     // probe pass with bounded-lookahead prefetching: issuing every
     // anchor's prefetch up front (the old pre-pass) overflows the
     // core's ~dozen line-fill buffers and the excess prefetches drop,
@@ -1366,65 +1385,80 @@ int64_t thermite_smems(void* h, const uint8_t* read, int64_t rlen,
             &idx->hslots[((uint64_t)key * 0x9E3779B97F4A7C15ull) &
                          idx->hmask]);
     };
-    for (int64_t q = 0; q < n_anchor && q < D; ++q)
-      if (keys[q] >= 0) probe_prefetch(keys[q]);
-    if (idx->packed) {
-      // packed (genome-scale) tables bisect a pfx cell's kv range —
-      // ~3 dependent line misses per anchor if run cold.  Split the
-      // probe: a bounds pass reads the (lookahead-warm) pfx and
-      // prefetches each anchor's whole kv range (a cell is a few cache
-      // lines), then the bisect pass runs on warm lines.
-      for (int64_t q = 0; q < n_anchor; ++q) {
-        if (q + D < n_anchor && keys[q + D] >= 0) probe_prefetch(keys[q + D]);
-        if (keys[q] < 0) continue;
-        int64_t p = keys[q] >> idx->key_shift;
-        int64_t a = idx->pfxp[p], b = idx->pfxp[p + 1];
-        rlo[q] = a;
-        rhi[q] = ~b;  // mark "bounds only" (bisect pass resolves below)
-        int64_t end = b < a + 64 ? b : a + 64;  // cap repeat-heavy cells
-        for (int64_t off = a; off < end; off += 8)
-          __builtin_prefetch(&idx->kvp[off]);
+    for (int64_t c0 = 0; c0 < n_anchor; c0 += CK) {
+      const int64_t c1 = std::min(c0 + CK, n_anchor);
+      if (c0 == 0)
+        for (int64_t q = 0; q < c1 && q < D; ++q)
+          if (keys[q] >= 0) probe_prefetch(keys[q]);
+      if (idx->packed) {
+        // packed (genome-scale) tables bisect a pfx cell's kv range —
+        // ~3 dependent line misses per anchor if run cold.  Split the
+        // probe: a bounds pass reads the (lookahead-warm) pfx and
+        // prefetches each anchor's whole kv range (a cell is a few
+        // cache lines), then the bisect pass runs on warm lines.
+        for (int64_t q = c0; q < c1; ++q) {
+          if (q + D < n_anchor && keys[q + D] >= 0)
+            probe_prefetch(keys[q + D]);
+          if (keys[q] < 0) continue;
+          int64_t p = keys[q] >> idx->key_shift;
+          int64_t a = idx->pfxp[p], b = idx->pfxp[p + 1];
+          rlo[q] = a;
+          rhi[q] = ~b;  // mark "bounds only" (bisect pass resolves below)
+          int64_t end = b < a + 64 ? b : a + 64;  // cap repeat-heavy cells
+          for (int64_t off = a; off < end; off += 8)
+            __builtin_prefetch(&idx->kvp[off]);
+        }
+        for (int64_t q = c0; q < c1; ++q) {
+          if (keys[q] < 0 || rhi[q] >= 0) continue;
+          rlo[q] = rhi[q] = 0;
+          int64_t lo, hi;
+          if (!idx->find_range(keys[q], &lo, &hi)) continue;
+          rlo[q] = lo;
+          rhi[q] = hi;
+        }
+      } else {
+        for (int64_t q = c0; q < c1; ++q) {
+          if (q + D < n_anchor && keys[q + D] >= 0)
+            probe_prefetch(keys[q + D]);
+          if (keys[q] < 0) continue;
+          int64_t lo, hi;
+          if (!idx->find_range(keys[q], &lo, &hi)) continue;
+          rlo[q] = lo;
+          rhi[q] = hi;
+          // warm the posting range for the text pass below
+          __builtin_prefetch(idx->positions32
+                                 ? (const void*)&idx->positions32[lo]
+                                 : (const void*)&idx->positions[lo]);
+        }
       }
-      for (int64_t q = 0; q < n_anchor; ++q) {
-        if (keys[q] < 0 || rhi[q] >= 0) continue;
-        rlo[q] = rhi[q] = 0;
-        int64_t lo, hi;
-        if (!idx->find_range(keys[q], &lo, &hi)) continue;
-        rlo[q] = lo;
-        rhi[q] = hi;
+      if (c0 == 0) phase(1);
+      // text-warming pass: each anchor's first occurrence extends
+      // against text lines around p; same-diagonal anchors hit the
+      // same few lines (p advances with q), so these prefetches
+      // collapse to a handful of distinct misses that overlap with
+      // this loop instead of stalling the extension loop one line at
+      // a time.
+      for (int64_t q = c0; q < c1; ++q) {
+        if (rlo[q] >= rhi[q]) continue;
+        int64_t p = idx->pos_at(rlo[q]);
+        if (p >= 64) __builtin_prefetch(&text[p - 64]);
+        __builtin_prefetch(&text[p]);
+        if (p + k < n) __builtin_prefetch(&text[p + k]);
       }
-    } else {
-      for (int64_t q = 0; q < n_anchor; ++q) {
-        if (q + D < n_anchor && keys[q + D] >= 0) probe_prefetch(keys[q + D]);
-        if (keys[q] < 0) continue;
-        int64_t lo, hi;
-        if (!idx->find_range(keys[q], &lo, &hi)) continue;
-        rlo[q] = lo;
-        rhi[q] = hi;
-        // warm the posting range for the text pass below
-        __builtin_prefetch(idx->positions32
-                               ? (const void*)&idx->positions32[lo]
-                               : (const void*)&idx->positions[lo]);
-      }
-    }
-    phase(1);
-    // text-warming pass: each anchor's first occurrence extends against
-    // text lines around p; same-diagonal anchors hit the same few lines
-    // (p advances with q), so these prefetches collapse to a handful of
-    // distinct misses that overlap with this loop instead of stalling
-    // the extension loop one line at a time.
-    for (int64_t q = 0; q < n_anchor; ++q) {
-      if (rlo[q] >= rhi[q]) continue;
-      int64_t p = idx->pos_at(rlo[q]);
-      if (p >= 64) __builtin_prefetch(&text[p - 64]);
-      __builtin_prefetch(&text[p]);
-      if (p + k < n) __builtin_prefetch(&text[p + k]);
-    }
-    phase(2);
+      if (c0 == 0) phase(2);
 
-    for (int64_t q = 0; q + k <= rlen; ++q) {
-      if (rlo[q] >= rhi[q]) continue;
-      extend_range(q, rlo[q], rhi[q]);
+      for (int64_t q = c0; q < c1; ++q) {
+        if (rlo[q] >= rhi[q]) continue;
+        int64_t e = extend_range(q, rlo[q], rhi[q]);
+        if (chunked && !full_span && e == rlen) {
+          for (const auto& o : occs)
+            if (o.s == 0 && o.e == rlen) {
+              full_span = true;
+              break;
+            }
+        }
+      }
+      if (chunked && full_span && c1 >= idx->skip_stride) break;
     }
   }
 
