@@ -2275,7 +2275,7 @@ void thermite_chunk_arbitrate(void* eh, void* chh, const int32_t* scores,
   struct Cand {  // one chosen alignment per seed group
     int64_t task, type, gene, refid, score, ys, ye, xs, xe, rank, strand;
   };
-  std::vector<Cand> cands, kept;
+  std::vector<Cand> cands, kept, res;
   std::vector<int64_t> gidx;
 
   auto task = [&](int64_t t, int c) { return ch.tasks[t * T_NCOL + c]; };
@@ -2365,7 +2365,7 @@ void thermite_chunk_arbitrate(void* eh, void* chh, const int32_t* scores,
       if (a.strand != b.strand) return a.strand < b.strand;
       return a.ys < b.ys;
     });
-    std::vector<Cand> res;
+    res.clear();
     int64_t max_end = 0;
     for (const auto& c : kept) {
       if (res.empty() || c.ys >= max_end || c.rank != res.back().rank ||
