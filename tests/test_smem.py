@@ -61,3 +61,35 @@ def test_min_seed_len_filters():
     text = b"ACGTACGT$"
     eng = SmemEngine(_arr(text), min_seed_len=9)
     assert eng.all_smems(b"ACGTACGT") == []
+
+
+def test_longest_smem():
+    # parity surface for reference src/index.rs:260-283
+    rng = np.random.default_rng(7)
+    alpha = b"ACGT"
+    for _ in range(20):
+        n = int(rng.integers(60, 250))
+        text = bytes(alpha[i] for i in rng.integers(0, 4, n)) + b"$"
+        L = int(rng.integers(12, 50))
+        p = int(rng.integers(0, max(n - L, 1)))
+        read = bytearray(text[p : p + L].replace(b"$", b"A").ljust(L, b"C"))
+        if rng.random() < 0.5 and L > 4:
+            read[L // 2] = alpha[(alpha.index(read[L // 2]) + 1) % 4]
+        read = bytes(read)
+        eng = SmemEngine(_arr(text), min_seed_len=8)
+        got = eng.longest_smem(read)
+        ref = all_smems_brute(text, read, 8)
+        if not ref:
+            assert got is None
+            continue
+        best = max(m.len for m in ref)
+        want = min(
+            (m for m in ref if m.len == best),
+            key=lambda m: (m.query_idx, m.ref_idx),
+        )
+        assert got == want
+
+
+def test_longest_smem_none_below_min():
+    eng = SmemEngine(_arr(b"ACGTACGTTTTT$"), min_seed_len=6)
+    assert eng.longest_smem(b"ACGTA") is None

@@ -65,6 +65,20 @@ def main(argv=None) -> int:
     pi.add_argument("reference", help="reference FASTA")
     pi.add_argument("annotations", help="GTF annotations")
     pi.add_argument("-o", "--output", default="-", dest="index")
+    # reference CLI compatibility (src/main.rs:97-102): this index
+    # design has no suffix array / FM Occ table to sample — the seed
+    # posting table's knob is --seed-stride.  Accepted so reference
+    # invocations run unchanged; values are recorded but unused.
+    pi.add_argument(
+        "--sa-sampling-rate", type=int, default=32,
+        help="accepted for thermite CLI compatibility (no suffix "
+        "array in this index design; see --seed-stride)",
+    )
+    pi.add_argument(
+        "--occ-sampling-rate", type=int, default=128,
+        help="accepted for thermite CLI compatibility (no FM Occ "
+        "table in this index design)",
+    )
     pi.add_argument(
         "--seed-stride", type=int, default=None,
         help="sample every Nth text position in the seed table "

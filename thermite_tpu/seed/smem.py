@@ -116,6 +116,26 @@ class SmemEngine:
         mems.sort(key=lambda m: (-m.len, m.query_idx, m.ref_idx))
         return mems
 
+    def longest_smem(self, read: bytes) -> Optional[Mem]:
+        """A single longest SMEM of ``read`` (or None below min length).
+
+        Parity surface for reference src/index.rs:260-283
+        (``Index::longest_smem`` — unused by the align path there too).
+        The reference keeps the FIRST length-maximal interval in FM
+        emission order and its first occurrence; emission order is an
+        FM-index internality, so we canonicalise the tie the same way
+        ``all_smems`` does: earliest query start, then smallest text
+        position.
+        """
+        mems = self.all_smems(read)
+        if not mems:
+            return None
+        best = max(m.len for m in mems)
+        return min(
+            (m for m in mems if m.len == best),
+            key=lambda m: (m.query_idx, m.ref_idx),
+        )
+
     def _extend(self, q: np.ndarray, qi: np.ndarray, ti: np.ndarray, direction: int) -> np.ndarray:
         """Maximal exact-extension lengths from (query idx, text idx).
 
