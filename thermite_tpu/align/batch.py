@@ -212,6 +212,15 @@ class BatchAligner:
         # THERMITE_PIPELINE_DEPTH forces a value (A/B and ops knob).
         _pd = os.environ.get("THERMITE_PIPELINE_DEPTH", "")
         self.pipeline_depth: Optional[int] = int(_pd) if _pd else None
+        # chunk problem budget (ops/A-B knob): bigger chunks amortize
+        # the per-chunk fixed costs (two device syncs at ~RTT each +
+        # kernel dispatch) over more reads, at the price of a new
+        # kernel batch shape (N doubles) and a longer pipeline
+        # fill/drain tail.  Default = class value (just under the 32k
+        # power-of-two bucket).
+        _pb = os.environ.get("THERMITE_PROBLEM_BUDGET", "")
+        if _pb:
+            self.PROBLEM_BUDGET = int(_pb)
         from ..utils.stats import PipelineStats
 
         self.stats = PipelineStats()
@@ -339,8 +348,12 @@ class BatchAligner:
     # Chunks are cut by *problem count*, just under the kernel's
     # power-of-two batch bucket, so padding waste stays a few percent
     # (cutting by read count can overshoot a bucket boundary and
-    # double the padded batch).
-    PROBLEM_BUDGET = 32768 - 1024
+    # double the padded batch).  64k (was 32k through round 4): each
+    # chunk pays two device syncs (~RTT each) plus kernel dispatch,
+    # and the round-5 same-window A/B measured bigger chunks ~+5%
+    # e2e on syn45 emit (tools/thread_tax.py; THERMITE_PROBLEM_BUDGET
+    # overrides for A/B or memory-constrained deployments).
+    PROBLEM_BUDGET = 65536 - 2048
 
     def align_batch(self, reads: List[bytes]) -> List[List[GenomeAlignment]]:
         out: List[List[GenomeAlignment]] = []
