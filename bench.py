@@ -265,6 +265,44 @@ def _require_backend(timeout_s: float = 300.0) -> None:
     print(f"bench: devices {state['devices']}", file=sys.stderr)
 
 
+# partial results stashed as main() progresses, so the deadline
+# watchdog can report whatever was measured before a mid-run stall
+_partial: dict = {}
+
+
+def _deadline_watchdog(deadline_s: float) -> None:
+    """Emit a diagnostic JSON line and exit if the whole bench exceeds
+    ``deadline_s``.  The init-time guard (_require_backend) does not
+    cover the deployment's OTHER failure mode: a degraded-service
+    window where an in-flight kernel RPC stalls for tens of minutes
+    mid-run (observed 2026-08-20, ~15 min windows, self-recovering) —
+    without this a scheduled bench hangs past the driver's patience
+    and records nothing."""
+    import threading
+
+    def fire():
+        print(
+            json.dumps(
+                {
+                    "metric": "e2e_align_reads_per_s_syn45Mbp_90bp",
+                    "value": _partial.get("syn45_median", 0),
+                    "unit": "reads/s",
+                    "vs_baseline": 0,
+                    "error": f"bench deadline {deadline_s:.0f}s exceeded "
+                    "(degraded-service stall mid-run?)",
+                    "backend_outage": True,
+                    **{k: v for k, v in _partial.items()},
+                }
+            ),
+            flush=True,
+        )
+        os._exit(4)
+
+    t = threading.Timer(deadline_s, fire)
+    t.daemon = True
+    t.start()
+
+
 def main():
     from thermite_tpu.align.batch import BatchAligner
     from thermite_tpu.align.driver import AlignOpts
@@ -273,6 +311,7 @@ def main():
 
     _enable_compile_cache()
     _require_backend()
+    _deadline_watchdog(float(os.environ.get("BENCH_DEADLINE_S", "2700")))
     opts = AlignOpts(
         min_seed_len=20, min_aln_score_percent=0.0, min_aln_score=30,
         intron_mode=True,
@@ -290,6 +329,8 @@ def main():
     syn_oracle = _oracle_rps(syn, opts, make_reads(syn_chrom, 192, seed=11))
     syn_cpp = _cpp_rps(syn, opts, make_reads(syn_chrom, 4096, seed=13))
     print(f"syn45 C++ 1-core baseline: {syn_cpp:.1f} reads/s", file=sys.stderr)
+    _partial["syn45_oracle_reads_per_s"] = round(syn_oracle, 1)
+    _partial["syn45_cpp_1core_reads_per_s"] = round(syn_cpp, 1)
 
     syn_batch = BatchAligner(syn, opts)
     syn_batch.align_batch(make_reads(syn_chrom, N, seed=12))  # compile warmup
@@ -298,8 +339,11 @@ def main():
     )
     print(syn_batch.stats.report(), file=sys.stderr)
     print(f"syn45 oracle baseline: {syn_oracle:.1f} reads/s", file=sys.stderr)
+    _partial["syn45_median"] = round(syn_rps, 1)
     syn_emit = _emit_rps(syn_batch, make_reads(syn_chrom, N, seed=33))
+    _partial["syn45_emit_bam_reads_per_s"] = round(syn_emit, 1)
     syn_paired = _paired_rps(syn_batch, syn_chrom, N // 2)
+    _partial["syn45_paired_emit_reads_per_s"] = round(syn_paired, 1)
 
     # ---- secondary: GRCh38 chrM ----
     idx = Index.create_from_files(
@@ -317,6 +361,7 @@ def main():
     )
     print(batch.stats.report(), file=sys.stderr)
     print(f"chrM oracle baseline: {chrM_oracle:.1f} reads/s", file=sys.stderr)
+    _partial["chrM_median_reads_per_s"] = round(chrM_rps, 1)
     chrM_emit = _emit_rps(batch, make_reads(chrM, N, seed=33))
 
     # ---- default config (-s0.66): same kernel shapes post-narrowing ----
